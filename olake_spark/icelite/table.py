@@ -1,0 +1,697 @@
+"""icelite Table: snapshots, manifests, equality deletes, atomic commits.
+
+Semantics replicated from the reference's Iceberg usage (SURVEY.md §4):
+
+- v2-style **row deltas**: a commit may add data files and equality-delete
+  files at one sequence number; an equality delete kills rows whose key
+  matches in any *strictly older* data file (BaseDeltaTaskWriter.java:50-61,
+  IcebergTableOperator.java:219-281 — RowDelta.addRows/addDeletes).
+- **snapshot-pinned scans**: every scan resolves against one snapshot's
+  manifest list; concurrent commits never change what a running reader sees
+  (reference analogue: AS OF SCN scans, pkg/jdbc/jdbc.go:319-342).
+- **atomic commit, optimistic concurrency**: the versioned metadata file is
+  created with O_EXCL — exactly one writer wins a version; losers re-derive
+  against fresh metadata and retry (IcebergTableOperator.java:248-281's
+  refresh-then-commit under lock, without the lock).
+
+Storage layout (local FS here; s3a/hdfs paths work the same through Spark —
+only the metadata-side os.* calls would need an FS shim at deployment):
+
+    <root>/metadata/v00001.metadata.json     ← linearization point
+    <root>/metadata/version-hint.text        ← advisory cache
+    <root>/metadata/manifests/mf-*.parquet   ← one row per data/delete file
+    <root>/data/<_p_col=val>/....parquet     ← data files (hive-style dirs)
+    <root>/deletes/....parquet               ← equality-delete key files
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any, Callable, Iterable
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from olake_spark.icelite.spec import PartitionSpec
+from olake_spark.icelite.stats import collect_file_stats
+
+DATA = 0
+EQ_DELETES = 2
+
+# broadcast the aggregated delete-key side of the scan anti-join when it is
+# estimated under this many rows ("broadcast-or-sort-merge join against
+# equality-delete reconciliation", BASELINE.json north_star)
+BROADCAST_DELETE_ROWS = 2_000_000
+
+_MANIFEST_SCHEMA = pa.schema(
+    [
+        ("content", pa.int32()),
+        ("file_path", pa.string()),  # relative to table root
+        ("partition_json", pa.string()),
+        ("seq", pa.int64()),
+        ("record_count", pa.int64()),
+        ("file_size_bytes", pa.int64()),
+        ("mins_json", pa.string()),
+        ("maxs_json", pa.string()),
+        ("nulls_json", pa.string()),
+    ]
+)
+
+
+class CommitConflict(Exception):
+    """Another writer invalidated this commit's assumptions (files vanished)."""
+
+
+@dataclass
+class FileEntry:
+    content: int
+    file_path: str
+    partition: dict[str, str]
+    seq: int
+    record_count: int
+    file_size_bytes: int
+    mins: dict[str, Any]
+    maxs: dict[str, Any]
+    nulls: dict[str, int]
+
+    def to_row(self) -> dict:
+        return {
+            "content": self.content,
+            "file_path": self.file_path,
+            "partition_json": json.dumps(self.partition, sort_keys=True),
+            "seq": self.seq,
+            "record_count": self.record_count,
+            "file_size_bytes": self.file_size_bytes,
+            "mins_json": json.dumps(self.mins, sort_keys=True, default=str),
+            "maxs_json": json.dumps(self.maxs, sort_keys=True, default=str),
+            "nulls_json": json.dumps(self.nulls, sort_keys=True),
+        }
+
+    @staticmethod
+    def from_row(r: dict) -> "FileEntry":
+        return FileEntry(
+            content=r["content"],
+            file_path=r["file_path"],
+            partition=json.loads(r["partition_json"]),
+            seq=r["seq"],
+            record_count=r["record_count"],
+            file_size_bytes=r["file_size_bytes"],
+            mins=json.loads(r["mins_json"]),
+            maxs=json.loads(r["maxs_json"]),
+            nulls=json.loads(r["nulls_json"]),
+        )
+
+
+def _write_manifest(path: str, entries: list[FileEntry]) -> None:
+    rows = [e.to_row() for e in entries]
+    cols = {f.name: [r[f.name] for r in rows] for f in _MANIFEST_SCHEMA}
+    pq.write_table(pa.table(cols, schema=_MANIFEST_SCHEMA), path)
+
+
+def _read_manifest(path: str) -> list[FileEntry]:
+    t = pq.read_table(path)
+    return [FileEntry.from_row(r) for r in t.to_pylist()]
+
+
+class Table:
+    """One icelite table. Cheap to construct; metadata loaded lazily."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        self._meta: dict | None = None
+        self._version: int = 0
+
+    # ------------------------------------------------------------------ DDL
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: StructType,
+        partition_spec: PartitionSpec | None = None,
+        identifier_fields: tuple[str, ...] = (),
+        properties: dict[str, str] | None = None,
+    ) -> "Table":
+        root = os.path.abspath(root)
+        meta_dir = os.path.join(root, "metadata")
+        os.makedirs(os.path.join(meta_dir, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "deletes"), exist_ok=True)
+        props = {
+            "format-version": "2",
+            "write.target-file-size-bytes": str(512 * 1024 * 1024),
+            **(properties or {}),
+        }
+        meta = {
+            "table_uuid": uuid.uuid4().hex,
+            "location": root,
+            "schema_json": schema.json(),
+            "identifier_fields": list(identifier_fields),
+            "partition_spec": (partition_spec or PartitionSpec(())).to_json(),
+            "properties": props,
+            "last_sequence_number": 0,
+            "last_snapshot_id": 0,
+            "current_snapshot_id": None,
+            "snapshots": [],
+        }
+        path = os.path.join(meta_dir, "v00001.metadata.json")
+        with open(path, "x") as f:
+            json.dump(meta, f)
+        cls._write_hint(meta_dir, 1)
+        t = cls(spark, root)
+        t._meta, t._version = meta, 1
+        return t
+
+    @staticmethod
+    def _write_hint(meta_dir: str, version: int) -> None:
+        tmp = os.path.join(meta_dir, f".hint-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(meta_dir, "version-hint.text"))
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "Table":
+        t = cls(spark, root)
+        t.refresh()
+        return t
+
+    def refresh(self) -> "Table":
+        meta_dir = os.path.join(self.root, "metadata")
+        versions = [
+            int(n[1:6])
+            for n in os.listdir(meta_dir)
+            if n.startswith("v") and n.endswith(".metadata.json")
+        ]
+        if not versions:
+            raise FileNotFoundError(f"no icelite table at {self.root}")
+        self._version = max(versions)
+        with open(os.path.join(meta_dir, f"v{self._version:05d}.metadata.json")) as f:
+            self._meta = json.load(f)
+        return self
+
+    # ----------------------------------------------------------- properties
+
+    @property
+    def meta(self) -> dict:
+        if self._meta is None:
+            self.refresh()
+        return self._meta
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self.meta["schema_json"]))
+
+    @property
+    def spec(self) -> PartitionSpec:
+        return PartitionSpec.from_json(self.meta["partition_spec"])
+
+    @property
+    def identifier_fields(self) -> list[str]:
+        return list(self.meta["identifier_fields"])
+
+    @property
+    def current_snapshot_id(self) -> int | None:
+        return self.meta["current_snapshot_id"]
+
+    def snapshots(self) -> list[dict]:
+        return list(self.meta["snapshots"])
+
+    def snapshot(self, snapshot_id: int | None = None) -> dict | None:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
+        if sid is None:
+            return None
+        for s in self.meta["snapshots"]:
+            if s["snapshot_id"] == sid:
+                return s
+        raise KeyError(f"snapshot {sid} not found (expired?)")
+
+    def entries(self, snapshot_id: int | None = None) -> list[FileEntry]:
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return []
+        out: list[FileEntry] = []
+        for m in snap["manifests"]:
+            out.extend(_read_manifest(os.path.join(self.root, m)))
+        return out
+
+    def _abs(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    # ---------------------------------------------------------------- scan
+
+    def scan(
+        self,
+        snapshot_id: int | None = None,
+        columns: list[str] | None = None,
+        predicates: list[tuple[str, str, Any]] | None = None,
+        with_partition_cols: bool = False,
+        with_file_seq: bool = False,
+        file_filter: set[str] | None = None,
+    ) -> DataFrame:
+        """Snapshot-pinned read with manifest-level pruning + delete application.
+
+        `predicates` is a conjunction of (col, op, literal), op ∈
+        {==, <, <=, >, >=}: used for min/max file pruning AND re-applied as a
+        DataFrame filter (so Catalyst pushes it into the parquet scan too —
+        correctness never depends on pruning).
+        """
+        entries = self.entries(snapshot_id)
+        data = [e for e in entries if e.content == DATA]
+        dels = [e for e in entries if e.content == EQ_DELETES]
+        if file_filter is not None:
+            data = [e for e in data if e.file_path in file_filter]
+            # deletes newer than every selected file still apply (kept in full)
+        if predicates:
+            data = [e for e in data if _may_match(e, predicates)]
+        if not data:
+            return self.spark.createDataFrame([], self._scan_schema(columns))
+
+        base = os.path.join(self.root, "data")
+        need_seq = bool(dels) or with_file_seq
+        if not need_seq:
+            df = self.spark.read.option("basePath", base).parquet(
+                *[self._abs(e.file_path) for e in data]
+            )
+        else:
+            # deletes apply to strictly-older files → tag rows with their
+            # file's commit sequence number (one read per distinct seq,
+            # unioned; commit count is small and shrinks under compaction)
+            by_seq: dict[int, list[str]] = {}
+            for e in data:
+                by_seq.setdefault(e.seq, []).append(self._abs(e.file_path))
+            parts = []
+            for seq, paths in sorted(by_seq.items()):
+                parts.append(
+                    self.spark.read.option("basePath", base)
+                    .parquet(*paths)
+                    .withColumn("_seq", F.lit(seq))
+                )
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            if dels:
+                df = self._apply_deletes(df, dels)
+
+        if predicates:
+            df = df.filter(_pred_expr(predicates))
+        keep = columns or [f.name for f in self.schema.fields]
+        extra = (self.spec.names if with_partition_cols else []) + (
+            ["_seq"] if with_file_seq else []
+        )
+        return df.select(*keep, *extra)
+
+    def _scan_schema(self, columns: list[str] | None) -> StructType:
+        s = self.schema
+        if columns is None:
+            return s
+        return StructType([f for f in s.fields if f.name in set(columns)])
+
+    def _apply_deletes(self, df: DataFrame, dels: list[FileEntry]) -> DataFrame:
+        keys = self.identifier_fields
+        ddf = self.spark.read.parquet(*[self._abs(e.file_path) for e in dels])
+        # one aggregated row per key: the newest delete's sequence number
+        agg = ddf.groupBy(*keys).agg(F.max("_delete_seq").alias("_max_del_seq"))
+        est_rows = sum(e.record_count for e in dels)
+        if est_rows <= BROADCAST_DELETE_ROWS:
+            agg = F.broadcast(agg)
+        joined = df.join(agg, on=keys, how="left")
+        return joined.filter(
+            F.col("_max_del_seq").isNull() | (F.col("_max_del_seq") <= F.col("_seq"))
+        ).drop("_max_del_seq")
+
+    # --------------------------------------------------------------- writes
+
+    def _next_ids(self, meta: dict) -> tuple[int, int]:
+        return meta["last_sequence_number"] + 1, meta["last_snapshot_id"] + 1
+
+    def _stage_write(
+        self,
+        df: DataFrame,
+        seq: int,
+        max_records_per_file: int | None = None,
+        sort_within_by: list[str] | None = None,
+    ) -> list[FileEntry]:
+        """Write data files into <root>/data/ and return manifest entries.
+
+        Partition columns are materialized and hive-encoded into directory
+        paths (Spark `partitionBy`), mirroring the reference's partition-path
+        routing (parquet.go:310-368); files are then promoted from the staging
+        dir with unique names — rename, not copy.
+        """
+        spec = self.spec
+        stage = os.path.join(self.root, "data", f".stage-{uuid.uuid4().hex}")
+        out = spec.apply(df)
+        if sort_within_by:
+            out = out.sortWithinPartitions(*sort_within_by)
+        w = out.write.mode("overwrite")
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", max_records_per_file)
+        if spec.fields:
+            w = w.partitionBy(*spec.names)
+        w.parquet(stage)
+
+        entries: list[FileEntry] = []
+        moved: list[tuple[str, str, dict]] = []  # (abs_final, rel_final, partition)
+        for dirpath, _dirs, files in os.walk(stage):
+            rel_dir = os.path.relpath(dirpath, stage)
+            partition = _parse_partition(rel_dir)
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                final_name = f"{seq:06d}-{uuid.uuid4().hex}.parquet"
+                dest_dir = (
+                    os.path.join(self.root, "data", rel_dir)
+                    if rel_dir != "."
+                    else os.path.join(self.root, "data")
+                )
+                os.makedirs(dest_dir, exist_ok=True)
+                dest = os.path.join(dest_dir, final_name)
+                os.replace(os.path.join(dirpath, name), dest)
+                moved.append((dest, os.path.relpath(dest, self.root), partition))
+        shutil.rmtree(stage, ignore_errors=True)
+
+        stats = collect_file_stats(self.spark, [m[0] for m in moved])
+        for abspath, rel, partition in moved:
+            st = stats[abspath]
+            if st["record_count"] == 0:
+                os.remove(abspath)  # reference deletes empty files, parquet.go:210-283
+                continue
+            entries.append(
+                FileEntry(
+                    DATA, rel, partition, seq,
+                    st["record_count"], st["file_size_bytes"],
+                    st["mins"], st["maxs"], st["null_counts"],
+                )
+            )
+        return entries
+
+    def _write_delete_files(self, keys_df: DataFrame, seq: int) -> list[FileEntry]:
+        stage = os.path.join(self.root, "deletes", f".stage-{uuid.uuid4().hex}")
+        keys_df.select(*self.identifier_fields).withColumn(
+            "_delete_seq", F.lit(seq)
+        ).write.mode("overwrite").parquet(stage)
+        entries: list[FileEntry] = []
+        for name in os.listdir(stage):
+            if not name.endswith(".parquet"):
+                continue
+            dest = os.path.join(self.root, "deletes", f"{seq:06d}-{uuid.uuid4().hex}.parquet")
+            os.replace(os.path.join(stage, name), dest)
+            st = collect_file_stats(self.spark, [dest])[dest]
+            if st["record_count"] == 0:
+                os.remove(dest)
+                continue
+            entries.append(
+                FileEntry(
+                    EQ_DELETES, os.path.relpath(dest, self.root), {}, seq,
+                    st["record_count"], st["file_size_bytes"],
+                    st["mins"], st["maxs"], st["null_counts"],
+                )
+            )
+        shutil.rmtree(stage, ignore_errors=True)
+        return entries
+
+    def _new_manifest(self, entries: list[FileEntry]) -> str:
+        rel = os.path.join("metadata", "manifests", f"mf-{uuid.uuid4().hex}.parquet")
+        _write_manifest(self._abs(rel), entries)
+        return rel
+
+    # --------------------------------------------------------------- commit
+
+    def _commit(self, build: Callable[[dict], dict], retries: int = 20) -> dict:
+        """Optimistic commit loop. `build(meta) -> new_meta` re-derives the new
+        metadata from a fresh base each attempt; O_EXCL create of the next
+        versioned metadata file decides the winner."""
+        meta_dir = os.path.join(self.root, "metadata")
+        for _ in range(retries):
+            self.refresh()
+            new_meta = build(dict(self.meta))
+            target = os.path.join(meta_dir, f"v{self._version + 1:05d}.metadata.json")
+            try:
+                with open(target, "x") as f:
+                    json.dump(new_meta, f)
+            except FileExistsError:
+                time.sleep(0.05)
+                continue
+            self._write_hint(meta_dir, self._version + 1)
+            self._meta, self._version = new_meta, self._version + 1
+            return new_meta["snapshots"][-1] if new_meta["snapshots"] else {}
+        raise CommitConflict(f"gave up after {retries} commit attempts")
+
+    def _snapshot_dict(
+        self, meta: dict, snap_id: int, seq: int, op: str,
+        manifests: list[str], summary: dict,
+    ) -> dict:
+        return {
+            "snapshot_id": snap_id,
+            "parent_id": meta["current_snapshot_id"],
+            "sequence_number": seq,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": op,
+            "manifests": manifests,
+            "summary": summary,
+        }
+
+    def _commit_snapshot(
+        self, op: str,
+        added: list[FileEntry],
+        removed_paths: set[str] | None = None,
+        extra_summary: dict | None = None,
+        seq_used: int | None = None,
+    ) -> dict:
+        removed_paths = removed_paths or set()
+
+        def build(meta: dict) -> dict:
+            seq = seq_used if seq_used is not None else meta["last_sequence_number"] + 1
+            snap_id = meta["last_snapshot_id"] + 1
+            cur = next(
+                (s for s in meta["snapshots"] if s["snapshot_id"] == meta["current_snapshot_id"]),
+                None,
+            )
+            manifests = list(cur["manifests"]) if cur else []
+            if removed_paths:
+                live = set()
+                keep: list[str] = []
+                for m in manifests:
+                    ents = _read_manifest(self._abs(m))
+                    live.update(e.file_path for e in ents)
+                    hit = [e for e in ents if e.file_path in removed_paths]
+                    if not hit:
+                        keep.append(m)
+                    else:
+                        rest = [e for e in ents if e.file_path not in removed_paths]
+                        if rest:
+                            keep.append(self._new_manifest(rest))
+                missing = removed_paths - live
+                if missing:
+                    raise CommitConflict(f"files no longer live: {sorted(missing)[:3]}…")
+                manifests = keep
+            if added:
+                manifests.append(self._new_manifest(added))
+            summary = {
+                "added-files": len(added),
+                "removed-files": len(removed_paths),
+                "added-records": sum(e.record_count for e in added),
+                **(extra_summary or {}),
+            }
+            new = dict(meta)
+            new["last_sequence_number"] = max(seq, meta["last_sequence_number"])
+            new["last_snapshot_id"] = snap_id
+            new["current_snapshot_id"] = snap_id
+            new["snapshots"] = meta["snapshots"] + [
+                self._snapshot_dict(meta, snap_id, seq, op, manifests, summary)
+            ]
+            return new
+
+        return self._commit(build)
+
+    # ------------------------------------------------------------ public ops
+
+    def append(
+        self, df: DataFrame, max_records_per_file: int | None = None,
+        sort_within_by: list[str] | None = None,
+    ) -> dict:
+        self.refresh()
+        seq = self.meta["last_sequence_number"] + 1
+        entries = self._stage_write(df, seq, max_records_per_file, sort_within_by)
+        return self._commit_snapshot("append", entries, seq_used=seq)
+
+    def row_delta(self, data_df: DataFrame | None, delete_keys_df: DataFrame | None) -> dict:
+        """One atomic commit of data files + equality-delete files (the MERGE
+        primitive: delete-before-insert, RowDelta semantics)."""
+        self.refresh()
+        seq = self.meta["last_sequence_number"] + 1
+        entries: list[FileEntry] = []
+        if delete_keys_df is not None:
+            entries += self._write_delete_files(delete_keys_df, seq)
+        if data_df is not None:
+            entries += self._stage_write(data_df, seq)
+        return self._commit_snapshot("rowdelta", entries, seq_used=seq)
+
+    def rewrite_files(
+        self, removed_paths: Iterable[str], added: list[FileEntry],
+        op: str = "replace", extra_summary: dict | None = None,
+        seq_used: int | None = None,
+    ) -> dict:
+        """Atomically swap file sets (compaction / clustering commit)."""
+        return self._commit_snapshot(
+            op, added, set(removed_paths), extra_summary, seq_used=seq_used
+        )
+
+    # -------------------------------------------------- maintenance helpers
+
+    def files_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """The `files` metadata table as a DataFrame — what maintenance plans
+        read instead of data (never touches the heavy `bytes` column)."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None or not snap["manifests"]:
+            return self.spark.createDataFrame([], _files_df_schema())
+        df = self.spark.read.parquet(*[self._abs(m) for m in snap["manifests"]])
+        return df
+
+    def total_records(self, snapshot_id: int | None = None) -> int:
+        ents = self.entries(snapshot_id)
+        return sum(e.record_count for e in ents if e.content == DATA)
+
+    def expire_snapshots(self, keep_last: int = 1, older_than_ms: int | None = None) -> dict:
+        """Drop old snapshots from metadata (current always kept). Data/delete/
+        manifest files become orphans, reaped by `remove_orphan_files`."""
+
+        def build(meta: dict) -> dict:
+            snaps = meta["snapshots"]
+            cur = meta["current_snapshot_id"]
+            keep_ids = {s["snapshot_id"] for s in snaps[-keep_last:]} | {cur}
+            kept = [
+                s for s in snaps
+                if s["snapshot_id"] in keep_ids
+                or (older_than_ms is not None and s["timestamp_ms"] >= older_than_ms)
+            ]
+            new = dict(meta)
+            new["snapshots"] = kept
+            return new
+
+        meta_dir = os.path.join(self.root, "metadata")
+        for _ in range(20):
+            self.refresh()
+            before = len(self.meta["snapshots"])
+            new_meta = build(dict(self.meta))
+            target = os.path.join(meta_dir, f"v{self._version + 1:05d}.metadata.json")
+            try:
+                with open(target, "x") as f:
+                    json.dump(new_meta, f)
+            except FileExistsError:
+                continue
+            self._write_hint(meta_dir, self._version + 1)
+            self._meta, self._version = new_meta, self._version + 1
+            return {"expired": before - len(new_meta["snapshots"])}
+        raise CommitConflict("expire_snapshots: too many retries")
+
+    def remove_orphan_files(
+        self, grace_seconds: float = 3 * 24 * 3600, dry_run: bool = False
+    ) -> list[str]:
+        """Delete files under data/ deletes/ metadata/manifests/ that no
+        retained snapshot references and that are older than the grace period
+        (never touch files newer than grace — they may belong to an in-flight
+        commit). Local os.walk here; at deployment scale this is a distributed
+        listing job over the object store."""
+        self.refresh()
+        referenced: set[str] = set()
+        for s in self.meta["snapshots"]:
+            for m in s["manifests"]:
+                referenced.add(m)
+                for e in _read_manifest(self._abs(m)):
+                    referenced.add(e.file_path)
+        cutoff = time.time() - grace_seconds
+        orphans: list[str] = []
+        for sub in ("data", "deletes", os.path.join("metadata", "manifests")):
+            base = os.path.join(self.root, sub)
+            for dirpath, _dirs, files in os.walk(base):
+                for name in files:
+                    p = os.path.join(dirpath, name)
+                    rel = os.path.relpath(p, self.root)
+                    if rel in referenced:
+                        continue
+                    if os.path.getmtime(p) > cutoff:
+                        continue
+                    orphans.append(rel)
+                    if not dry_run:
+                        os.remove(p)
+        return sorted(orphans)
+
+
+# ------------------------------------------------------------------ helpers
+
+
+def _parse_partition(rel_dir: str) -> dict[str, str]:
+    if rel_dir in (".", ""):
+        return {}
+    from urllib.parse import unquote
+
+    out = {}
+    for comp in rel_dir.split(os.sep):
+        if "=" in comp:
+            k, v = comp.split("=", 1)
+            out[k] = unquote(v)
+    return out
+
+
+def _files_df_schema():
+    from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                   StructField)
+
+    return StructType(
+        [
+            StructField("content", IntegerType()),
+            StructField("file_path", StringType()),
+            StructField("partition_json", StringType()),
+            StructField("seq", LongType()),
+            StructField("record_count", LongType()),
+            StructField("file_size_bytes", LongType()),
+            StructField("mins_json", StringType()),
+            StructField("maxs_json", StringType()),
+            StructField("nulls_json", StringType()),
+        ]
+    )
+
+
+_OPS = {
+    "==": lambda lo, hi, v: not (v < lo or hi < v),
+    "<": lambda lo, hi, v: lo < v,
+    "<=": lambda lo, hi, v: lo <= v,
+    ">": lambda lo, hi, v: hi > v,
+    ">=": lambda lo, hi, v: hi >= v,
+}
+
+
+def _may_match(e: FileEntry, predicates: list[tuple[str, str, Any]]) -> bool:
+    """Min/max file pruning: keep the file unless a predicate PROVES no row can
+    match. Missing stats → keep (safe)."""
+    for col, op, val in predicates:
+        lo, hi = e.mins.get(col), e.maxs.get(col)
+        if lo is None or hi is None or op not in _OPS:
+            continue
+        try:
+            if not _OPS[op](lo, hi, val):
+                return False
+        except TypeError:
+            continue
+    return True
+
+
+def _pred_expr(predicates: list[tuple[str, str, Any]]):
+    expr = F.lit(True)
+    for col, op, val in predicates:
+        c = F.col(col)
+        expr = expr & {
+            "==": c == val, "<": c < val, "<=": c <= val, ">": c > val, ">=": c >= val,
+        }[op]
+    return expr

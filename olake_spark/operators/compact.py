@@ -1,0 +1,173 @@
+"""Bin-packing small-file compaction (north_star: "size-tiered file grouping").
+
+The reference targets 512MB data files (IcebergTableWriterFactory.java:41-43;
+Go side plans ~512MB parquet, constants/constants.go:21-22) but streaming CDC
+ingest inevitably leaves small files. This operator:
+
+1. **plans from metadata only** — the manifest `files` listing; the heavy
+   `bytes` column is never read during planning;
+2. groups undersized files (size < fill_ratio × target) per partition with
+   first-fit-decreasing into bins summing to ≈ target;
+3. executes each bin as one rewrite: scan exactly those files (equality
+   deletes applied → rewrite also *purges* deletes), write ≈target-sized
+   files, atomically swap via a rewrite snapshot;
+4. logs per-chunk lineage to the maintenance log; a rerun with the same
+   job_id skips bins already logged done (idempotent resume — the analogue of
+   state.RemoveChunk, types/state.go:187-230).
+
+Each bin reads only its own files — at 10^12-image scale no task ever holds
+more than ~target bytes of encoded pixels, and bins are independent.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+from dataclasses import dataclass, field
+
+from olake_spark.checkpoint import MaintenanceLog
+from olake_spark.icelite.table import DATA, FileEntry, Table
+
+DEFAULT_TARGET = 512 * 1024 * 1024
+
+
+@dataclass
+class Bin:
+    partition_json: str
+    files: list[FileEntry] = field(default_factory=list)
+
+    @property
+    def total_bytes(self) -> int:
+        return sum(f.file_size_bytes for f in self.files)
+
+    @property
+    def total_rows(self) -> int:
+        return sum(f.record_count for f in self.files)
+
+    @property
+    def chunk_id(self) -> str:
+        h = hashlib.sha1(
+            "\n".join(sorted(f.file_path for f in self.files)).encode()
+        ).hexdigest()[:16]
+        return f"bin-{h}"
+
+
+def plan_compaction(
+    table: Table,
+    target_bytes: int | None = None,
+    fill_ratio: float = 0.5,
+    min_files_per_bin: int = 2,
+    snapshot_id: int | None = None,
+) -> list[Bin]:
+    """Size-tiered first-fit-decreasing bin packing per partition."""
+    if target_bytes is None:
+        target_bytes = int(
+            table.meta["properties"].get("write.target-file-size-bytes", DEFAULT_TARGET)
+        )
+    small_cut = int(target_bytes * fill_ratio)
+    per_part: dict[str, list[FileEntry]] = {}
+    has_deletes = False
+    for e in table.entries(snapshot_id):
+        if e.content != DATA:
+            has_deletes = True
+            continue
+        if e.file_size_bytes <= small_cut:
+            per_part.setdefault(json.dumps(e.partition, sort_keys=True), []).append(e)
+
+    bins: list[Bin] = []
+    for pj, files in sorted(per_part.items()):
+        files.sort(key=lambda f: (-f.file_size_bytes, f.file_path))
+        open_bins: list[Bin] = []
+        for f in files:
+            placed = False
+            for b in open_bins:
+                if b.total_bytes + f.file_size_bytes <= target_bytes:
+                    b.files.append(f)
+                    placed = True
+                    break
+            if not placed:
+                open_bins.append(Bin(pj, [f]))
+        bins.extend(b for b in open_bins if len(b.files) >= min_files_per_bin)
+    # when equality deletes exist, even single small files are worth rewriting
+    # (the rewrite materializes the deletes); handled by caller via fill_ratio.
+    _ = has_deletes
+    return bins
+
+
+def run_compaction(
+    table: Table,
+    job_id: str,
+    log: MaintenanceLog | None = None,
+    target_bytes: int | None = None,
+    fill_ratio: float = 0.5,
+    max_bins: int | None = None,
+    stop_after_bins: int | None = None,
+) -> dict:
+    """Execute a compaction job. Returns summary metrics.
+
+    `stop_after_bins` exists for resume tests: simulate an interruption after
+    k committed bins.
+    """
+    table.refresh()
+    if target_bytes is None:
+        target_bytes = int(
+            table.meta["properties"].get("write.target-file-size-bytes", DEFAULT_TARGET)
+        )
+    snap_before = table.current_snapshot_id
+    bins = plan_compaction(table, target_bytes, fill_ratio)
+    if max_bins:
+        bins = bins[:max_bins]
+
+    done: set[str] = set()
+    if log is not None:
+        done = log.done_chunk_ids(job_id)
+        log.log_planned(
+            job_id, "compact",
+            [{"chunk_id": b.chunk_id, "partition": b.partition_json,
+              "rows": b.total_rows, "bytes_in": b.total_bytes} for b in bins
+             if b.chunk_id not in done],
+        )
+
+    executed = skipped = 0
+    rows_out = bytes_out = 0
+    for i, b in enumerate(bins):
+        if b.chunk_id in done:
+            skipped += 1
+            continue
+        if stop_after_bins is not None and executed >= stop_after_bins:
+            break
+        paths = {f.file_path for f in b.files}
+        df = table.scan(file_filter=paths)
+        # rows per output file sized from observed bytes/row of this bin
+        avg_row = max(1, b.total_bytes // max(1, b.total_rows))
+        per_file = max(1, target_bytes // avg_row)
+        n_out = max(1, math.ceil(b.total_bytes / target_bytes))
+        seq = table.meta["last_sequence_number"] + 1
+        added = table._stage_write(
+            df.repartition(n_out), seq, max_records_per_file=per_file
+        )
+        snap = table.rewrite_files(
+            paths, added, op="compact",
+            extra_summary={"job_id": job_id, "chunk_id": b.chunk_id},
+            seq_used=seq,
+        )
+        executed += 1
+        rows_out += sum(e.record_count for e in added)
+        bytes_out += sum(e.file_size_bytes for e in added)
+        if log is not None:
+            log.log_done(
+                job_id, "compact",
+                {"chunk_id": b.chunk_id, "partition": b.partition_json,
+                 "rows": b.total_rows, "bytes_in": b.total_bytes,
+                 "bytes_out": sum(e.file_size_bytes for e in added),
+                 "snapshot_before": snap_before,
+                 "snapshot_after": snap.get("snapshot_id")},
+            )
+    return {
+        "bins_planned": len(bins),
+        "bins_executed": executed,
+        "bins_skipped": skipped,
+        "rows_rewritten": rows_out,
+        "bytes_out": bytes_out,
+    }

@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the maintenance engine.
+
+Defaults target correctness tests on local[*]; the same knobs are what we'd
+set on a 1000-executor cluster (AQE on, skew-join on, Arrow for pandas UDFs,
+shuffle partitions sized to cores at test scale / to data at cluster scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "olake-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing of shuffle partitions + skew-join splitting.
+        # At 10^12-row scale this is what turns a static plan into one that
+        # survives hot phash prefixes (SURVEY.md §4 "Skew handling").
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow transfer for every pandas UDF (the only Python in hot paths).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # Keep scheduler chatter down in local mode.
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Image `bytes` rows are fat: cap parquet split sizes so one task never
+        # holds more than ~128MB of encoded pixels (mirrors the reference's
+        # 100-800MB RAM-scaled flush batches, iceberg_utils.go:27-45).
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
