@@ -1,38 +1,477 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry maps to an operator from SURVEY.md §2 (maintenance
+engine) or to the training-data-pipeline layer (dedup / similarity / text /
+multimodal / streaming). Every SQL-expressible op has an ``oracle_sql()``
+twin generated from the SAME expression builders (olake_spark.functions.text,
+operators.dedup, pipeline) so engine and oracle cannot drift. Outputs use
+integer ppm / cents / epoch columns — no cross-engine float formatting.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from olake_spark import pipeline
+from olake_spark.functions import text as T
+from olake_spark.operators import ann, dedup
+
+ALL_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+JACCARD_PPM = 500_000
+COSINE_PPM = 400_000
+
+
+def _v(spark: SparkSession, sf_dir: str, *names: str):
+    pipeline.register_views(spark, sf_dir, names or ALL_TABLES)
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------- flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full maintenance pipeline (fragmented ingest → MERGE
+    INTO → bin-packing compaction → Hilbert clustering → manifest rewrite →
+    snapshot expiry → snapshot-pinned scan) on sf0.001."""
+    return pipeline.maintenance_roundtrip(
+        spark, "/root/testdata/sf0.001", with_merge=True
+    )
+
+
+# ------------------------------------------------------- query definitions
+
+
+def _q_maintenance_compact_cluster(spark, sf):
+    return pipeline.maintenance_roundtrip(spark, sf, with_merge=False)
+
+
+def _q_maintenance_merge_cdc(spark, sf):
+    return pipeline.maintenance_roundtrip(spark, sf, with_merge=True)
+
+
+def _q_s2_range_chunk_bounds(spark, sf):
+    # splitVector/bucketAuto-style chunk planning (SURVEY §2.1 S2/S3):
+    # equal-frequency key ranges = ntile over the chunk column
+    o = _tbl(spark, sf, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        o.select("o_orderkey")
+        .withColumn("chunk", F.ntile(32).over(w).cast("long"))
+        .groupBy("chunk")
+        .agg(
+            F.min("o_orderkey").alias("chunk_min"),
+            F.max("o_orderkey").alias("chunk_max"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
+def _q_s4_timestamp_chunks(spark, sf):
+    # ObjectID-timestamp windowed chunking (S4): hour buckets over events
+    e = _tbl(spark, sf, "events")
+    return (
+        e.withColumn(
+            "hour_epoch",
+            F.expr("CAST(to_unix_timestamp(date_trunc('hour', ts)) AS BIGINT)"),
+        )
+        .groupBy("hour_epoch")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
+
+
+def _q_s7_ordered_chunk_walk(spark, sf):
+    # ordered next-chunk walk (S7): SELECT MAX(col) per LIMIT-batch window
+    o = _tbl(spark, sf, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        o.select("o_orderkey")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "chunk", F.expr("CAST(floor((rn - 1) / 1000.0) AS BIGINT)")
+        )
+        .groupBy("chunk")
+        .agg(
+            F.max("o_orderkey").alias("chunk_boundary"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
+def _q_p3_type_coercion(spark, sf):
+    # Reformat* coercions (P3): JSON field extract + try_cast, year clamp,
+    # exact integer cents from doubles
+    e = _tbl(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.expr(
+            'try_cast(regexp_extract(props, \'"k": (\\\\d+)\', 1) AS BIGINT)'
+        ).alias("k_val"),
+        F.expr("least(greatest(year(ts), 0), 9999)").cast("long").alias("year_clamped"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("value_cents"),
+    )
+
+
+def _q_p5_cdc_envelope(spark, sf):
+    # op-kind mapping (P5) + _olake_id key hash (§2.8 md5 of sorted concat)
+    e = _tbl(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.expr(
+            "CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' "
+            "WHEN 'purchase' THEN 'u' ELSE 'r' END"
+        ).alias("_op_type"),
+        F.md5(
+            F.concat_ws(
+                "|", F.col("event_id").cast("string"), F.col("user_id").cast("string")
+            )
+        ).alias("_olake_id"),
+    )
+
+
+def _q_a1_window_dedup(spark, sf):
+    # A1 batch dedup: latest row per key by (ts, tiebreak) via row_number
+    e = _tbl(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.expr("CAST(to_unix_timestamp(ts) AS BIGINT)").alias("ts_epoch"),
+        )
+    )
+
+
+def _q_a2_minmax_bounds(spark, sf):
+    # MIN/MAX boundary aggregation (A2) — the chunk-split planning query
+    parts = []
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey"),
+                     ("events", "event_id")):
+        parts.append(
+            _tbl(spark, sf, tbl).agg(
+                F.lit(tbl).alias("table_name"),
+                F.min(key).alias("min_key"),
+                F.max(key).alias("max_key"),
+                F.count("*").cast("long").alias("n_rows"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _q_a3_count_distinct(spark, sf):
+    # the reference's own verification oracle: COUNT(DISTINCT _olake_id)
+    e = _tbl(spark, sf, "events")
+    return e.select(
+        F.countDistinct(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("event_id").cast("string"),
+                    F.col("user_id").cast("string"),
+                )
+            )
+        ).alias("distinct_ids"),
+        F.count("*").cast("long").alias("total_rows"),
+    )
+
+
+def _q_a4_partition_stats(spark, sf):
+    # per-file/partition min-max stats audit (A4) as a per-month rollup
+    li = _tbl(spark, sf, "lineitem")
+    return (
+        li.withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM"))
+        .groupBy("ship_month")
+        .agg(
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).alias(
+                "price_cents"
+            ),
+        )
+    )
+
+
+def _q_o4_topk(spark, sf):
+    # ORDER BY + LIMIT (O4): Spark's TakeOrderedAndProject
+    o = _tbl(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select(
+            "o_orderkey",
+            F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("price_cents"),
+        )
+    )
+
+
+def _q_dedup_exact(spark, sf):
+    return dedup.dedup_exact(_tbl(spark, sf, "documents"), "doc_id", "text")
+
+
+def _q_dedup_ngram_jaccard(spark, sf):
+    return dedup.jaccard_pairs(
+        _tbl(spark, sf, "documents"), "doc_id", "text", JACCARD_PPM, k=3
+    )
+
+
+def _q_dedup_minhash_lsh(spark, sf):
+    return dedup.minhash_lsh_pairs(
+        _tbl(spark, sf, "documents"), "doc_id", "text", JACCARD_PPM, k=3
+    )
+
+
+def _q_dedup_embedding_cosine(spark, sf):
+    return dedup.embedding_near_dup(
+        _tbl(spark, sf, "embeddings"), "vec_id", "embedding", COSINE_PPM
+    )
+
+
+def _q_ann_bruteforce_topk(spark, sf):
+    emb = _tbl(spark, sf, "embeddings")
+    return ann.knn_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+
+
+def _q_text_quality(spark, sf):
+    d = _tbl(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count_col("text").alias("n_tokens"),
+        T.avg_token_len_ppm_col("text").alias("avg_token_len_ppm"),
+        T.stopword_ratio_ppm_col("text").alias("stopword_ratio_ppm"),
+        T.quality_score_ppm_col("text").alias("quality_ppm"),
+    )
+
+
+def _q_text_lang_id(spark, sf):
+    d = _tbl(spark, sf, "documents")
+    return d.select("doc_id", T.lang_id_col("text").alias("lang_pred"))
+
+
+def _q_text_fingerprint(spark, sf):
+    d = _tbl(spark, sf, "documents")
+    return d.select("doc_id", T.fingerprint_col("text").alias("fingerprint"))
+
+
+def _q_stream_windowed_counts(spark, sf):
+    # S13/S14 bounded change-feed drain: availableNow Structured Streaming
+    from olake_spark.streaming import (bounded_file_stream, run_available_now,
+                                       windowed_counts)
+
+    schema = _tbl(spark, sf, "events").schema
+    # the file stream source needs a directory; stage the fixture via symlink
+    feed_dir = tempfile.mkdtemp(prefix="olake-stream-feed-")
+    os.symlink(
+        os.path.join(sf, "events.parquet"),
+        os.path.join(feed_dir, "part-00000.parquet"),
+    )
+    stream = bounded_file_stream(spark, feed_dir, schema)
+    # parquet reads event time as TIMESTAMP_NTZ; watermarks need TIMESTAMP
+    # (session tz is pinned UTC so the cast is a pure re-tag)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = windowed_counts(stream, "ts", "1 hour", "2 hours", ("event_type",))
+    ckpt = tempfile.mkdtemp(prefix="olake-stream-ckpt-")
+    out = run_available_now(agg, ckpt)
+    return out.select(
+        F.expr("CAST(to_unix_timestamp(window_start) AS BIGINT)").alias("hour_epoch"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def _q_dedup_simhash(spark, sf):
+    return dedup.simhash_pairs(
+        _tbl(spark, sf, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+def _q_ann_lsh_topk(spark, sf):
+    emb = _tbl(spark, sf, "embeddings")
+    return ann.knn_lsh(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", dim=64, k=5
+    )
+
+
+def _q_multimodal_decode_stats(spark, sf):
+    from olake_spark.operators.multimodal import decode_stats
+
+    return decode_stats(pipeline.images_from_documents(spark, sf))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "maintenance_compact_cluster": _q_maintenance_compact_cluster,
+        "maintenance_merge_cdc": _q_maintenance_merge_cdc,
+        "s2_range_chunk_bounds": _q_s2_range_chunk_bounds,
+        "s4_timestamp_chunks": _q_s4_timestamp_chunks,
+        "s7_ordered_chunk_walk": _q_s7_ordered_chunk_walk,
+        "p3_type_coercion": _q_p3_type_coercion,
+        "p5_cdc_envelope": _q_p5_cdc_envelope,
+        "a1_window_dedup": _q_a1_window_dedup,
+        "a2_minmax_bounds": _q_a2_minmax_bounds,
+        "a3_count_distinct": _q_a3_count_distinct,
+        "a4_partition_stats": _q_a4_partition_stats,
+        "o4_topk": _q_o4_topk,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "ann_bruteforce_topk": _q_ann_bruteforce_topk,
+        "text_quality": _q_text_quality,
+        "text_lang_id": _q_text_lang_id,
+        "text_fingerprint": _q_text_fingerprint,
+        "stream_windowed_counts": _q_stream_windowed_counts,
+        # rows-only (no SQL-expressible oracle):
+        "dedup_simhash": _q_dedup_simhash,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "multimodal_decode_stats": _q_multimodal_decode_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------ oracle SQL
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cos = dedup.cosine_ppm_sql
+    return {
+        "maintenance_compact_cluster": pipeline.roundtrip_oracle_sql(False),
+        "maintenance_merge_cdc": pipeline.roundtrip_oracle_sql(True),
+        "s2_range_chunk_bounds": """
+SELECT chunk, min(o_orderkey) AS chunk_min, max(o_orderkey) AS chunk_max,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM (SELECT o_orderkey,
+             CAST(ntile(32) OVER (ORDER BY o_orderkey) AS BIGINT) AS chunk
+      FROM orders)
+GROUP BY chunk
+""",
+        "s4_timestamp_chunks": """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM events GROUP BY 1
+""",
+        "s7_ordered_chunk_walk": """
+SELECT chunk, max(o_orderkey) AS chunk_boundary,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM (SELECT o_orderkey,
+             CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 1000.0)
+                  AS BIGINT) AS chunk
+      FROM orders)
+GROUP BY chunk
+""",
+        "p3_type_coercion": """
+SELECT event_id,
+       try_cast(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k_val,
+       CAST(least(greatest(year(ts), 0), 9999) AS BIGINT) AS year_clamped,
+       CAST(floor(value * 100) AS BIGINT) AS value_cents
+FROM events
+""",
+        "p5_cdc_envelope": """
+SELECT event_id,
+       CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+            WHEN 'purchase' THEN 'u' ELSE 'r' END AS _op_type,
+       md5(concat_ws('|', CAST(event_id AS STRING),
+                     CAST(user_id AS STRING))) AS _olake_id
+FROM events
+""",
+        "a1_window_dedup": """
+SELECT user_id, event_id, event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""",
+        "a2_minmax_bounds": """
+SELECT 'orders' AS table_name, min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key, CAST(count(*) AS BIGINT) AS n_rows FROM orders
+UNION ALL
+SELECT 'lineitem', min(l_orderkey), max(l_orderkey), CAST(count(*) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'events', min(event_id), max(event_id), CAST(count(*) AS BIGINT)
+FROM events
+""",
+        "a3_count_distinct": """
+SELECT CAST(count(DISTINCT md5(concat_ws('|', CAST(event_id AS STRING),
+                                         CAST(user_id AS STRING)))) AS BIGINT)
+         AS distinct_ids,
+       CAST(count(*) AS BIGINT) AS total_rows
+FROM events
+""",
+        "a4_partition_stats": """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS price_cents
+FROM lineitem GROUP BY 1
+""",
+        "o4_topk": """
+SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+""",
+        "dedup_exact": """
+SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY 1
+""",
+        "dedup_ngram_jaccard": dedup.jaccard_pairs_sql(
+            "documents", "doc_id", "text", JACCARD_PPM, k=3
+        ),
+        "dedup_minhash_lsh": dedup.jaccard_pairs_sql(
+            "documents", "doc_id", "text", JACCARD_PPM, k=3
+        ),
+        "dedup_embedding_cosine": f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {cos('a.embedding', 'b.embedding')} AS cos_ppm
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cos('a.embedding', 'b.embedding')} >= {COSINE_PPM}
+""",
+        "ann_bruteforce_topk": ann.knn_bruteforce_sql(
+            "embeddings", "vec_id < 10", "vec_id", cos("qv", "cv"), k=5
+        ),
+        "text_quality": f"""
+SELECT doc_id,
+       {T.token_count_sql('text')} AS n_tokens,
+       {T.avg_token_len_ppm_sql('text')} AS avg_token_len_ppm,
+       {T.stopword_ratio_ppm_sql('text')} AS stopword_ratio_ppm,
+       {T.quality_score_ppm_sql('text')} AS quality_ppm
+FROM documents
+""",
+        "text_lang_id": f"""
+SELECT doc_id, {T.lang_id_sql('text')} AS lang_pred FROM documents
+""",
+        "text_fingerprint": f"""
+SELECT doc_id, {T.fingerprint_sql('text')} AS fingerprint FROM documents
+""",
+        "stream_windowed_counts": """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+""",
+    }

@@ -1,0 +1,147 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+- `knn_bruteforce`: exact cosine top-k — the correctness baseline. The small
+  query side is broadcast; similarity is a fold-based Catalyst expression
+  (whole-stage codegen, no Python); top-k is a per-query window. At corpus
+  scale this is one broadcast-join pass over the corpus: no shuffle of the
+  big side at all until the (tiny) per-query aggregation.
+- `lsh_buckets` / `knn_lsh`: the scale path — random-hyperplane LSH maps
+  each vector to a bucket id (vectorized numpy over Arrow batches); search
+  touches only matching buckets (multi-probe over Hamming-1 neighbors keeps
+  recall high). Bucket ids are uniform hashes → skew-free join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import IntegerType
+
+from olake_spark.functions.text import PPM
+from olake_spark.operators.dedup import cosine_ppm_expr
+
+N_PLANES = 8  # 2^8 = 256 buckets
+_LSH_SEED = 7
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (self excluded).
+    Returns (query_id, neighbor_id, rank, cos_ppm), rank 1..k, ties broken by
+    neighbor id — fully deterministic."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_ppm", cosine_ppm_expr("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long"), "cos_ppm")
+    )
+
+
+def knn_bruteforce_sql(
+    corpus: str, queries_pred: str, id_col: str, cos_ppm: str, k: int = 5
+) -> str:
+    """DuckDB oracle twin of :func:`knn_bruteforce`; `cos_ppm` is the SQL for
+    cosine_ppm over columns qv / cv."""
+    return f"""
+WITH q AS (SELECT {id_col} AS query_id, embedding AS qv FROM {corpus}
+           WHERE {queries_pred}),
+c AS (SELECT {id_col} AS neighbor_id, embedding AS cv FROM {corpus}),
+scored AS (
+  SELECT query_id, neighbor_id, {cos_ppm} AS cos_ppm
+  FROM c JOIN q ON query_id <> neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_ppm,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_ppm DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_ppm
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(_LSH_SEED)
+    return rng.standard_normal((N_PLANES, dim))
+
+
+def lsh_bucket_udf(dim: int):
+    planes = _hyperplanes(dim)
+
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (batch, dim) — one matmul per batch
+        signs = (m @ planes.T) > 0
+        return pd.Series(
+            (signs * (1 << np.arange(N_PLANES))).sum(axis=1).astype(np.int32)
+        )
+
+    return pandas_udf(bucket, IntegerType())
+
+
+def lsh_buckets(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket_udf(dim)(F.col(vec_col)).alias("bucket"),
+    )
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket (plus all
+    Hamming-1 buckets under multi-probe). Same output schema as brute force;
+    recall is property-tested against it."""
+    cb = lsh_buckets(corpus, id_col, vec_col, dim).withColumnRenamed("id", "neighbor_id")
+    qb = lsh_buckets(queries, id_col, vec_col, dim).withColumnRenamed("id", "query_id")
+    if multiprobe:
+        probes = F.explode(
+            F.expr(
+                f"array_union(array(bucket), transform(sequence(0, {N_PLANES - 1}), "
+                f"i -> CAST(bucket ^ shiftleft(1, i) AS INT)))"
+            )
+        ).alias("probe")
+        qb = qb.select("query_id", F.col("v").alias("qv"), probes)
+    else:
+        qb = qb.select("query_id", F.col("v").alias("qv"), F.col("bucket").alias("probe"))
+    scored = (
+        cb.join(
+            F.broadcast(qb),
+            (F.col("bucket") == F.col("probe"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cos_ppm", cosine_ppm_expr("qv", "v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long"), "cos_ppm")
+    )

@@ -27,9 +27,29 @@ import math
 from dataclasses import dataclass, field
 
 from olake_spark.checkpoint import MaintenanceLog
-from olake_spark.icelite.table import DATA, FileEntry, Table
+from olake_spark.icelite.table import DATA, EQ_DELETES, FileEntry, Table
 
 DEFAULT_TARGET = 512 * 1024 * 1024
+
+
+def purge_dead_deletes(table: Table) -> int:
+    """Drop equality-delete files that no longer apply to any live data file.
+
+    A delete at sequence d kills rows only in data files with seq < d; once
+    compaction has rewritten every older file (rewrites get fresh, higher
+    seqs), the delete is dead weight — removing it takes the reconciliation
+    join out of every future scan. Metadata-only commit."""
+    table.refresh()
+    entries = table.entries()
+    data_seqs = [e.seq for e in entries if e.content == DATA]
+    min_seq = min(data_seqs) if data_seqs else float("inf")
+    dead = [e for e in entries if e.content == EQ_DELETES and e.seq <= min_seq]
+    if dead:
+        table.rewrite_files(
+            {e.file_path for e in dead}, [], op="purge-deletes",
+            extra_summary={"purged-delete-files": len(dead)},
+        )
+    return len(dead)
 
 
 @dataclass
@@ -164,10 +184,12 @@ def run_compaction(
                  "snapshot_before": snap_before,
                  "snapshot_after": snap.get("snapshot_id")},
             )
+    purged = purge_dead_deletes(table) if executed else 0
     return {
         "bins_planned": len(bins),
         "bins_executed": executed,
         "bins_skipped": skipped,
         "rows_rewritten": rows_out,
         "bytes_out": bytes_out,
+        "delete_files_purged": purged,
     }

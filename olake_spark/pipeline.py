@@ -1,0 +1,231 @@
+"""Deterministic image-table derivation from the `documents` fixture + the
+end-to-end maintenance roundtrip used by __spark_entry__ and bench.py.
+
+Why derive from `documents`: the driver's correctness gate compares our
+Spark results against DuckDB SQL over the same parquet fixtures. Every
+column of the derived table except `bytes` is expressible in both engines
+with exact integer/string arithmetic, so a *full maintenance pipeline*
+(fragmented write → MERGE INTO → compaction → clustering → manifest rewrite
+→ snapshot expiry → scan) can be oracle-checked end-to-end: maintenance must
+return exactly the derived row set. `bytes` (real encoded PNG/lossy images,
+generated in executors) rides along through every rewrite but stays out of
+the compared projection.
+
+The phash derivation plants the FIXTURES.md hot-prefix skew (20% of rows
+share the top-16-bit prefix 0xBEEF) so clustering exercises the salted
+repartition path even in oracle runs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (IntegerType, LongType, StringType, StructField,
+                               StructType)
+
+from olake_spark import datagen
+from olake_spark.checkpoint import MaintenanceLog
+from olake_spark.icelite import PartitionField, PartitionSpec, Table
+from olake_spark.operators.cluster import run_cluster_rewrite
+from olake_spark.operators.compact import run_compaction
+from olake_spark.operators.expire import run_expire
+from olake_spark.operators.manifests import rewrite_manifests
+from olake_spark.operators.merge import merge_into
+
+HOT_PREFIX_SIGNED = (0xBEEF << 48) - (1 << 64)  # top-16-bits 0xBEEF as int64
+MOD48 = 1 << 48
+_NEW_ID_BASE = 10_000_000
+_BURST_ID_BASE = 20_000_000
+
+SCAN_COLS = ["image_id", "w", "h", "fmt", "caption", "phash"]
+
+SCAN_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("caption", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+# one projection, two dialects — Spark SQL and DuckDB agree on every
+# function used here, so the SAME text serves engine and oracle
+_DERIVE_SQL = """
+SELECT
+  'img-' || lpad(CAST({id} AS STRING), 12, '0')          AS image_id,
+  CAST(CASE {id} % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 32 END AS INTEGER) AS w,
+  CAST(CASE {id} % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 32 END AS INTEGER) AS h,
+  CASE WHEN {id} % 4 = 0 THEN 'jpeg' ELSE 'png' END        AS fmt,
+  {caption}                                                AS caption,
+  CAST(CASE WHEN {id} % 5 = 0
+       THEN {hot} + ((n_chars * 131071 + {id} * 7919) % {mod48})
+       ELSE n_chars * 131071 + {id} * 7919 END AS BIGINT)  AS phash
+FROM documents
+{where}
+"""
+
+
+def derive_images_sql(
+    id_expr: str = "doc_id", caption_expr: str = "text", where: str = ""
+) -> str:
+    return _DERIVE_SQL.format(
+        id=id_expr,
+        caption=caption_expr,
+        hot=HOT_PREFIX_SIGNED,
+        mod48=MOD48,
+        where=where,
+    )
+
+
+def _expected_post_merge_sql() -> str:
+    """Oracle for the merged table: kept base rows (non-deleted, captions
+    updated for doc_id%10=3) ∪ inserted rows (doc_id%10=5, shifted ids).
+    The c→u→d same-timestamp bursts (doc_id%100=11) must NOT appear —
+    DELETE wins the A1 op-priority tie."""
+    kept = derive_images_sql(
+        "doc_id",
+        "CASE WHEN doc_id % 10 = 3 THEN 'updated ' || text ELSE text END",
+        "WHERE doc_id % 10 <> 7",
+    )
+    inserted = derive_images_sql(
+        f"(doc_id + {_NEW_ID_BASE})", "'inserted ' || text", "WHERE doc_id % 10 = 5"
+    )
+    return f"{kept} UNION ALL {inserted}"
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> None:
+    for n in names:
+        spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")).createOrReplaceTempView(n)
+
+
+def _attach_bytes(df: DataFrame) -> DataFrame:
+    """Add real encoded image bytes (executor-side, deterministic per id)."""
+    schema = StructType(
+        [f for f in datagen.IMAGES_SCHEMA.fields]  # canonical column order
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from olake_spark.functions.imagecodec import encode_image
+
+        for b in batches:
+            blobs = []
+            for iid, w, h, fmt in zip(b["image_id"], b["w"], b["h"], b["fmt"]):
+                i = int(iid.split("-")[-1])
+                rng = np.random.default_rng(datagen.SEED + i)
+                arr = rng.integers(0, 256, size=(int(h), int(w), 3), dtype=np.uint8)
+                blobs.append(encode_image(arr, fmt))
+            b = b.assign(bytes=blobs)
+            yield b[[f.name for f in schema.fields]]
+
+    return df.mapInPandas(gen, schema)
+
+
+def images_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    return _attach_bytes(spark.sql(derive_images_sql()))
+
+
+def changes_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change batch in the OLake envelope, derived from `documents`:
+    updates (doc_id%10=3), key-only deletes (%10=7), inserts (%10=5, shifted
+    ids), and same-timestamp c→u→d bursts (%100=11) that exercise the A1
+    op-priority tie rule."""
+    register_views(spark, sf_dir, ("documents",))
+    t0 = "TIMESTAMP '2026-01-01 00:00:00'"
+    upd = _attach_bytes(
+        spark.sql(
+            derive_images_sql(
+                "doc_id", "'updated ' || text", "WHERE doc_id % 10 = 3"
+            )
+        )
+    ).select("*", F.expr("'u'").alias("_op_type"))
+    ins = _attach_bytes(
+        spark.sql(
+            derive_images_sql(
+                f"(doc_id + {_NEW_ID_BASE})",
+                "'inserted ' || text",
+                "WHERE doc_id % 10 = 5",
+            )
+        )
+    ).select("*", F.expr("'c'").alias("_op_type"))
+    dels = spark.sql(
+        "SELECT 'img-' || lpad(CAST(doc_id AS STRING), 12, '0') AS image_id, "
+        "CAST(NULL AS BINARY) AS bytes, CAST(NULL AS INT) AS w, "
+        "CAST(NULL AS INT) AS h, CAST(NULL AS STRING) AS fmt, "
+        "CAST(NULL AS STRING) AS caption, CAST(NULL AS BIGINT) AS phash, "
+        "'d' AS _op_type FROM documents WHERE doc_id % 10 = 7"
+    )
+    burst_base = _attach_bytes(
+        spark.sql(
+            derive_images_sql(
+                f"(doc_id + {_BURST_ID_BASE})", "text", "WHERE doc_id % 100 = 11"
+            )
+        )
+    )
+    bursts = None
+    for op in ("c", "u", "d"):
+        part = burst_base.select("*", F.lit(op).alias("_op_type"))
+        bursts = part if bursts is None else bursts.unionByName(part)
+
+    changes = upd.unionByName(ins).unionByName(dels).unionByName(bursts)
+    return changes.withColumn(
+        "_cdc_timestamp",
+        F.expr(
+            f"timestampadd(SECOND, CAST(substring(image_id, 5) AS BIGINT) "
+            f"% 86400, {t0})"
+        ),
+    ).withColumn("_olake_timestamp", F.col("_cdc_timestamp"))
+
+
+def maintenance_roundtrip(
+    spark: SparkSession,
+    sf_dir: str,
+    with_merge: bool,
+    curve: str = "hilbert",
+    target_bytes: int = 256 * 1024,
+    n_fragments: int = 40,
+    keep_tmp: str | None = None,
+) -> DataFrame:
+    """Full pipeline: fragmented ingest [→ MERGE INTO] → compact → cluster →
+    manifest rewrite (audited) → expire+reap → snapshot-pinned scan.
+
+    Returns the final scan's oracle projection. The result is materialized
+    (small: one row per document) before the scratch table is deleted."""
+    tmp = keep_tmp or tempfile.mkdtemp(prefix="olake-roundtrip-")
+    try:
+        t = Table.create(
+            spark,
+            os.path.join(tmp, "images"),
+            datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("image_id", "bucket", 4),)),
+            identifier_fields=("image_id",),
+            properties={"write.target-file-size-bytes": str(target_bytes)},
+        )
+        imgs = images_from_documents(spark, sf_dir)
+        n = imgs.count()
+        t.append(imgs, max_records_per_file=max(1, n // n_fragments))
+        if with_merge:
+            merge_into(t, changes_from_documents(spark, sf_dir))
+        log = MaintenanceLog(spark, os.path.join(tmp, "mlog"))
+        run_compaction(t, "rt-compact", log=log, fill_ratio=1.0)
+        run_cluster_rewrite(t, "rt-cluster", curve=curve, log=log)
+        rewrite_manifests(t, target_entries=64, audit=True)
+        run_expire(t, keep_last=1, grace_seconds=0.0)
+        rows = [r.asDict() for r in t.scan(columns=SCAN_COLS).collect()]
+        return spark.createDataFrame(rows, SCAN_SCHEMA)
+    finally:
+        if keep_tmp is None:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def roundtrip_oracle_sql(with_merge: bool) -> str:
+    return _expected_post_merge_sql() if with_merge else derive_images_sql()
