@@ -1,0 +1,164 @@
+"""Benchmark: maintenance-engine throughput on the synthetic image table.
+
+Default mode (what the driver runs): one JSON line with per-phase wall times
+for fragmented ingest → MERGE INTO → bin-packing compaction → Hilbert
+cluster rewrite → manifest rewrite → snapshot expiry, at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. The headline value is the compaction+cluster
+rewrite wall time; `images_per_sec` is the north-star throughput metric.
+
+--scaling mode: runs the same job at two parallelism levels (local[N] and
+local[4N]) in subprocesses on identical input and reports throughput at both
+plus scaling efficiency — the in-sandbox evidence for the north rule's
+"≥0.8 efficiency from N to 4N executors" (no real cluster here).
+
+Row count scales with the fixture: N_images = 10 × |documents| (sf0.1 →
+50,000 images). Images are bench-sized (16-32px) so disk stays bounded while
+file counts and shuffle structure match the real workload shape.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(sf_dir: str, cpus: int, out_path: str | None = None) -> dict:
+    from olake_spark import datagen
+    from olake_spark.checkpoint import MaintenanceLog
+    from olake_spark.icelite import PartitionField, PartitionSpec, Table
+    from olake_spark.operators.cluster import run_cluster_rewrite
+    from olake_spark.operators.compact import run_compaction
+    from olake_spark.operators.expire import run_expire
+    from olake_spark.operators.manifests import rewrite_manifests
+    from olake_spark.operators.merge import merge_into
+    from olake_spark.session import get_spark
+
+    spark = get_spark(
+        f"olake-bench-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n = n_docs * 10
+    tmp = tempfile.mkdtemp(prefix="olake-bench-")
+    times: dict[str, float] = {}
+    try:
+        t = Table.create(
+            spark,
+            os.path.join(tmp, "images"),
+            datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("image_id", "bucket", 8),)),
+            identifier_fields=("image_id",),
+        )
+
+        t0 = time.perf_counter()
+        datagen.fragmented_append(
+            t, datagen.gen_images_df(spark, n, bench=True), n, n_files=256
+        )
+        times["ingest_fragmented"] = time.perf_counter() - t0
+
+        total_bytes = sum(
+            e.file_size_bytes for e in t.entries() if e.content == 0
+        )
+        target = max(1 << 22, total_bytes // 16)
+
+        t0 = time.perf_counter()
+        merge_into(t, datagen.gen_changes_df(spark, n, n_changes=n // 10, bench=True))
+        times["merge_cdc"] = time.perf_counter() - t0
+
+        log = MaintenanceLog(spark, os.path.join(tmp, "mlog"))
+        t0 = time.perf_counter()
+        run_compaction(t, "bench-compact", log=log, fill_ratio=1.0, target_bytes=target)
+        times["compact"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        run_cluster_rewrite(t, "bench-cluster", curve="hilbert", log=log,
+                            target_bytes=target)
+        times["cluster_hilbert"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        rewrite_manifests(t, target_entries=512)
+        times["manifest_rewrite"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        run_expire(t, keep_last=1, grace_seconds=0.0)
+        times["expire_reap"] = time.perf_counter() - t0
+
+        rows = t.total_records()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+    rewrite_s = times["compact"] + times["cluster_hilbert"]
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "compact+cluster rewrite wall time (synthetic image table)",
+        "value": round(rewrite_s, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in times.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rows": rows,
+        "n_images": n,
+        "images_per_sec": round(n / rewrite_s, 1),
+        "cpus": cpus,
+    }
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(result, f)
+    return result
+
+
+def run_scaling(sf_dir: str, n_low: int, n_high: int) -> None:
+    """Same job, two parallelism levels, subprocess-isolated JVMs."""
+    results = {}
+    for cpus in (n_low, n_high):
+        out = tempfile.mktemp(suffix=".json")
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
+             "--json-out", out],
+            check=True,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        )
+        with open(out) as f:
+            results[cpus] = json.load(f)
+        os.remove(out)
+    lo, hi = results[n_low], results[n_high]
+    eff = (hi["images_per_sec"] / lo["images_per_sec"]) / (n_high / n_low)
+    report = {
+        "metric": f"scaling efficiency local[{n_low}] -> local[{n_high}]",
+        "throughput_low": lo["images_per_sec"],
+        "throughput_high": hi["images_per_sec"],
+        "efficiency": round(eff, 3),
+        "low": lo,
+        "high": hi,
+    }
+    print(json.dumps(report))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--scale-low", type=int, default=8)
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if args.scaling:
+        run_scaling(sf_dir, args.scale_low, args.scale_low * 4)
+    else:
+        print(json.dumps(run_bench(sf_dir, cpus, args.json_out)))
+
+
+if __name__ == "__main__":
+    main()

@@ -123,8 +123,15 @@ def run_compaction(
     fill_ratio: float = 0.5,
     max_bins: int | None = None,
     stop_after_bins: int | None = None,
+    max_concurrency: int = 4,
 ) -> dict:
     """Execute a compaction job. Returns summary metrics.
+
+    Bins are independent rewrites, so up to `max_concurrency` run at once
+    (each submits its own Spark job; Spark's scheduler interleaves their
+    tasks so the cluster never idles between bins — the analogue of the
+    reference's chunk thread pool, constants/constants.go:7). Commits go
+    through the optimistic loop, so concurrent bin commits serialize safely.
 
     `stop_after_bins` exists for resume tests: simulate an interruption after
     k committed bins.
@@ -149,16 +156,15 @@ def run_compaction(
              if b.chunk_id not in done],
         )
 
-    executed = skipped = 0
-    rows_out = bytes_out = 0
-    for i, b in enumerate(bins):
-        if b.chunk_id in done:
-            skipped += 1
-            continue
-        if stop_after_bins is not None and executed >= stop_after_bins:
-            break
+    pin_snapshot = table.current_snapshot_id
+    skipped = sum(1 for b in bins if b.chunk_id in done)
+    todo = [b for b in bins if b.chunk_id not in done]
+    if stop_after_bins is not None:
+        todo = todo[:stop_after_bins]
+
+    def exec_bin(b: Bin) -> tuple[int, int]:
         paths = {f.file_path for f in b.files}
-        df = table.scan(file_filter=paths)
+        df = table.scan(snapshot_id=pin_snapshot, file_filter=paths)
         # rows per output file sized from observed bytes/row of this bin
         avg_row = max(1, b.total_bytes // max(1, b.total_rows))
         per_file = max(1, target_bytes // avg_row)
@@ -172,9 +178,6 @@ def run_compaction(
             extra_summary={"job_id": job_id, "chunk_id": b.chunk_id},
             seq_used=seq,
         )
-        executed += 1
-        rows_out += sum(e.record_count for e in added)
-        bytes_out += sum(e.file_size_bytes for e in added)
         if log is not None:
             log.log_done(
                 job_id, "compact",
@@ -184,6 +187,21 @@ def run_compaction(
                  "snapshot_before": snap_before,
                  "snapshot_after": snap.get("snapshot_id")},
             )
+        return (
+            sum(e.record_count for e in added),
+            sum(e.file_size_bytes for e in added),
+        )
+
+    executed = 0
+    rows_out = bytes_out = 0
+    if todo:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(max_concurrency, len(todo))) as ex:
+            for r, by in ex.map(exec_bin, todo):
+                executed += 1
+                rows_out += r
+                bytes_out += by
     purged = purge_dead_deletes(table) if executed else 0
     return {
         "bins_planned": len(bins),
