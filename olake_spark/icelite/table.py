@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 from dataclasses import dataclass
@@ -129,6 +130,10 @@ class Table:
         self.root = os.path.abspath(root)
         self._meta: dict | None = None
         self._version: int = 0
+        # in-process writers (e.g. concurrent compaction bins) serialize
+        # their read-modify-write of (_meta, _version) here; cross-process
+        # atomicity still comes from the O_EXCL metadata-file create
+        self._lock = threading.RLock()
 
     # ------------------------------------------------------------------ DDL
 
@@ -194,9 +199,11 @@ class Table:
         ]
         if not versions:
             raise FileNotFoundError(f"no icelite table at {self.root}")
-        self._version = max(versions)
-        with open(os.path.join(meta_dir, f"v{self._version:05d}.metadata.json")) as f:
-            self._meta = json.load(f)
+        v = max(versions)
+        with open(os.path.join(meta_dir, f"v{v:05d}.metadata.json")) as f:
+            meta = json.load(f)
+        with self._lock:
+            self._version, self._meta = v, meta
         return self
 
     # ----------------------------------------------------------- properties
@@ -432,20 +439,23 @@ class Table:
         metadata from a fresh base each attempt; O_EXCL create of the next
         versioned metadata file decides the winner."""
         meta_dir = os.path.join(self.root, "metadata")
-        for _ in range(retries):
-            self.refresh()
-            new_meta = build(dict(self.meta))
-            target = os.path.join(meta_dir, f"v{self._version + 1:05d}.metadata.json")
-            try:
-                with open(target, "x") as f:
-                    json.dump(new_meta, f)
-            except FileExistsError:
-                time.sleep(0.05)
-                continue
-            self._write_hint(meta_dir, self._version + 1)
-            self._meta, self._version = new_meta, self._version + 1
-            return new_meta["snapshots"][-1] if new_meta["snapshots"] else {}
-        raise CommitConflict(f"gave up after {retries} commit attempts")
+        with self._lock:
+            for _ in range(retries):
+                self.refresh()
+                new_meta = build(dict(self.meta))
+                target = os.path.join(
+                    meta_dir, f"v{self._version + 1:05d}.metadata.json"
+                )
+                try:
+                    with open(target, "x") as f:
+                        json.dump(new_meta, f)
+                except FileExistsError:
+                    time.sleep(0.05)
+                    continue
+                self._write_hint(meta_dir, self._version + 1)
+                self._meta, self._version = new_meta, self._version + 1
+                return new_meta["snapshots"][-1] if new_meta["snapshots"] else {}
+            raise CommitConflict(f"gave up after {retries} commit attempts")
 
     def _snapshot_dict(
         self, meta: dict, snap_id: int, seq: int, op: str,
@@ -580,20 +590,23 @@ class Table:
             return new
 
         meta_dir = os.path.join(self.root, "metadata")
-        for _ in range(20):
-            self.refresh()
-            before = len(self.meta["snapshots"])
-            new_meta = build(dict(self.meta))
-            target = os.path.join(meta_dir, f"v{self._version + 1:05d}.metadata.json")
-            try:
-                with open(target, "x") as f:
-                    json.dump(new_meta, f)
-            except FileExistsError:
-                continue
-            self._write_hint(meta_dir, self._version + 1)
-            self._meta, self._version = new_meta, self._version + 1
-            return {"expired": before - len(new_meta["snapshots"])}
-        raise CommitConflict("expire_snapshots: too many retries")
+        with self._lock:
+            for _ in range(20):
+                self.refresh()
+                before = len(self.meta["snapshots"])
+                new_meta = build(dict(self.meta))
+                target = os.path.join(
+                    meta_dir, f"v{self._version + 1:05d}.metadata.json"
+                )
+                try:
+                    with open(target, "x") as f:
+                        json.dump(new_meta, f)
+                except FileExistsError:
+                    continue
+                self._write_hint(meta_dir, self._version + 1)
+                self._meta, self._version = new_meta, self._version + 1
+                return {"expired": before - len(new_meta["snapshots"])}
+            raise CommitConflict("expire_snapshots: too many retries")
 
     def remove_orphan_files(
         self, grace_seconds: float = 3 * 24 * 3600, dry_run: bool = False

@@ -86,14 +86,23 @@ def plan_compaction(
             table.meta["properties"].get("write.target-file-size-bytes", DEFAULT_TARGET)
         )
     small_cut = int(target_bytes * fill_ratio)
+    entries = table.entries(snapshot_id)
+    # a file is delete-burdened if some equality delete applies to it
+    # (delete seq > file seq); such files get rewritten even as singletons,
+    # so the rewrite materializes the deletes and the delete files die
+    max_del_seq = max(
+        (e.seq for e in entries if e.content != DATA), default=-1
+    )
     per_part: dict[str, list[FileEntry]] = {}
-    has_deletes = False
-    for e in table.entries(snapshot_id):
+    burdened: set[str] = set()
+    for e in entries:
         if e.content != DATA:
-            has_deletes = True
             continue
-        if e.file_size_bytes <= small_cut:
+        is_burdened = e.seq < max_del_seq
+        if e.file_size_bytes <= small_cut or is_burdened:
             per_part.setdefault(json.dumps(e.partition, sort_keys=True), []).append(e)
+            if is_burdened:
+                burdened.add(e.file_path)
 
     bins: list[Bin] = []
     for pj, files in sorted(per_part.items()):
@@ -108,10 +117,11 @@ def plan_compaction(
                     break
             if not placed:
                 open_bins.append(Bin(pj, [f]))
-        bins.extend(b for b in open_bins if len(b.files) >= min_files_per_bin)
-    # when equality deletes exist, even single small files are worth rewriting
-    # (the rewrite materializes the deletes); handled by caller via fill_ratio.
-    _ = has_deletes
+        bins.extend(
+            b for b in open_bins
+            if len(b.files) >= min_files_per_bin
+            or any(f.file_path in burdened for f in b.files)
+        )
     return bins
 
 
