@@ -48,7 +48,7 @@ def run_bench(sf_dir: str, cpus: int, out_path: str | None = None) -> dict:
     import pyarrow.parquet as pq
 
     n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
-    n = n_docs * 10
+    n = int(os.environ.get("OLAKE_BENCH_N", n_docs * 10))
     tmp = tempfile.mkdtemp(prefix="olake-bench-")
     times: dict[str, float] = {}
     try:

@@ -285,8 +285,11 @@ class Table:
 
         base = os.path.join(self.root, "data")
         need_seq = bool(dels) or with_file_seq
+        # explicit schema: no per-call footer sampling on the driver (matters
+        # when many concurrent maintenance chunks each open a scan)
+        reader = self.spark.read.schema(self.schema)
         if not need_seq:
-            df = self.spark.read.option("basePath", base).parquet(
+            df = reader.option("basePath", base).parquet(
                 *[self._abs(e.file_path) for e in data]
             )
         else:
@@ -299,7 +302,7 @@ class Table:
             parts = []
             for seq, paths in sorted(by_seq.items()):
                 parts.append(
-                    self.spark.read.option("basePath", base)
+                    reader.option("basePath", base)
                     .parquet(*paths)
                     .withColumn("_seq", F.lit(seq))
                 )

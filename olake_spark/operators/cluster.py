@@ -68,6 +68,12 @@ def run_cluster_rewrite(
     # salt: splits identical hot keys across range partitions while preserving
     # global key order (salt only breaks ties within one key value)
     df = df.withColumn("_salt", F.pmod(F.xxhash64("image_id"), F.lit(SALT_BUCKETS)))
+    # repartitionByRange's boundary-sampling pass would otherwise re-run the
+    # scan + Arrow key UDF a second time; persist so keys are computed once
+    # (at cluster scale: MEMORY_AND_DISK spills, or sample boundaries offline)
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
 
     n_parts = max(1, math.ceil(total_bytes / target_bytes))
     avg_row = max(1, total_bytes // max(1, total_rows))
@@ -85,6 +91,7 @@ def run_cluster_rewrite(
     )
     seq = table.meta["last_sequence_number"] + 1
     added = table._stage_write(clustered, seq, max_records_per_file=per_file)
+    df.unpersist()
     snap = table.rewrite_files(
         {e.file_path for e in data_entries}, added, op="cluster",
         extra_summary={"job_id": job_id, "curve": curve}, seq_used=seq,

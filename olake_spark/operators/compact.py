@@ -133,7 +133,7 @@ def run_compaction(
     fill_ratio: float = 0.5,
     max_bins: int | None = None,
     stop_after_bins: int | None = None,
-    max_concurrency: int = 4,
+    max_concurrency: int = 8,
 ) -> dict:
     """Execute a compaction job. Returns summary metrics.
 
@@ -179,10 +179,13 @@ def run_compaction(
         avg_row = max(1, b.total_bytes // max(1, b.total_rows))
         per_file = max(1, target_bytes // avg_row)
         n_out = max(1, math.ceil(b.total_bytes / target_bytes))
+        # a bin is ≤ target by construction → one output file, and coalesce
+        # merges the input splits without a shuffle (bin-level parallelism
+        # comes from running bins concurrently, like the reference's
+        # thread-per-chunk writers, destination/writers.go:50-89)
+        out = df.coalesce(1) if n_out == 1 else df.repartition(n_out)
         seq = table.meta["last_sequence_number"] + 1
-        added = table._stage_write(
-            df.repartition(n_out), seq, max_records_per_file=per_file
-        )
+        added = table._stage_write(out, seq, max_records_per_file=per_file)
         snap = table.rewrite_files(
             paths, added, op="compact",
             extra_summary={"job_id": job_id, "chunk_id": b.chunk_id},
