@@ -1,0 +1,221 @@
+"""Semantic tests for the training-data pipeline operators: planted
+near-duplicates for dedup, planted neighbors for ANN, exact values for text
+kernels, bounded-stream drain + checkpoint resume for streaming."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, FloatType, LongType, StringType,
+                               StructField, StructType)
+
+from olake_spark.functions import text as T
+from olake_spark.operators import ann, dedup
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _doc(rng, n=40):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(99)
+    rows = []
+    for i in range(30):
+        rows.append((i, _doc(rng)))
+    # planted near-dups: copy doc 0 with 2 tokens changed, doc 1 verbatim
+    toks = rows[0][1].split()
+    toks[5], toks[20] = "prism", "vortex"
+    rows.append((100, " ".join(toks)))
+    rows.append((101, rows[1][1]))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestDedup:
+    def test_exact_groups_verbatim_copy(self, docs):
+        out = dedup.dedup_exact(docs, "doc_id", "text")
+        dups = out.filter(F.col("dup_count") > 1).collect()
+        assert len(dups) == 1 and dups[0]["keep_id"] == 1
+
+    def test_jaccard_finds_planted_pair(self, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard_ppm"]
+            for r in dedup.jaccard_pairs(
+                docs, "doc_id", "text", threshold_ppm=400_000
+            ).collect()
+        }
+        assert (0, 100) in pairs
+        assert (1, 101) in pairs and pairs[(1, 101)] == 1_000_000
+
+    def test_minhash_lsh_equals_exact(self, docs):
+        exact = sorted(
+            tuple(r) for r in dedup.jaccard_pairs(
+                docs, "doc_id", "text", threshold_ppm=500_000
+            ).collect()
+        )
+        lsh = sorted(
+            tuple(r) for r in dedup.minhash_lsh_pairs(
+                docs, "doc_id", "text", threshold_ppm=500_000
+            ).collect()
+        )
+        assert lsh == exact and len(exact) >= 2
+
+    def test_simhash_catches_near_identical(self, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=8).collect()
+        }
+        assert pairs.get((1, 101)) == 0
+        assert (0, 100) in pairs
+
+    def test_embedding_near_dup_planted(self, spark):
+        rng = np.random.default_rng(5)
+        vecs = [rng.standard_normal(16).astype("float32") for _ in range(20)]
+        vecs.append(vecs[3] + rng.standard_normal(16).astype("float32") * 0.01)
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        schema = StructType([
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ])
+        df = spark.createDataFrame(rows, schema)
+        out = dedup.embedding_near_dup(df, "vec_id", "embedding", 990_000).collect()
+        assert [(r["id_a"], r["id_b"]) for r in out] == [(3, 20)]
+
+
+class TestAnn:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rng = np.random.default_rng(17)
+        rows = []
+        for i in range(200):
+            rows.append((i, [float(x) for x in rng.standard_normal(32)]))
+        # planted twin of vec 0 (tiny perturbation → same LSH bucket w.h.p.)
+        twin = [v + float(e) * 1e-3 for v, e in zip(rows[0][1], rng.standard_normal(32))]
+        rows.append((500, twin))
+        schema = StructType([
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ])
+        return spark.createDataFrame(rows, schema)
+
+    def test_bruteforce_finds_twin_rank1(self, emb):
+        out = ann.knn_bruteforce(
+            emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=3
+        ).collect()
+        assert out[0]["rank"] == 1 and out[0]["neighbor_id"] == 500
+        assert out[0]["cos_ppm"] > 999_000
+
+    def test_lsh_finds_twin_and_subsets_bruteforce(self, emb):
+        q = emb.filter(F.col("vec_id") == 0)
+        lsh = ann.knn_lsh(emb, q, "vec_id", "embedding", dim=32, k=3).collect()
+        assert lsh and lsh[0]["neighbor_id"] == 500
+        # every LSH result must carry the true cosine (verified, not approx)
+        bf = {
+            r["neighbor_id"]: r["cos_ppm"]
+            for r in ann.knn_bruteforce(emb, q, "vec_id", "embedding", k=200).collect()
+        }
+        for r in lsh:
+            assert bf[r["neighbor_id"]] == r["cos_ppm"]
+
+
+class TestTextKernels:
+    def test_exact_values(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the cat sat on a mat")], ["doc_id", "text"]
+        )
+        row = df.select(
+            T.token_count_col("text").alias("n"),
+            T.stopword_count_col("text").alias("stop"),
+            T.avg_token_len_ppm_col("text").alias("avg_ppm"),
+            T.lang_id_col("text").alias("lang"),
+            T.fingerprint_col("text").alias("fp"),
+        ).collect()[0]
+        assert row["n"] == 6
+        assert row["stop"] == 2  # 'the', 'a'
+        # 20 chars - 5 separators = 15 token chars / 6 tokens
+        assert row["avg_ppm"] == int(15 * 1_000_000 / 6)
+        assert row["lang"] == "en"
+        # rolling hash: deterministic + order-sensitive
+        row2 = spark.createDataFrame(
+            [(1, "cat the sat on a mat")], ["doc_id", "text"]
+        ).select(T.fingerprint_col("text").alias("fp")).collect()[0]
+        assert row["fp"] != row2["fp"]
+
+    def test_shingles_short_doc_empty(self, spark):
+        df = spark.createDataFrame([(1, "one two")], ["doc_id", "text"])
+        out = df.withColumn("toks", F.split("text", " ")).select(
+            T.shingles_col("toks", 3).alias("sh")
+        )
+        assert out.collect()[0]["sh"] == []
+
+
+class TestMultimodal:
+    def test_decode_stats_matches_pixels(self, spark):
+        from olake_spark import datagen
+        from olake_spark.operators.multimodal import decode_stats
+
+        imgs = datagen.gen_images_df(spark, 20)
+        out = {r["image_id"]: r for r in decode_stats(imgs).collect()}
+        assert len(out) == 20 and all(r["decode_ok"] for r in out.values())
+        for i in (0, 3):  # 0 = jpeg (lossy stand-in), 3 = png
+            exp = datagen.expected_pixels(i)
+            got = out[f"img-{i:012d}"]
+            assert got["n_pixels"] == exp.shape[0] * exp.shape[1]
+            tol = 1.5 if i % 4 == 0 else 1e-9
+            assert abs(got["mean_r"] - exp[:, :, 0].mean()) <= tol
+
+    def test_resize_shapes(self, spark):
+        from olake_spark import datagen
+        from olake_spark.functions.imagecodec import decode_image
+        from olake_spark.operators.multimodal import resize_images
+
+        imgs = datagen.gen_images_df(spark, 4)
+        out = resize_images(imgs, 8, 8).collect()
+        for r in out:
+            assert decode_image(bytes(r["bytes"])).shape == (8, 8, 3)
+
+    def test_audio_video_stubs_raise(self, spark):
+        from olake_spark.operators.multimodal import audio_features, sample_frames
+
+        clips = spark.createDataFrame([("c1", b"xx")], ["clip_id", "bytes"])
+        with pytest.raises(Exception, match="NotImplementedError|decode"):
+            audio_features(clips).collect()
+        vids = spark.createDataFrame([("v1", b"xx")], ["video_id", "bytes"])
+        with pytest.raises(Exception, match="NotImplementedError|decode"):
+            sample_frames(vids).collect()
+
+
+class TestBoundedStreaming:
+    def test_drain_matches_batch_and_resumes(self, spark, tmp_path):
+        from olake_spark.streaming import (bounded_file_stream,
+                                           run_available_now, windowed_counts)
+
+        feed = tmp_path / "feed"
+        feed.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        df = spark.range(0, 300).select(
+            F.col("id").alias("event_id"),
+            F.expr(
+                "cast(timestampadd(MINUTE, cast(id * 7 as int), "
+                "TIMESTAMP '2026-02-01 00:00:00') as timestamp)"
+            ).alias("ts"),
+            (F.col("id") % 3).alias("user_id"),
+            F.lit("click").alias("event_type"),
+            (F.col("id") * 1.0).alias("value"),
+        )
+        df.coalesce(3).write.parquet(str(feed), mode="overwrite")
+
+        stream = bounded_file_stream(spark, str(feed), df.schema, max_files_per_trigger=1)
+        agg = windowed_counts(stream, "ts", "1 hour", "2 hours")
+        out1 = run_available_now(agg, ckpt)
+        batch = df.groupBy(F.window("ts", "1 hour")).count()
+        assert out1.count() == batch.count()
+        assert out1.agg(F.sum("n")).collect()[0][0] == 300
+
+        # resume: drain again from the same checkpoint — no new input, and
+        # the run completes instantly without reprocessing (offsets persisted)
+        out2 = run_available_now(agg, ckpt)
+        assert out2.agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0] in (0, 300)
