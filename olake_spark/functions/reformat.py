@@ -1,0 +1,66 @@
+"""P1/P2/P3 per-record transforms: flatten, key reformat, type coercion.
+
+Mirrors the reference's normalization path (destination/writers.go:122-144):
+flatten nested values to JSON strings (utils/typeutils/flatten.go:28-88),
+canonicalize keys lowercase with non-alphanumerics → `_`
+(flatten.go:77-98), then coerce values to the declared column types
+(utils/typeutils/reformat.go:45-421). All three are pure Catalyst here —
+column renames are metadata-only, casts/`to_json` are codegen'd expressions.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, DataType, MapType, StructField,
+                               StructType)
+
+
+def reformat_key(name: str) -> str:
+    """Lowercase + `[^a-z0-9]` → `_` (flatten.go:77-98)."""
+    return re.sub(r"[^a-z0-9]", "_", name.lower())
+
+
+def canonicalize_columns(df: DataFrame) -> DataFrame:
+    """P2: rename every column to its canonical form; suffix duplicates the
+    way the reference's schema map would collide them deterministically."""
+    seen: dict[str, int] = {}
+    out = []
+    for c in df.columns:
+        k = reformat_key(c)
+        n = seen.get(k, 0)
+        seen[k] = n + 1
+        out.append(f"{k}_{n}" if n else k)
+    return df.toDF(*out)
+
+
+def flatten_top_level(df: DataFrame) -> DataFrame:
+    """P1: keep scalars as-is; serialize struct/array/map columns to JSON
+    strings (the Go parquet writer's behavior, types/data_types.go:252-254)."""
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (StructType, ArrayType, MapType)):
+            cols.append(F.to_json(F.col(f.name)).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+def coerce_to_schema(df: DataFrame, target: StructType) -> DataFrame:
+    """P3: cast every column to the target type with try_cast semantics
+    (unparseable → null, like ReformatRecord's error-to-null paths); missing
+    columns become nulls, extra columns are dropped — the write-side schema
+    contract of the evolving-fields path (fields.go:112-137)."""
+    cols = []
+    for f in target.fields:
+        if f.name in df.columns:
+            cols.append(
+                F.expr(f"try_cast({f.name} AS {f.dataType.simpleString()})").alias(
+                    f.name
+                )
+            )
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
