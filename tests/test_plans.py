@@ -1,0 +1,90 @@
+"""Physical-plan assertions: the optimizations the design claims must be
+visible in the executed plans, not just intended. (SURVEY.md §4.)"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from olake_spark import datagen
+from olake_spark.icelite import PartitionField, PartitionSpec, Table
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def small_table(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("plans")
+    t = Table.create(
+        spark, os.path.join(str(d), "t"), datagen.IMAGES_SCHEMA,
+        PartitionSpec((PartitionField("image_id", "bucket", 2),)),
+        identifier_fields=("image_id",),
+    )
+    t.append(datagen.gen_images_df(spark, 100, parallelism=4))
+    return t
+
+
+class TestScanPlans:
+    def test_compact_bin_scan_has_no_exchange(self, spark, small_table):
+        # a single-file bin rewrite is scan→coalesce→write: zero shuffles
+        ents = [e for e in small_table.entries() if e.content == 0]
+        df = small_table.scan(file_filter={ents[0].file_path}).coalesce(1)
+        assert "Exchange" not in plan_of(df)
+
+    def test_delete_reconciliation_broadcasts_small_side(self, spark, small_table):
+        keys = spark.createDataFrame([(f"img-{i:012d}",) for i in range(5)],
+                                     ["image_id"])
+        small_table.row_delta(None, keys)
+        plan = plan_of(small_table.scan())
+        assert "BroadcastHashJoin" in plan  # small delete set → broadcast
+
+    def test_column_projection_reaches_parquet(self, spark, small_table):
+        plan = plan_of(small_table.scan(columns=["image_id", "phash"]))
+        assert "bytes" not in plan
+
+    def test_predicate_pushed_to_parquet(self, spark, small_table):
+        df = small_table.scan(predicates=[("phash", ">=", 0)])
+        plan = plan_of(df.select("image_id"))
+        assert "PushedFilters: [" in plan and "phash" in plan.split("PushedFilters")[1][:200]
+
+
+class TestOperatorPlans:
+    def test_knn_broadcasts_queries(self, spark):
+        from olake_spark.operators.ann import knn_bruteforce
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        df = knn_bruteforce(emb, emb.filter(F.col("vec_id") < 3),
+                            "vec_id", "embedding", k=3)
+        assert "BroadcastNestedLoopJoin" in plan_of(df) or "BroadcastHashJoin" in plan_of(df)
+
+    def test_text_kernels_are_codegen(self, spark):
+        from olake_spark.functions import text as T
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        df = d.select(T.token_count_col("text"), T.fingerprint_col("text"))
+        plan = plan_of(df)
+        # pure JVM expressions: no Python evaluation node of either kind,
+        # and only the text column is read from parquet
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "ReadSchema: struct<text:string>" in plan
+
+    def test_cluster_key_is_arrow_udf(self, spark):
+        # the curve kernels are REQUIRED to be Arrow-vectorized (north star);
+        # assert they run as ArrowEvalPython, not row-at-a-time BatchEvalPython
+        from olake_spark.functions.zorder import hilbert_key_col
+
+        df = datagen.gen_images_df(spark, 10).select(
+            hilbert_key_col(F.col("phash"), F.col("w"), F.col("h")).alias("k")
+        )
+        plan = plan_of(df)
+        assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+    def test_dedup_exact_partial_aggregation(self, spark):
+        from olake_spark.operators.dedup import dedup_exact
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = plan_of(dedup_exact(d, "doc_id", "text"))
+        # map-side partial agg before the exchange (two HashAggregate levels)
+        assert plan.count("HashAggregate") >= 2
