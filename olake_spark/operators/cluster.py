@@ -2,20 +2,26 @@
 
 Generalizes the reference's clustered write (sort batch rows by partition
 comparator so the writer holds one open file, IcebergTableOperator.java:303-344)
-into a space-filling-curve layout rewrite:
+into a space-filling-curve layout rewrite. Two-pass plan, both passes sized
+for 10^12-row tables:
 
-    key = interleave(phash_top21, w, h)        (vectorized Arrow UDF)
-    repartitionByRange(key, salt)              (salt = tiebreaker that splits
-                                                identical hot keys — the 0xBEEF
-                                                phash prefix — across tasks)
-    sortWithinPartitions(partition_cols, key)
-    rewrite files atomically
+1. **Boundary pass (cheap):** scan ONLY (phash, w, h) — the heavy `bytes`
+   column is pruned at the parquet reader — compute the curve key with the
+   vectorized Arrow kernel, and take equal-frequency boundaries via
+   `approxQuantile` over a coarse `(key>>32)*16+salt` partitioning key.
+   This replaces `repartitionByRange`'s sampling, which would evaluate the
+   FULL child plan (bytes included) a second time.
+2. **Rewrite pass (one full scan):** recompute the key, assign each row its
+   partition id by binary-searching the literal boundary array (JVM-side
+   `filter`+`size` over a small array), hash-shuffle on the id (identity
+   assignment — ids are already range buckets), sort within partitions by
+   (table partition, full curve key), write ≈target-sized files.
 
-`repartitionByRange` samples the key distribution (equal-frequency
-boundaries), which absorbs *distributional* skew; the salt handles the
-degenerate case of one key value exceeding a task (identical phash dupes).
-After the rewrite, per-file min/max of `phash` in the manifests become tight,
-so phash-range scans prune files (verified in tests).
+Salt: the coarse key appends 4 salt bits below the curve key, so rows with
+IDENTICAL keys (the planted hot 0xBEEF phash prefix) straddle boundary
+cuts and split across tasks, while global curve order is preserved to
+coarse-key resolution. After the rewrite, per-file min/max of `phash`
+tighten, so phash-range scans prune files (verified in tests).
 """
 
 from __future__ import annotations
@@ -28,7 +34,13 @@ from olake_spark.checkpoint import MaintenanceLog
 from olake_spark.functions.zorder import hilbert_key_col, zorder_key_col
 from olake_spark.icelite.table import DATA, Table
 
-SALT_BUCKETS = 16
+SALT_BITS = 4  # 16 salt buckets inside each coarse key
+
+
+def _coarse_key(ckey, salt):
+    # top 31 bits of the curve key, salt in the low 4 bits: fits int64,
+    # order-preserving at coarse resolution
+    return F.shiftleft(F.shiftright(ckey, 32), SALT_BITS) + salt
 
 
 def run_cluster_rewrite(
@@ -38,6 +50,7 @@ def run_cluster_rewrite(
     log: MaintenanceLog | None = None,
     target_bytes: int | None = None,
     key_cols: tuple[str, str, str] = ("phash", "w", "h"),
+    boundary_sample_rows: int = 1_000_000,
 ) -> dict:
     """Rewrite the whole table clustered by the chosen curve key."""
     table.refresh()
@@ -63,35 +76,50 @@ def run_cluster_rewrite(
         )
 
     keyfn = zorder_key_col if curve == "zorder" else hilbert_key_col
-    df = table.scan(with_partition_cols=False)
-    df = df.withColumn("_ckey", keyfn(*[F.col(c) for c in key_cols]))
-    # salt: splits identical hot keys across range partitions while preserving
-    # global key order (salt only breaks ties within one key value)
-    df = df.withColumn("_salt", F.pmod(F.xxhash64("image_id"), F.lit(SALT_BUCKETS)))
-    # repartitionByRange's boundary-sampling pass would otherwise re-run the
-    # scan + Arrow key UDF a second time; persist so keys are computed once
-    # (at cluster scale: MEMORY_AND_DISK spills, or sample boundaries offline)
-    from pyspark import StorageLevel
-
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-
     n_parts = max(1, math.ceil(total_bytes / target_bytes))
     avg_row = max(1, total_bytes // max(1, total_rows))
     per_file = max(1, target_bytes // avg_row)
-    # range-partition by (table partition, key, salt): each task holds a
-    # contiguous slice of ONE partition's curve — the writer's partitionBy
-    # then opens ~one file per task instead of one per (task × partition)
+
+    # ---- pass 1: boundaries from the pruned projection (never reads bytes)
+    id_col = table.identifier_fields[0] if table.identifier_fields else key_cols[0]
+    slim = table.scan(columns=[id_col, *key_cols])
+    frac = min(1.0, boundary_sample_rows / max(1, total_rows))
+    if frac < 1.0:
+        slim = slim.sample(fraction=frac, seed=42)
+    skey = _coarse_key(
+        keyfn(*[F.col(c) for c in key_cols]),
+        F.pmod(F.xxhash64(id_col), F.lit(1 << SALT_BITS)),
+    )
+    probs = [i / n_parts for i in range(1, n_parts)]
+    bounds = (
+        slim.select(skey.alias("_skey")).approxQuantile("_skey", probs, 0.001)
+        if probs
+        else []
+    )
+
+    # ---- pass 2: single full scan → deterministic bucket → shuffle → sort
+    df = table.scan(with_partition_cols=False)
+    df = df.withColumn("_ckey", keyfn(*[F.col(c) for c in key_cols]))
+    df = df.withColumn(
+        "_skey",
+        _coarse_key(F.col("_ckey"), F.pmod(F.xxhash64(id_col), F.lit(1 << SALT_BITS))),
+    )
+    if bounds:
+        arr = ", ".join(str(int(b)) for b in bounds)
+        df = df.withColumn(
+            "_pid", F.expr(f"size(filter(array({arr}), b -> b <= _skey))")
+        )
+    else:
+        df = df.withColumn("_pid", F.lit(0))
     spec = table.spec
     df = spec.apply(df)
-    range_cols = [F.col(n) for n in spec.names] + [F.col("_ckey"), F.col("_salt")]
     clustered = (
-        df.repartitionByRange(n_parts, *range_cols)
+        df.repartition(n_parts, *[F.col(n) for n in spec.names], F.col("_pid"))
         .sortWithinPartitions(*spec.names, "_ckey")
-        .drop("_ckey", "_salt")
+        .drop("_ckey", "_skey", "_pid")
     )
     seq = table.meta["last_sequence_number"] + 1
     added = table._stage_write(clustered, seq, max_records_per_file=per_file)
-    df.unpersist()
     snap = table.rewrite_files(
         {e.file_path for e in data_entries}, added, op="cluster",
         extra_summary={"job_id": job_id, "curve": curve}, seq_used=seq,
