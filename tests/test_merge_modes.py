@@ -1,0 +1,78 @@
+"""MERGE INTO modes: keep-deletes tombstones (the reference's
+`upsert-keep-deletes`, iceberg_utils.go:180) and cluster-rewrite resume."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from olake_spark import datagen
+from olake_spark.checkpoint import MaintenanceLog
+from olake_spark.icelite import PartitionSpec, Table
+from olake_spark.operators.cluster import run_cluster_rewrite
+from olake_spark.operators.merge import dedup_changes, merge_into
+
+
+@pytest.fixture()
+def tombstone_table(spark, tmp_table_dir):
+    # destination schema WITH the OLake metadata columns, as the reference's
+    # Iceberg tables carry them (DefaultColumns, abstract.go:29-34)
+    t = Table.create(
+        spark,
+        os.path.join(tmp_table_dir, "tomb"),
+        datagen.CHANGES_SCHEMA,
+        PartitionSpec(()),
+        identifier_fields=("image_id",),
+    )
+    base = datagen.gen_images_df(spark, 50).select(
+        "*",
+        F.lit("r").alias("_op_type"),
+        F.lit("2025-12-01 00:00:00").cast("timestamp").alias("_cdc_timestamp"),
+        F.lit("2025-12-01 00:00:00").cast("timestamp").alias("_olake_timestamp"),
+    )
+    t.append(base)
+    return t
+
+
+class TestTombstoneMerge:
+    def test_deletes_become_tombstones(self, spark, tombstone_table):
+        t = tombstone_table
+        changes = datagen.gen_changes_df(spark, base_n=50, n_changes=40)
+        merge_into(t, changes, keep_deletes=True)
+        df = t.scan()
+        # the distinct-id oracle: deletes are tombstones, so ids NEVER shrink
+        # (test_utils.go:219-228 — "deletes are tombstones, count stays")
+        survivors = dedup_changes(changes, ["image_id"])
+        expected_ids = (
+            t.scan(snapshot_id=t.snapshots()[0]["snapshot_id"])
+            .select("image_id")
+            .union(survivors.select("image_id"))
+            .distinct()
+            .count()
+        )
+        assert df.select(F.countDistinct("image_id")).collect()[0][0] == expected_ids
+        tombs = df.filter(F.col("_op_type") == "d")
+        assert tombs.count() > 0
+        # tombstones keep the key, null the payload
+        r = tombs.select("bytes", "caption", "phash").collect()[0]
+        assert r["bytes"] is None and r["caption"] is None and r["phash"] is None
+
+    def test_hard_delete_mode_shrinks(self, spark, tombstone_table):
+        t = tombstone_table
+        changes = datagen.gen_changes_df(spark, base_n=50, n_changes=40)
+        merge_into(t, changes, keep_deletes=False)
+        assert t.scan().filter(F.col("_op_type") == "d").count() == 0
+
+
+class TestClusterResume:
+    def test_done_chunk_skipped(self, spark, tmp_table_dir):
+        t = Table.create(
+            spark, os.path.join(tmp_table_dir, "cr"), datagen.IMAGES_SCHEMA,
+            identifier_fields=("image_id",),
+        )
+        t.append(datagen.gen_images_df(spark, 100))
+        log = MaintenanceLog(spark, os.path.join(tmp_table_dir, "crlog"))
+        r1 = run_cluster_rewrite(t, "cjob", curve="zorder", log=log)
+        assert r1["rows"] == 100
+        r2 = run_cluster_rewrite(t, "cjob", curve="zorder", log=log)
+        assert r2.get("skipped") is True
