@@ -78,6 +78,10 @@ def _q_s2_range_chunk_bounds(spark, sf):
     )
 
 
+def _q_s10_snapshot_pinned_scan(spark, sf):
+    return pipeline.snapshot_pinned_scan(spark, sf)
+
+
 def _q_s4_timestamp_chunks(spark, sf):
     # ObjectID-timestamp windowed chunking (S4): hour buckets over events
     e = _tbl(spark, sf, "events")
@@ -329,6 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintenance_merge_cdc": _q_maintenance_merge_cdc,
         "s2_range_chunk_bounds": _q_s2_range_chunk_bounds,
         "s4_timestamp_chunks": _q_s4_timestamp_chunks,
+        "s10_snapshot_pinned_scan": _q_s10_snapshot_pinned_scan,
         "s7_ordered_chunk_walk": _q_s7_ordered_chunk_walk,
         "p3_type_coercion": _q_p3_type_coercion,
         "p5_cdc_envelope": _q_p5_cdc_envelope,
@@ -361,6 +366,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "maintenance_compact_cluster": pipeline.roundtrip_oracle_sql(False),
         "maintenance_merge_cdc": pipeline.roundtrip_oracle_sql(True),
+        # isolation: the pinned snapshot ignores the merge that committed after it
+        "s10_snapshot_pinned_scan": pipeline.roundtrip_oracle_sql(False),
         "s2_range_chunk_bounds": """
 SELECT chunk, min(o_orderkey) AS chunk_min, max(o_orderkey) AS chunk_max,
        CAST(count(*) AS BIGINT) AS n_rows

@@ -229,3 +229,28 @@ def maintenance_roundtrip(
 
 def roundtrip_oracle_sql(with_merge: bool) -> str:
     return _expected_post_merge_sql() if with_merge else derive_images_sql()
+
+
+def snapshot_pinned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/S11 (SURVEY §2.1): snapshot-isolated reads — the Spark rendition
+    of Oracle's `AS OF SCN` flashback scans (pkg/jdbc/jdbc.go:319-357) and
+    the repeatable-read chunk isolation. A merge commits AFTER the reader's
+    snapshot is pinned; the pinned scan must still return exactly the
+    pre-merge derivation (the oracle), proving isolation."""
+    import tempfile as _tf
+
+    tmp = _tf.mkdtemp(prefix="olake-pin-")
+    try:
+        t = Table.create(
+            spark,
+            os.path.join(tmp, "images"),
+            datagen.IMAGES_SCHEMA,
+            identifier_fields=("image_id",),
+        )
+        t.append(images_from_documents(spark, sf_dir))
+        pinned = t.current_snapshot_id
+        merge_into(t, changes_from_documents(spark, sf_dir))
+        rows = [r.asDict() for r in t.scan(snapshot_id=pinned, columns=SCAN_COLS).collect()]
+        return spark.createDataFrame(rows, SCAN_SCHEMA)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
