@@ -14,8 +14,7 @@ import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (ArrayType, DataType, MapType, StructField,
-                               StructType)
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 
 def reformat_key(name: str) -> str:

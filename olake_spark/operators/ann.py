@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import IntegerType
 
-from olake_spark.functions.text import PPM
 from olake_spark.operators.dedup import cosine_ppm_expr
 
 N_PLANES = 8  # 2^8 = 256 buckets
