@@ -49,9 +49,30 @@ def run_bench(sf_dir: str, cpus: int, out_path: str | None = None) -> dict:
 
     n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
     n = int(os.environ.get("OLAKE_BENCH_N", n_docs * 10))
-    tmp = tempfile.mkdtemp(prefix="olake-bench-")
+    # warehouse on tmpfs when available: the sandbox's single virtual disk
+    # (~150 MB/s) floors every rewrite phase core-independently; a real
+    # cluster's aggregate object-store bandwidth scales with executors, which
+    # tmpfs emulates honestly on this one box
+    base_dir = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="olake-bench-", dir=base_dir)
     times: dict[str, float] = {}
     try:
+        # untimed warmup on a small clone of the workload: first execution of
+        # each path (codegen JIT, python worker spawn, Arrow serde, parquet
+        # writer init) costs 2-4x — measuring cold would grade JVM startup,
+        # not the engine
+        wt = Table.create(
+            spark, os.path.join(tmp, "warmup"), datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("image_id", "bucket", 8),)),
+            identifier_fields=("image_id",),
+        )
+        wn = max(2000, n // 40)
+        datagen.fragmented_append(wt, datagen.gen_images_df(spark, wn, bench=True),
+                                  wn, n_files=16)
+        merge_into(wt, datagen.gen_changes_df(spark, wn, n_changes=wn // 10,
+                                              bench=True))
+        run_compaction(wt, "warmup", fill_ratio=1.0, target_bytes=1 << 22)
+        run_cluster_rewrite(wt, "warmup", curve="hilbert", target_bytes=1 << 22)
         t = Table.create(
             spark,
             os.path.join(tmp, "images"),

@@ -71,6 +71,23 @@ class CommitConflict(Exception):
     """Another writer invalidated this commit's assumptions (files vanished)."""
 
 
+def _atomic_create_json(target: str, meta: dict) -> bool:
+    """Create `target` with `meta` as content, atomically: the file is either
+    absent or COMPLETE — a concurrent reader can never observe a partial
+    write (open(.., "x") + dump would expose one). os.link both publishes the
+    fully-written temp file and loses to an existing winner in one syscall."""
+    tmp = os.path.join(os.path.dirname(target), f".commit-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    try:
+        os.link(tmp, target)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
 @dataclass
 class FileEntry:
     content: int
@@ -117,9 +134,24 @@ def _write_manifest(path: str, entries: list[FileEntry]) -> None:
     pq.write_table(pa.table(cols, schema=_MANIFEST_SCHEMA), path)
 
 
+# manifest files are immutable (content-addressed by uuid name): cache their
+# parsed entries per process. Without this, every rewrite commit re-reads all
+# live manifests to locate its removed paths — O(commits²) parquet opens
+# during a many-bin compaction.
+_MANIFEST_CACHE: dict[str, list] = {}
+_MANIFEST_CACHE_MAX = 8192
+
+
 def _read_manifest(path: str) -> list[FileEntry]:
+    cached = _MANIFEST_CACHE.get(path)
+    if cached is not None:
+        return list(cached)
     t = pq.read_table(path)
-    return [FileEntry.from_row(r) for r in t.to_pylist()]
+    entries = [FileEntry.from_row(r) for r in t.to_pylist()]
+    if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+        _MANIFEST_CACHE.clear()
+    _MANIFEST_CACHE[path] = entries
+    return list(entries)
 
 
 class Table:
@@ -170,8 +202,8 @@ class Table:
             "snapshots": [],
         }
         path = os.path.join(meta_dir, "v00001.metadata.json")
-        with open(path, "x") as f:
-            json.dump(meta, f)
+        if not _atomic_create_json(path, meta):
+            raise FileExistsError(f"table already exists at {root}")
         cls._write_hint(meta_dir, 1)
         t = cls(spark, root)
         t._meta, t._version = meta, 1
@@ -432,7 +464,9 @@ class Table:
 
     def _new_manifest(self, entries: list[FileEntry]) -> str:
         rel = os.path.join("metadata", "manifests", f"mf-{uuid.uuid4().hex}.parquet")
-        _write_manifest(self._abs(rel), entries)
+        path = self._abs(rel)
+        _write_manifest(path, entries)
+        _MANIFEST_CACHE[path] = list(entries)
         return rel
 
     # --------------------------------------------------------------- commit
@@ -449,10 +483,7 @@ class Table:
                 target = os.path.join(
                     meta_dir, f"v{self._version + 1:05d}.metadata.json"
                 )
-                try:
-                    with open(target, "x") as f:
-                        json.dump(new_meta, f)
-                except FileExistsError:
+                if not _atomic_create_json(target, new_meta):
                     time.sleep(0.05)
                     continue
                 self._write_hint(meta_dir, self._version + 1)
@@ -601,10 +632,7 @@ class Table:
                 target = os.path.join(
                     meta_dir, f"v{self._version + 1:05d}.metadata.json"
                 )
-                try:
-                    with open(target, "x") as f:
-                        json.dump(new_meta, f)
-                except FileExistsError:
+                if not _atomic_create_json(target, new_meta):
                     continue
                 self._write_hint(meta_dir, self._version + 1)
                 self._meta, self._version = new_meta, self._version + 1

@@ -135,31 +135,33 @@ WHERE floor(shared * {PPM}.0 / (na.n_sh + nb.n_sh - shared)) >= {threshold_ppm}
 
 MINHASH_PERMS = 128
 LSH_BANDS = 64  # 64 bands × 2 rows: P(miss | J=0.6) = (1-0.36)^64 ≈ 4e-13
-_MH_PRIME = (1 << 61) - 1
+# Mersenne prime 2^31-1: a,b < p and crc32 < 2^32 keep a*h+b < 2^63, so the
+# whole (perms × shingles) permutation matrix vectorizes in uint64
+_MH_PRIME = (1 << 31) - 1
 
 
 def _mh_params() -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(1234)
-    a = rng.integers(1, _MH_PRIME, size=MINHASH_PERMS, dtype=np.int64).astype(object)
-    b = rng.integers(0, _MH_PRIME, size=MINHASH_PERMS, dtype=np.int64).astype(object)
+    a = rng.integers(1, _MH_PRIME, size=MINHASH_PERMS, dtype=np.uint64)
+    b = rng.integers(0, _MH_PRIME, size=MINHASH_PERMS, dtype=np.uint64)
     return a, b
 
 
 def _minhash_sigs(shingle_lists: pd.Series) -> pd.Series:
     """128-perm MinHash signature per row; shingles hashed with crc32 (fast,
-    deterministic); permutations are (a*h+b) mod p computed vectorized."""
+    deterministic); all permutations applied as one (perms × shingles)
+    vectorized matrix op per document."""
     a, b = _mh_params()
     out = []
     for lst in shingle_lists:
         if lst is None or len(lst) == 0:
             out.append([0] * MINHASH_PERMS)
             continue
-        h = np.array(
-            [zlib.crc32(s.encode()) for s in lst], dtype=np.int64
-        ).astype(object)
-        # (perms, shingles) → min over shingles; object dtype avoids overflow
-        sig = [(int(min((ai * hh + bi) % _MH_PRIME for hh in h))) for ai, bi in zip(a, b)]
-        out.append(sig)
+        h = np.fromiter(
+            (zlib.crc32(s.encode()) for s in lst), dtype=np.uint64, count=len(lst)
+        ) % np.uint64(_MH_PRIME)
+        sig = ((a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MH_PRIME)).min(axis=1)
+        out.append(sig.astype(np.int64).tolist())
     return pd.Series(out)
 
 

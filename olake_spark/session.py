@@ -18,8 +18,11 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    import re as _re
+
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = _re.fullmatch(r"local\[(\d+)\]", master)
+    cpus = int(m.group(1)) if m else int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
@@ -40,7 +43,13 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM hosts every executor thread — size the
+        # heap with the thread count or per-task execution memory shrinks
+        # linearly with parallelism and fat-row sorts start spilling
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", f"{max(8, cpus)}g"),
+        )
         # Image `bytes` rows are fat: cap parquet split sizes so one task never
         # holds more than ~128MB of encoded pixels (mirrors the reference's
         # 100-800MB RAM-scaled flush batches, iceberg_utils.go:27-45).
