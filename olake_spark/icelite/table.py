@@ -295,6 +295,7 @@ class Table:
         predicates: list[tuple[str, str, Any]] | None = None,
         with_partition_cols: bool = False,
         with_file_seq: bool = False,
+        with_input_file: bool = False,
         file_filter: set[str] | None = None,
     ) -> DataFrame:
         """Snapshot-pinned read with manifest-level pruning + delete application.
@@ -320,9 +321,22 @@ class Table:
         # explicit schema: no per-call footer sampling on the driver (matters
         # when many concurrent maintenance chunks each open a scan)
         reader = self.spark.read.schema(self.schema)
+
+        def _tag_file(d: DataFrame) -> DataFrame:
+            # evaluated at the scan, before any join/union, where
+            # input_file_name() is guaranteed to resolve
+            if not with_input_file:
+                return d
+            return d.withColumn(
+                "_input_file",
+                F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+            )
+
         if not need_seq:
-            df = reader.option("basePath", base).parquet(
-                *[self._abs(e.file_path) for e in data]
+            df = _tag_file(
+                reader.option("basePath", base).parquet(
+                    *[self._abs(e.file_path) for e in data]
+                )
             )
         else:
             # deletes apply to strictly-older files → tag rows with their
@@ -334,8 +348,7 @@ class Table:
             parts = []
             for seq, paths in sorted(by_seq.items()):
                 parts.append(
-                    reader.option("basePath", base)
-                    .parquet(*paths)
+                    _tag_file(reader.option("basePath", base).parquet(*paths))
                     .withColumn("_seq", F.lit(seq))
                 )
             df = parts[0]
@@ -347,8 +360,10 @@ class Table:
         if predicates:
             df = df.filter(_pred_expr(predicates))
         keep = columns or [f.name for f in self.schema.fields]
-        extra = (self.spec.names if with_partition_cols else []) + (
-            ["_seq"] if with_file_seq else []
+        extra = (
+            (self.spec.names if with_partition_cols else [])
+            + (["_seq"] if with_file_seq else [])
+            + (["_input_file"] if with_input_file else [])
         )
         return df.select(*keep, *extra)
 

@@ -125,6 +125,125 @@ def plan_compaction(
     return bins
 
 
+def _run_bulk(
+    table: Table,
+    job_id: str,
+    log: MaintenanceLog | None,
+    todo: list[Bin],
+    target_bytes: int,
+    pin_snapshot: int,
+    snap_before: int,
+) -> dict:
+    """One-job executor: see run_compaction (mode='bulk')."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from olake_spark.icelite.stats import collect_file_stats
+    from olake_spark.icelite.table import _parse_partition
+
+    spark = table.spark
+    rel_paths = {f.file_path for b in todo for f in b.files}
+    pairs = [
+        (table._abs(f.file_path), i)
+        for i, b in enumerate(todo)
+        for f in b.files
+    ]
+    mapping = spark.createDataFrame(pairs, ["_input_file", "_bin_"])
+
+    df = table.scan(
+        snapshot_id=pin_snapshot, file_filter=rel_paths, with_input_file=True
+    )
+    df = df.join(F.broadcast(mapping), "_input_file").drop("_input_file")
+
+    total_bytes = sum(b.total_bytes for b in todo)
+    total_rows = sum(b.total_rows for b in todo)
+    avg_row = max(1, total_bytes // max(1, total_rows))
+    per_file = max(1, target_bytes // avg_row)
+
+    spec = table.spec
+    out = spec.apply(df).repartition(len(todo), F.col("_bin_"))
+    seq = table.meta["last_sequence_number"] + 1
+    stage = os.path.join(table.root, "data", f".bulk-{uuid.uuid4().hex}")
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", per_file)
+        .partitionBy("_bin_", *spec.names)
+        .parquet(stage)
+    )
+
+    # promote: <stage>/_bin_=k/<partition dirs>/file → data/<partition>/file
+    moved: list[tuple[int, str, str, dict]] = []  # (bin, abs, rel, partition)
+    for dirpath, _dirs, files in os.walk(stage):
+        rel_dir = os.path.relpath(dirpath, stage)
+        comps = [] if rel_dir == "." else rel_dir.split(os.sep)
+        if not comps or not comps[0].startswith("_bin_="):
+            continue
+        bin_idx = int(comps[0].split("=", 1)[1])
+        partition = _parse_partition(os.path.join(*comps[1:]) if comps[1:] else ".")
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            dest_dir = (
+                os.path.join(table.root, "data", *comps[1:])
+                if comps[1:]
+                else os.path.join(table.root, "data")
+            )
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = os.path.join(dest_dir, f"{seq:06d}-{uuid.uuid4().hex}.parquet")
+            os.replace(os.path.join(dirpath, name), dest)
+            moved.append((bin_idx, dest, os.path.relpath(dest, table.root), partition))
+    shutil.rmtree(stage, ignore_errors=True)
+
+    stats = collect_file_stats(spark, [m[1] for m in moved])
+    per_bin: dict[int, list[FileEntry]] = {}
+    for bin_idx, abspath, rel, partition in moved:
+        st = stats[abspath]
+        if st["record_count"] == 0:
+            import os as _os
+
+            _os.remove(abspath)
+            continue
+        per_bin.setdefault(bin_idx, []).append(
+            FileEntry(
+                DATA, rel, partition, seq,
+                st["record_count"], st["file_size_bytes"],
+                st["mins"], st["maxs"], st["null_counts"],
+            )
+        )
+
+    executed = 0
+    rows_out = bytes_out = 0
+    for i, b in enumerate(todo):
+        added = per_bin.get(i, [])
+        snap = table.rewrite_files(
+            {f.file_path for f in b.files}, added, op="compact",
+            extra_summary={"job_id": job_id, "chunk_id": b.chunk_id},
+            seq_used=seq,
+        )
+        executed += 1
+        rows_out += sum(e.record_count for e in added)
+        bytes_out += sum(e.file_size_bytes for e in added)
+        if log is not None:
+            log.log_done(
+                job_id, "compact",
+                {"chunk_id": b.chunk_id, "partition": b.partition_json,
+                 "rows": b.total_rows, "bytes_in": b.total_bytes,
+                 "bytes_out": sum(e.file_size_bytes for e in added),
+                 "snapshot_before": snap_before,
+                 "snapshot_after": snap.get("snapshot_id")},
+            )
+    return {
+        "bins_planned": len(todo),
+        "bins_executed": executed,
+        "rows_rewritten": rows_out,
+        "bytes_out": bytes_out,
+        "mode": "bulk",
+    }
+
+
 def run_compaction(
     table: Table,
     job_id: str,
@@ -134,14 +253,24 @@ def run_compaction(
     max_bins: int | None = None,
     stop_after_bins: int | None = None,
     max_concurrency: int | None = None,
+    mode: str = "bulk",  # or "bins"
 ) -> dict:
     """Execute a compaction job. Returns summary metrics.
 
-    Bins are independent rewrites, so up to `max_concurrency` run at once
-    (each submits its own Spark job; Spark's scheduler interleaves their
-    tasks so the cluster never idles between bins — the analogue of the
-    reference's chunk thread pool, constants/constants.go:7). Commits go
-    through the optimistic loop, so concurrent bin commits serialize safely.
+    Two executors:
+
+    - **bulk** (default): ONE Spark job rewrites every bin — rows are tagged
+      with their bin via `input_file_name()` + a broadcast file→bin map,
+      shuffled once on the bin id, and written `partitionBy(_bin_, …)`.
+      Commits stay per-bin (atomic, resumable). At any cluster size the whole
+      compaction is a single shuffle of the small-file debt; driver overhead
+      is O(1) jobs instead of O(bins) — the Amdahl fix that lets compaction
+      actually scale with executors.
+    - **bins**: thread-per-bin (the reference's chunk-pool shape,
+      constants/constants.go:7): each bin is a shuffle-free
+      scan→coalesce(1)→write job; up to `max_concurrency` in flight. Used
+      for `stop_after_bins` resume tests and when incremental progress
+      matters more than wall-clock.
 
     `stop_after_bins` exists for resume tests: simulate an interruption after
     k committed bins.
@@ -176,6 +305,16 @@ def run_compaction(
     todo = [b for b in bins if b.chunk_id not in done]
     if stop_after_bins is not None:
         todo = todo[:stop_after_bins]
+
+    if mode == "bulk" and len(todo) > 1 and stop_after_bins is None:
+        res = _run_bulk(
+            table, job_id, log, todo, target_bytes, pin_snapshot, snap_before
+        )
+        res["bins_skipped"] = skipped
+        res["delete_files_purged"] = (
+            purge_dead_deletes(table) if res["bins_executed"] else 0
+        )
+        return res
 
     def exec_bin(b: Bin) -> tuple[int, int]:
         paths = {f.file_path for f in b.files}
