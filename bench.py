@@ -65,58 +65,104 @@ def run_bench(sf_dir: str, cpus: int, out_path: str | None = None) -> dict:
             spark, os.path.join(tmp, "warmup"), datagen.IMAGES_SCHEMA,
             PartitionSpec((PartitionField("image_id", "bucket", 8),)),
             identifier_fields=("image_id",),
+            properties={"write.parquet.compression-codec": "uncompressed"},
         )
+        # spawn (and keep, via worker reuse) one Python UDF worker per core:
+        # a cold worker costs ~1-2s of numpy/pandas/pyarrow imports, and that
+        # cost scales WITH parallelism if it lands inside a measured phase
+        from olake_spark.functions.zorder import hilbert_key_col
+        from pyspark.sql import functions as F
+
+        spark.range(0, cpus * 20_000, 1, cpus).select(
+            hilbert_key_col(
+                F.col("id"), (F.col("id") % 64).cast("int"),
+                (F.col("id") % 64).cast("int"),
+            ).alias("k")
+        ).agg(F.max("k")).collect()
+
+        px = int(os.environ.get("OLAKE_BENCH_PX", "0")) or None
         wn = max(2000, n // 40)
-        datagen.fragmented_append(wt, datagen.gen_images_df(spark, wn, bench=True),
+        datagen.fragmented_append(wt, datagen.gen_images_df(spark, wn, bench=True,
+                                                            parallelism=cpus,
+                                                            img_px=px),
                                   wn, n_files=16)
         merge_into(wt, datagen.gen_changes_df(spark, wn, n_changes=wn // 10,
                                               bench=True))
-        run_compaction(wt, "warmup", fill_ratio=1.0, target_bytes=1 << 22)
-        run_cluster_rewrite(wt, "warmup", curve="hilbert", target_bytes=1 << 22)
-        t = Table.create(
-            spark,
-            os.path.join(tmp, "images"),
-            datagen.IMAGES_SCHEMA,
-            PartitionSpec((PartitionField("image_id", "bucket", 8),)),
-            identifier_fields=("image_id",),
-        )
+        wverify = os.environ.get("OLAKE_BENCH_VERIFY", "1") == "1"
+        run_compaction(wt, "warmup", fill_ratio=1.0, target_bytes=1 << 22,
+                       verify=wverify)
+        run_cluster_rewrite(wt, "warmup", curve="hilbert", target_bytes=1 << 22,
+                            verify=wverify)
+        verify = os.environ.get("OLAKE_BENCH_VERIFY", "1") == "1"
+        iterations = int(os.environ.get("OLAKE_BENCH_ITERS", "1"))
+        rows = 0
 
-        t0 = time.perf_counter()
-        datagen.fragmented_append(
-            t, datagen.gen_images_df(spark, n, bench=True), n, n_files=256
-        )
-        times["ingest_fragmented"] = time.perf_counter() - t0
+        def record(key: str, value: float) -> None:
+            # min over iterations: the engine's capability; noise only adds
+            times[key] = min(times.get(key, float("inf")), value)
 
-        total_bytes = sum(
-            e.file_size_bytes for e in t.entries() if e.content == 0
-        )
-        # 64 bins regardless of parallelism level: identical job structure at
-        # both cluster sizes, enough single-task bins to cover every core
-        target = max(1 << 22, total_bytes // 64)
+        for it in range(iterations):
+            t = Table.create(
+                spark,
+                os.path.join(tmp, f"images-{it}"),
+                datagen.IMAGES_SCHEMA,
+                PartitionSpec((PartitionField("image_id", "bucket", 8),)),
+                identifier_fields=("image_id",),
+                properties={"write.parquet.compression-codec": "uncompressed"},
+            )
 
-        t0 = time.perf_counter()
-        merge_into(t, datagen.gen_changes_df(spark, n, n_changes=n // 10, bench=True))
-        times["merge_cdc"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            datagen.fragmented_append(
+                t, datagen.gen_images_df(spark, n, bench=True, img_px=px), n,
+                n_files=256,
+            )
+            record("ingest_fragmented", time.perf_counter() - t0)
 
-        log = MaintenanceLog(spark, os.path.join(tmp, "mlog"))
-        t0 = time.perf_counter()
-        run_compaction(t, "bench-compact", log=log, fill_ratio=1.0, target_bytes=target)
-        times["compact"] = time.perf_counter() - t0
+            total_bytes = sum(
+                e.file_size_bytes for e in t.entries() if e.content == 0
+            )
+            # 64 bins regardless of parallelism level: identical job structure
+            # at both cluster sizes, enough bins to cover every core
+            target = max(1 << 22, total_bytes // 64)
 
-        t0 = time.perf_counter()
-        run_cluster_rewrite(t, "bench-cluster", curve="hilbert", log=log,
-                            target_bytes=target)
-        times["cluster_hilbert"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            merge_into(
+                t, datagen.gen_changes_df(spark, n, n_changes=n // 10, bench=True)
+            )
+            record("merge_cdc", time.perf_counter() - t0)
 
-        t0 = time.perf_counter()
-        rewrite_manifests(t, target_entries=512)
-        times["manifest_rewrite"] = time.perf_counter() - t0
+            log = MaintenanceLog(spark, os.path.join(tmp, f"mlog-{it}"))
+            t0 = time.perf_counter()
+            run_compaction(t, "bench-compact", log=log, fill_ratio=1.0,
+                           target_bytes=target, verify=verify)
+            record("compact", time.perf_counter() - t0)
 
-        t0 = time.perf_counter()
-        run_expire(t, keep_last=1, grace_seconds=0.0)
-        times["expire_reap"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            run_cluster_rewrite(t, "bench-cluster", curve="hilbert", log=log,
+                                target_bytes=target, verify=verify)
+            record("cluster_hilbert", time.perf_counter() - t0)
 
-        rows = t.total_records()
+            # full decoded-pixel + caption verification vs the generator
+            # oracle — the CPU-dense phase of the pipeline (north star's
+            # correctness gate), reported separately from the rewrites
+            if px is None:  # oracle pixel sizes only defined for bench sizes
+                from olake_spark.verify import verify_table_scan
+
+                t0 = time.perf_counter()
+                s = verify_table_scan(t.scan(), bench=True)
+                record("verify_scan", time.perf_counter() - t0)
+                assert s["pixel_failures"] == 0, s
+
+            t0 = time.perf_counter()
+            rewrite_manifests(t, target_entries=512)
+            record("manifest_rewrite", time.perf_counter() - t0)
+
+            t0 = time.perf_counter()
+            run_expire(t, keep_last=1, grace_seconds=0.0)
+            record("expire_reap", time.perf_counter() - t0)
+
+            rows = t.total_records()
+            shutil.rmtree(t.root, ignore_errors=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
@@ -132,6 +178,7 @@ def run_bench(sf_dir: str, cpus: int, out_path: str | None = None) -> dict:
         "rows": rows,
         "n_images": n,
         "images_per_sec": round(n / rewrite_s, 1),
+        "verified_rewrite": os.environ.get("OLAKE_BENCH_VERIFY", "1") == "1",
         "cpus": cpus,
     }
     if out_path:

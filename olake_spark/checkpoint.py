@@ -105,9 +105,17 @@ class MaintenanceLog:
         )
 
     def log_done(self, job_id: str, op: str, chunk: dict) -> None:
+        self.log_done_many(job_id, op, [chunk])
+
+    def log_done_many(self, job_id: str, op: str, chunks: list[dict]) -> None:
+        """One atomic log append for a batch of finished chunks."""
         now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         self._append_rows(
-            [{"job_id": job_id, "op": op, "status": "done", "finished_at": now, **chunk}]
+            [
+                {"job_id": job_id, "op": op, "status": "done",
+                 "finished_at": now, **c}
+                for c in chunks
+            ]
         )
 
     def done_chunk_ids(self, job_id: str) -> set[str]:

@@ -63,9 +63,12 @@ def _caption(i: int) -> str:
     return f"caption {i}: " + " ".join(_WORDS[t] for t in toks)
 
 
-def _make_row(i: int, bench: bool) -> dict:
-    ws, hs = (_BENCH_W, _BENCH_H) if bench else (_SIZES_W, _SIZES_H)
-    w, h = ws[i % 3], hs[i % 3]
+def _make_row(i: int, bench: bool, img_px: int | None = None) -> dict:
+    if img_px:
+        w = h = img_px
+    else:
+        ws, hs = (_BENCH_W, _BENCH_H) if bench else (_SIZES_W, _SIZES_H)
+        w, h = ws[i % 3], hs[i % 3]
     fmt = "jpeg" if i % 4 == 0 else "png"
     rng = np.random.default_rng(SEED + i)
     arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -93,13 +96,15 @@ def expected_pixels(i: int, bench: bool = False) -> np.ndarray:
 
 
 def gen_images_df(spark: SparkSession, n: int, bench: bool = False,
-                  parallelism: int | None = None) -> DataFrame:
-    """The F1 `images` table as a distributed DataFrame (deterministic)."""
+                  parallelism: int | None = None,
+                  img_px: int | None = None) -> DataFrame:
+    """The F1 `images` table as a distributed DataFrame (deterministic).
+    `img_px` pins all images to one tiny size (row-dominated scaling runs)."""
     rng_free = spark.range(0, n, 1, parallelism or spark.sparkContext.defaultParallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = [_make_row(int(i), bench) for i in b["id"]]
+            rows = [_make_row(int(i), bench, img_px) for i in b["id"]]
             yield pd.DataFrame(rows)
 
     return rng_free.mapInPandas(gen, IMAGES_SCHEMA)

@@ -410,7 +410,12 @@ class Table:
         out = spec.apply(df)
         if sort_within_by:
             out = out.sortWithinPartitions(*sort_within_by)
-        w = out.write.mode("overwrite")
+        # image payloads are already entropy-coded — recompressing them in
+        # parquet burns CPU for ~0% ratio; tables opt in via the property
+        codec = self.meta["properties"].get(
+            "write.parquet.compression-codec", "snappy"
+        )
+        w = out.write.mode("overwrite").option("compression", codec)
         if max_records_per_file:
             w = w.option("maxRecordsPerFile", max_records_per_file)
         if spec.fields:

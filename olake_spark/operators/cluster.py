@@ -51,6 +51,7 @@ def run_cluster_rewrite(
     target_bytes: int | None = None,
     key_cols: tuple[str, str, str] = ("phash", "w", "h"),
     boundary_sample_rows: int = 1_000_000,
+    verify: bool = False,
 ) -> dict:
     """Rewrite the whole table clustered by the chosen curve key."""
     table.refresh()
@@ -99,6 +100,10 @@ def run_cluster_rewrite(
 
     # ---- pass 2: single full scan → deterministic bucket → shuffle → sort
     df = table.scan(with_partition_cols=False)
+    if verify:
+        from olake_spark.verify import inline_pixel_check
+
+        df = inline_pixel_check(df)
     df = df.withColumn("_ckey", keyfn(*[F.col(c) for c in key_cols]))
     df = df.withColumn(
         "_skey",

@@ -133,6 +133,7 @@ def _run_bulk(
     target_bytes: int,
     pin_snapshot: int,
     snap_before: int,
+    verify: bool = False,
 ) -> dict:
     """One-job executor: see run_compaction (mode='bulk')."""
     import os
@@ -157,6 +158,13 @@ def _run_bulk(
         snapshot_id=pin_snapshot, file_filter=rel_paths, with_input_file=True
     )
     df = df.join(F.broadcast(mapping), "_input_file").drop("_input_file")
+    if verify:
+        # verified rewrite: decode every image in-stream and fail the task on
+        # corruption (north star: "correctness verified against decoded
+        # pixels" — enforced during maintenance, not after)
+        from olake_spark.verify import inline_pixel_check
+
+        df = inline_pixel_check(df)
 
     total_bytes = sum(b.total_bytes for b in todo)
     total_rows = sum(b.total_rows for b in todo)
@@ -167,9 +175,13 @@ def _run_bulk(
     out = spec.apply(df).repartition(len(todo), F.col("_bin_"))
     seq = table.meta["last_sequence_number"] + 1
     stage = os.path.join(table.root, "data", f".bulk-{uuid.uuid4().hex}")
+    codec = table.meta["properties"].get(
+        "write.parquet.compression-codec", "snappy"
+    )
     (
         out.write.mode("overwrite")
         .option("maxRecordsPerFile", per_file)
+        .option("compression", codec)
         .partitionBy("_bin_", *spec.names)
         .parquet(stage)
     )
@@ -214,26 +226,40 @@ def _run_bulk(
             )
         )
 
+    # commit in groups: one snapshot swaps a group of bins atomically, one
+    # batched log append records their lineage. Resume granularity stays
+    # bin-level (done chunk ids); an interrupted group redoes as a unit.
+    GROUP = 16
     executed = 0
     rows_out = bytes_out = 0
-    for i, b in enumerate(todo):
-        added = per_bin.get(i, [])
+    for g in range(0, len(todo), GROUP):
+        group = list(enumerate(todo))[g : g + GROUP]
+        removed = {f.file_path for _, b in group for f in b.files}
+        added = [e for i, _ in group for e in per_bin.get(i, [])]
         snap = table.rewrite_files(
-            {f.file_path for f in b.files}, added, op="compact",
-            extra_summary={"job_id": job_id, "chunk_id": b.chunk_id},
+            removed, added, op="compact",
+            extra_summary={
+                "job_id": job_id,
+                "chunk_ids": [b.chunk_id for _, b in group],
+            },
             seq_used=seq,
         )
-        executed += 1
+        executed += len(group)
         rows_out += sum(e.record_count for e in added)
         bytes_out += sum(e.file_size_bytes for e in added)
         if log is not None:
-            log.log_done(
+            log.log_done_many(
                 job_id, "compact",
-                {"chunk_id": b.chunk_id, "partition": b.partition_json,
-                 "rows": b.total_rows, "bytes_in": b.total_bytes,
-                 "bytes_out": sum(e.file_size_bytes for e in added),
-                 "snapshot_before": snap_before,
-                 "snapshot_after": snap.get("snapshot_id")},
+                [
+                    {"chunk_id": b.chunk_id, "partition": b.partition_json,
+                     "rows": b.total_rows, "bytes_in": b.total_bytes,
+                     "bytes_out": sum(
+                         e.file_size_bytes for e in per_bin.get(i, [])
+                     ),
+                     "snapshot_before": snap_before,
+                     "snapshot_after": snap.get("snapshot_id")}
+                    for i, b in group
+                ],
             )
     return {
         "bins_planned": len(todo),
@@ -254,6 +280,7 @@ def run_compaction(
     stop_after_bins: int | None = None,
     max_concurrency: int | None = None,
     mode: str = "bulk",  # or "bins"
+    verify: bool = False,
 ) -> dict:
     """Execute a compaction job. Returns summary metrics.
 
@@ -308,7 +335,8 @@ def run_compaction(
 
     if mode == "bulk" and len(todo) > 1 and stop_after_bins is None:
         res = _run_bulk(
-            table, job_id, log, todo, target_bytes, pin_snapshot, snap_before
+            table, job_id, log, todo, target_bytes, pin_snapshot, snap_before,
+            verify=verify,
         )
         res["bins_skipped"] = skipped
         res["delete_files_purged"] = (

@@ -54,7 +54,19 @@ def get_spark(
         # holds more than ~128MB of encoded pixels (mirrors the reference's
         # 100-800MB RAM-scaled flush batches, iceberg_utils.go:27-45).
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # dynamic-partition writes: concurrent writers instead of the
+        # sort-based fallback — the sort path re-materializes every fat row
+        # (~2-3x wall on binary-heavy tables)
+        .config("spark.sql.maxConcurrentOutputFileWriters", "32")
     )
+    # shuffle/spill storage: this sandbox's single virtual disk (~150 MB/s)
+    # is the bottleneck for every shuffle; tmpfs stands in for the NVMe
+    # local disks a real executor fleet would have
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

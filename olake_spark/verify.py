@@ -87,6 +87,30 @@ def verify_pixels(df: DataFrame, bench: bool = False) -> DataFrame:
     )
 
 
+def inline_pixel_check(df: DataFrame, sample_mod: int = 1) -> DataFrame:
+    """Pass-through verification stage for rewrite pipelines: decode every
+    `sample_mod`-th image and fail the task if the payload is corrupt or the
+    dimensions disagree with (w, h). Rows stream through unchanged, so this
+    composes inside compaction/clustering writes — the north star's
+    "correctness verified against decoded pixels" applied *during*
+    maintenance instead of as a separate scan."""
+    schema = df.schema
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for i, (raw, w, h) in enumerate(zip(b["bytes"], b["w"], b["h"])):
+                if raw is None or (sample_mod > 1 and i % sample_mod):
+                    continue
+                arr = decode_image(bytes(raw))
+                if arr.shape[0] != int(h) or arr.shape[1] != int(w):
+                    raise ValueError(
+                        f"decoded shape {arr.shape[:2]} != ({h}, {w})"
+                    )
+            yield b
+
+    return df.mapInPandas(check, schema)
+
+
 def verify_table_scan(df: DataFrame, bench: bool = False) -> dict:
     """One-shot verification summary for a scan of the images table."""
     v = verify_pixels(df, bench)
