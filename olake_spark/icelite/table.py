@@ -420,7 +420,11 @@ class Table:
             w = w.option("maxRecordsPerFile", max_records_per_file)
         if spec.fields:
             w = w.partitionBy(*spec.names)
-        w.parquet(stage)
+        try:
+            w.parquet(stage)
+        except Exception:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
 
         entries: list[FileEntry] = []
         moved: list[tuple[str, str, dict]] = []  # (abs_final, rel_final, partition)

@@ -178,13 +178,17 @@ def _run_bulk(
     codec = table.meta["properties"].get(
         "write.parquet.compression-codec", "snappy"
     )
-    (
-        out.write.mode("overwrite")
-        .option("maxRecordsPerFile", per_file)
-        .option("compression", codec)
-        .partitionBy("_bin_", *spec.names)
-        .parquet(stage)
-    )
+    try:
+        (
+            out.write.mode("overwrite")
+            .option("maxRecordsPerFile", per_file)
+            .option("compression", codec)
+            .partitionBy("_bin_", *spec.names)
+            .parquet(stage)
+        )
+    except Exception:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
 
     # promote: <stage>/_bin_=k/<partition dirs>/file → data/<partition>/file
     moved: list[tuple[int, str, str, dict]] = []  # (bin, abs, rel, partition)

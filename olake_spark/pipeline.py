@@ -216,8 +216,8 @@ def maintenance_roundtrip(
         if with_merge:
             merge_into(t, changes_from_documents(spark, sf_dir))
         log = MaintenanceLog(spark, os.path.join(tmp, "mlog"))
-        run_compaction(t, "rt-compact", log=log, fill_ratio=1.0)
-        run_cluster_rewrite(t, "rt-cluster", curve=curve, log=log)
+        run_compaction(t, "rt-compact", log=log, fill_ratio=1.0, verify=True)
+        run_cluster_rewrite(t, "rt-cluster", curve=curve, log=log, verify=True)
         rewrite_manifests(t, target_entries=64, audit=True)
         run_expire(t, keep_last=1, grace_seconds=0.0)
         rows = [r.asDict() for r in t.scan(columns=SCAN_COLS).collect()]

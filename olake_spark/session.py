@@ -50,10 +50,12 @@ def get_spark(
             "spark.driver.memory",
             os.environ.get("SPARK_DRIVER_MEM", f"{max(8, cpus)}g"),
         )
-        # Image `bytes` rows are fat: cap parquet split sizes so one task never
-        # holds more than ~128MB of encoded pixels (mirrors the reference's
-        # 100-800MB RAM-scaled flush batches, iceberg_utils.go:27-45).
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Image `bytes` rows are fat: small parquet splits keep (a) per-task
+        # memory bounded (the reference's RAM-scaled flush batches,
+        # iceberg_utils.go:27-45) and (b) enough tasks per scan that
+        # Python-stage phases (decode-verify, curve keys) cover every core —
+        # at 128MB an 850MB table yields 8 tasks and idles half the cluster
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         # dynamic-partition writes: concurrent writers instead of the
         # sort-based fallback — the sort path re-materializes every fat row
         # (~2-3x wall on binary-heavy tables)

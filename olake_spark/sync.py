@@ -1,0 +1,200 @@
+"""`sync` — the reference's main verb, re-expressed Spark-first.
+
+OLake's sync = chunked parallel backfill of a source into Iceberg, then CDC
+apply, with chunk-granular resumable state (SURVEY.md §3.1). Here:
+
+- `backfill`: equal-frequency key ranges via approxQuantile (the Spark
+  rendition of splitVector/bucketAuto/numeric-range chunking, S2/S3/S6),
+  ONE staged write of all pending chunks (rows routed to their chunk id),
+  per-chunk-group atomic commits + lineage log; a rerun with the same job_id
+  plans only chunks not yet logged done — the reference's
+  state.SetChunks/RemoveChunk loop (types/state.go:187-230,
+  drivers/abstract/backfill.go:16-68).
+- `apply_cdc_stream`: bounded Structured-Streaming drain of a change feed,
+  each micro-batch applied through MERGE INTO (foreachBatch → merge_into);
+  offsets live in the streaming checkpoint — the WAL/binlog resume cursor
+  (pkg/waljs/waljs.go:139-230).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from olake_spark.checkpoint import MaintenanceLog
+from olake_spark.icelite.stats import collect_file_stats
+from olake_spark.icelite.table import DATA, FileEntry, Table, _parse_partition
+
+
+def plan_chunks(
+    source: DataFrame, key_col: str, n_chunks: int
+) -> list[tuple]:
+    """Equal-frequency half-open key ranges [lo, hi); first lo / last hi are
+    None (unbounded). Sampled boundaries — the splitVector equivalent."""
+    if n_chunks <= 1:
+        return [(None, None)]
+    probs = [i / n_chunks for i in range(1, n_chunks)]
+    bounds = source.select(F.col(key_col).cast("double").alias("_k")).approxQuantile(
+        "_k", probs, 0.001
+    )
+    uniq: list[float] = []
+    for b in bounds:
+        if not uniq or b > uniq[-1]:
+            uniq.append(b)
+    edges = [None, *uniq, None]
+    return [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
+
+
+def _chunk_id(job_id: str, lo, hi) -> str:
+    return f"chunk-{lo}-{hi}"
+
+
+def backfill(
+    table: Table,
+    source: DataFrame,
+    key_col: str,
+    job_id: str,
+    log: MaintenanceLog | None = None,
+    n_chunks: int = 16,
+    max_records_per_file: int | None = None,
+) -> dict:
+    """Chunked, resumable full load of `source` into `table`."""
+    chunks = plan_chunks(source, key_col, n_chunks)
+    done = log.done_chunk_ids(job_id) if log is not None else set()
+    todo = [(lo, hi) for lo, hi in chunks if _chunk_id(job_id, lo, hi) not in done]
+    if log is not None and todo:
+        log.log_planned(
+            job_id, "backfill",
+            [{"chunk_id": _chunk_id(job_id, lo, hi)} for lo, hi in todo],
+        )
+    if not todo:
+        return {"chunks_planned": len(chunks), "chunks_executed": 0,
+                "chunks_skipped": len(chunks)}
+
+    # route each row to its pending chunk; rows of done chunks are filtered
+    # out BEFORE the write (resume re-reads the source but rewrites nothing)
+    k = F.col(key_col).cast("double")
+    cid = F.lit(None).cast("int")
+    cond_any = F.lit(False)
+    for i, (lo, hi) in enumerate(todo):
+        c = F.lit(True)
+        if lo is not None:
+            c = c & (k >= F.lit(lo))
+        if hi is not None:
+            c = c & (k < F.lit(hi))
+        cid = F.when(c & cid.isNull(), F.lit(i)).otherwise(cid)
+        cond_any = cond_any | c
+    df = source.filter(cond_any).withColumn("_chunk_", cid)
+
+    spec = table.spec
+    table.refresh()
+    seq = table.meta["last_sequence_number"] + 1
+    codec = table.meta["properties"].get("write.parquet.compression-codec", "snappy")
+    stage = os.path.join(table.root, "data", f".backfill-{uuid.uuid4().hex}")
+    w = (
+        spec.apply(df)
+        .repartition(max(len(todo), 1), F.col("_chunk_"))
+        .write.mode("overwrite")
+        .option("compression", codec)
+    )
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    try:
+        w.partitionBy("_chunk_", *spec.names).parquet(stage)
+    except Exception:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+
+    moved: list[tuple[int, str, str, dict]] = []
+    for dirpath, _dirs, files in os.walk(stage):
+        rel_dir = os.path.relpath(dirpath, stage)
+        comps = [] if rel_dir == "." else rel_dir.split(os.sep)
+        if not comps or not comps[0].startswith("_chunk_="):
+            continue
+        ci = int(comps[0].split("=", 1)[1])
+        partition = _parse_partition(os.path.join(*comps[1:]) if comps[1:] else ".")
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            dest_dir = (
+                os.path.join(table.root, "data", *comps[1:])
+                if comps[1:]
+                else os.path.join(table.root, "data")
+            )
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = os.path.join(dest_dir, f"{seq:06d}-{uuid.uuid4().hex}.parquet")
+            os.replace(os.path.join(dirpath, name), dest)
+            moved.append((ci, dest, os.path.relpath(dest, table.root), partition))
+    shutil.rmtree(stage, ignore_errors=True)
+
+    stats = collect_file_stats(table.spark, [m[1] for m in moved])
+    per_chunk: dict[int, list[FileEntry]] = {}
+    rows_total = 0
+    for ci, abspath, rel, partition in moved:
+        st = stats[abspath]
+        if st["record_count"] == 0:
+            os.remove(abspath)
+            continue
+        rows_total += st["record_count"]
+        per_chunk.setdefault(ci, []).append(
+            FileEntry(DATA, rel, partition, seq, st["record_count"],
+                      st["file_size_bytes"], st["mins"], st["maxs"],
+                      st["null_counts"])
+        )
+
+    GROUP = 16
+    executed = 0
+    for g in range(0, len(todo), GROUP):
+        group = list(enumerate(todo))[g : g + GROUP]
+        added = [e for i, _ in group for e in per_chunk.get(i, [])]
+        table._commit_snapshot(
+            "append", added,
+            extra_summary={"job_id": job_id,
+                           "chunk_ids": [_chunk_id(job_id, lo, hi)
+                                         for _, (lo, hi) in group]},
+            seq_used=seq,
+        )
+        executed += len(group)
+        if log is not None:
+            log.log_done_many(
+                job_id, "backfill",
+                [{"chunk_id": _chunk_id(job_id, lo, hi),
+                  "rows": sum(e.record_count for e in per_chunk.get(i, []))}
+                 for i, (lo, hi) in group],
+            )
+    return {
+        "chunks_planned": len(chunks),
+        "chunks_executed": executed,
+        "chunks_skipped": len(chunks) - len(todo),
+        "rows_written": rows_total,
+    }
+
+
+def apply_cdc_stream(
+    table: Table,
+    changes_stream: DataFrame,
+    checkpoint_dir: str,
+    keep_deletes: bool = False,
+) -> None:
+    """Drain a bounded change-feed stream, applying each micro-batch with
+    MERGE INTO. availableNow ≙ 'consume up to the position captured at
+    start, then stop' (waljs.go:172-179); the checkpoint dir is the resume
+    cursor."""
+    from olake_spark.operators.merge import merge_into
+
+    def apply(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_into(table, batch_df, keep_deletes=keep_deletes)
+
+    q = (
+        changes_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

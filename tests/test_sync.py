@@ -1,0 +1,81 @@
+"""`sync` verb: chunked resumable backfill + streaming CDC apply."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from olake_spark import datagen
+from olake_spark.checkpoint import MaintenanceLog
+from olake_spark.icelite import PartitionField, PartitionSpec, Table
+from olake_spark.sync import apply_cdc_stream, backfill, plan_chunks
+from olake_spark.verify import row_sets_equal
+
+
+class TestBackfill:
+    def test_full_load_matches_source(self, spark, tmp_table_dir):
+        t = Table.create(
+            spark, os.path.join(tmp_table_dir, "bf"), datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("image_id", "bucket", 2),)),
+            identifier_fields=("image_id",),
+        )
+        src = datagen.gen_images_df(spark, 200)
+        res = backfill(t, src, key_col="phash", job_id="bf1", n_chunks=8)
+        assert res["rows_written"] == 200 and res["chunks_executed"] > 0
+        assert row_sets_equal(
+            src.select("image_id", "phash"), t.scan().select("image_id", "phash")
+        )
+
+    def test_resume_skips_done_chunks(self, spark, tmp_table_dir):
+        t = Table.create(
+            spark, os.path.join(tmp_table_dir, "bf2"), datagen.IMAGES_SCHEMA,
+            identifier_fields=("image_id",),
+        )
+        log = MaintenanceLog(spark, os.path.join(tmp_table_dir, "bflog"))
+        src = datagen.gen_images_df(spark, 150)
+        r1 = backfill(t, src, "phash", "job", log=log, n_chunks=6)
+        assert r1["chunks_executed"] > 0
+        r2 = backfill(t, src, "phash", "job", log=log, n_chunks=6)
+        assert r2["chunks_executed"] == 0
+        assert r2["chunks_skipped"] == r1["chunks_planned"]
+        # no duplicate rows from the rerun
+        assert t.scan().count() == 150
+
+    def test_plan_chunks_cover_domain(self, spark):
+        src = spark.range(1000).select(F.col("id").alias("k"))
+        chunks = plan_chunks(src, "k", 4)
+        assert chunks[0][0] is None and chunks[-1][1] is None
+        assert len(chunks) == 4
+
+
+class TestCdcStream:
+    def test_stream_apply_matches_batch_merge(self, spark, tmp_path):
+        from olake_spark.operators.merge import apply_changes_oracle
+
+        t = Table.create(
+            spark, str(tmp_path / "cdc"), datagen.IMAGES_SCHEMA,
+            identifier_fields=("image_id",),
+        )
+        t.append(datagen.gen_images_df(spark, 100))
+        changes = datagen.gen_changes_df(spark, base_n=100, n_changes=50)
+        feed = str(tmp_path / "feed")
+        # a change LOG is ordered; one file = one in-order batch (cross-batch
+        # resolution is write-order, exactly the reference's equality-delete
+        # semantics — so the log must arrive in log order, as it does from a
+        # real WAL/binlog/change-stream)
+        changes.orderBy("_cdc_timestamp", "image_id").coalesce(1).write.parquet(feed)
+
+        base = t.scan().select("image_id", "caption", "phash")
+        expected = apply_changes_oracle(
+            base,
+            changes.select("image_id", "caption", "phash", "_op_type",
+                           "_cdc_timestamp"),
+            ["image_id"],
+        )
+        stream = (
+            spark.readStream.schema(datagen.CHANGES_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        apply_cdc_stream(t, stream, str(tmp_path / "ckpt"))
+        got = t.scan().select("image_id", "caption", "phash")
+        assert row_sets_equal(expected, got)
