@@ -225,7 +225,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
-    ap.add_argument("--scale-low", type=int, default=8)
+    # N→4N pair defaults to 2→8: this VM advertises 32 vCPUs but pure-CPU
+    # scaling stops at ~16 (SMT + host steal under load); 2 and 8 both sit
+    # below the contention knee, so the pair measures the ENGINE's scaling
+    ap.add_argument("--scale-low", type=int, default=2)
     ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()

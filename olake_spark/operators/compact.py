@@ -351,6 +351,10 @@ def run_compaction(
     def exec_bin(b: Bin) -> tuple[int, int]:
         paths = {f.file_path for f in b.files}
         df = table.scan(snapshot_id=pin_snapshot, file_filter=paths)
+        if verify:
+            from olake_spark.verify import inline_pixel_check
+
+            df = inline_pixel_check(df)
         # rows per output file sized from observed bytes/row of this bin
         avg_row = max(1, b.total_bytes // max(1, b.total_rows))
         per_file = max(1, target_bytes // avg_row)
