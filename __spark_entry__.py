@@ -82,6 +82,14 @@ def _q_s10_snapshot_pinned_scan(spark, sf):
     return pipeline.snapshot_pinned_scan(spark, sf)
 
 
+def _q_sync_backfill_chunked(spark, sf):
+    return pipeline.backfill_roundtrip(spark, sf)
+
+
+def _q_cdc_stream_apply(spark, sf):
+    return pipeline.cdc_stream_roundtrip(spark, sf)
+
+
 def _q_s4_timestamp_chunks(spark, sf):
     # ObjectID-timestamp windowed chunking (S4): hour buckets over events
     e = _tbl(spark, sf, "events")
@@ -334,6 +342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_range_chunk_bounds": _q_s2_range_chunk_bounds,
         "s4_timestamp_chunks": _q_s4_timestamp_chunks,
         "s10_snapshot_pinned_scan": _q_s10_snapshot_pinned_scan,
+        "sync_backfill_chunked": _q_sync_backfill_chunked,
+        "cdc_stream_apply": _q_cdc_stream_apply,
         "s7_ordered_chunk_walk": _q_s7_ordered_chunk_walk,
         "p3_type_coercion": _q_p3_type_coercion,
         "p5_cdc_envelope": _q_p5_cdc_envelope,
@@ -368,6 +378,10 @@ def oracle_sql() -> dict[str, str]:
         "maintenance_merge_cdc": pipeline.roundtrip_oracle_sql(True),
         # isolation: the pinned snapshot ignores the merge that committed after it
         "s10_snapshot_pinned_scan": pipeline.roundtrip_oracle_sql(False),
+        # chunked backfill must load exactly the derivation (and resume as a no-op)
+        "sync_backfill_chunked": pipeline.roundtrip_oracle_sql(False),
+        # bounded streaming CDC apply ends in the same state as batch MERGE
+        "cdc_stream_apply": pipeline.roundtrip_oracle_sql(True),
         "s2_range_chunk_bounds": """
 SELECT chunk, min(o_orderkey) AS chunk_min, max(o_orderkey) AS chunk_max,
        CAST(count(*) AS BIGINT) AS n_rows

@@ -231,6 +231,65 @@ def roundtrip_oracle_sql(with_merge: bool) -> str:
     return _expected_post_merge_sql() if with_merge else derive_images_sql()
 
 
+def backfill_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S6/S7 chunked backfill (sync verb): load the derived image table
+    through `sync.backfill` (equal-frequency phash chunks, per-chunk-group
+    commits, resume log) and scan it back — must equal the pure derivation."""
+    from olake_spark.checkpoint import MaintenanceLog
+    from olake_spark.sync import backfill
+
+    tmp = tempfile.mkdtemp(prefix="olake-bf-")
+    try:
+        t = Table.create(
+            spark,
+            os.path.join(tmp, "images"),
+            datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("image_id", "bucket", 4),)),
+            identifier_fields=("image_id",),
+        )
+        log = MaintenanceLog(spark, os.path.join(tmp, "mlog"))
+        src = images_from_documents(spark, sf_dir)
+        backfill(t, src, key_col="phash", job_id="bf", log=log, n_chunks=8)
+        # resume call proves idempotence inside the gate: nothing re-executes
+        res2 = backfill(t, src, key_col="phash", job_id="bf", log=log, n_chunks=8)
+        assert res2["chunks_executed"] == 0, res2
+        rows = [r.asDict() for r in t.scan(columns=SCAN_COLS).collect()]
+        return spark.createDataFrame(rows, SCAN_SCHEMA)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def cdc_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12-S14 bounded change-feed apply: the change batch is written as an
+    ordered log, drained with availableNow micro-batches, each applied via
+    MERGE INTO; the final scan must equal the batch-merge oracle."""
+    from olake_spark.sync import apply_cdc_stream
+
+    tmp = tempfile.mkdtemp(prefix="olake-cdcs-")
+    try:
+        t = Table.create(
+            spark,
+            os.path.join(tmp, "images"),
+            datagen.IMAGES_SCHEMA,
+            identifier_fields=("image_id",),
+        )
+        t.append(images_from_documents(spark, sf_dir))
+        feed = os.path.join(tmp, "feed")
+        changes_from_documents(spark, sf_dir).orderBy(
+            "_cdc_timestamp", "image_id", "_op_type"
+        ).coalesce(1).write.parquet(feed)
+        stream = (
+            spark.readStream.schema(datagen.CHANGES_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        apply_cdc_stream(t, stream, os.path.join(tmp, "ckpt"))
+        rows = [r.asDict() for r in t.scan(columns=SCAN_COLS).collect()]
+        return spark.createDataFrame(rows, SCAN_SCHEMA)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def snapshot_pinned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10/S11 (SURVEY §2.1): snapshot-isolated reads — the Spark rendition
     of Oracle's `AS OF SCN` flashback scans (pkg/jdbc/jdbc.go:319-357) and
