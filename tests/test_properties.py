@@ -1,0 +1,113 @@
+"""Property-based kernel tests (hypothesis) + skew-balance checks."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from olake_spark.functions import imagecodec as ic
+from olake_spark.functions import zorder as z
+
+i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+dim21 = st.integers(min_value=0, max_value=(1 << 21) - 1)
+
+
+class TestZOrderProperties:
+    @given(st.lists(st.tuples(dim21, dim21, dim21), min_size=1, max_size=50))
+    @settings(max_examples=50, deadline=None)
+    def test_morton_roundtrip_bits(self, pts):
+        a, b, c = (np.array(x, dtype=np.uint64) for x in zip(*pts))
+        m = z.interleave3(a, b, c)
+        # de-interleave and compare: bit j of a is bit 3j+2 of m
+        for j in range(21):
+            assert (((m >> np.uint64(3 * j + 2)) & np.uint64(1))
+                    == ((a >> np.uint64(j)) & np.uint64(1))).all()
+            assert (((m >> np.uint64(3 * j + 1)) & np.uint64(1))
+                    == ((b >> np.uint64(j)) & np.uint64(1))).all()
+            assert (((m >> np.uint64(3 * j)) & np.uint64(1))
+                    == ((c >> np.uint64(j)) & np.uint64(1))).all()
+
+    @given(st.lists(i64, min_size=2, max_size=50, unique=True))
+    @settings(max_examples=30, deadline=None)
+    def test_phash_top_bits_order_preserving(self, vals):
+        v = np.array(sorted(vals), dtype=np.int64)
+        top = z.phash_top_bits(v, 40)
+        assert (np.diff(top.astype(np.int64)) >= 0).all()
+
+    @given(st.integers(min_value=1, max_value=5))
+    @settings(max_examples=5, deadline=None)
+    def test_hilbert_bijective_any_bits(self, bits):
+        side = 1 << bits
+        xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+        coords = np.stack([xs.ravel(), ys.ravel()], axis=1).astype(np.uint64)
+        idx = z.hilbert_index(coords, bits)
+        assert len(np.unique(idx)) == side * side
+
+
+class TestCodecProperties:
+    @given(st.integers(min_value=1, max_value=40),
+           st.integers(min_value=1, max_value=40),
+           st.integers(min_value=0, max_value=2**32 - 1))
+    @settings(max_examples=25, deadline=None)
+    def test_png_roundtrip_any_shape(self, w, h, seed):
+        arr = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8
+        )
+        assert np.array_equal(ic.png_decode(ic.png_encode(arr)), arr)
+
+    @given(st.integers(min_value=8, max_value=64),
+           st.integers(min_value=0, max_value=2**32 - 1))
+    @settings(max_examples=25, deadline=None)
+    def test_lossy_always_above_gate(self, side, seed):
+        arr = np.random.default_rng(seed).integers(
+            0, 256, size=(side, side, 3), dtype=np.uint8
+        )
+        out = ic.decode_image(ic.encode_image(arr, "jpeg"))
+        assert ic.psnr(arr, out) >= 40.0
+
+
+class TestMinhashProperties:
+    @given(st.lists(st.text(alphabet="abcdef ", min_size=1, max_size=12),
+                    min_size=1, max_size=30))
+    @settings(max_examples=20, deadline=None)
+    def test_signature_deterministic_and_set_semantics(self, shingles):
+        from olake_spark.operators.dedup import MINHASH_PERMS, _minhash_sigs
+
+        s1 = _minhash_sigs(pd.Series([shingles]))[0]
+        s2 = _minhash_sigs(pd.Series([list(reversed(shingles)) + shingles]))[0]
+        assert len(s1) == MINHASH_PERMS
+        assert s1 == s2  # order/multiplicity-insensitive (set semantics)
+
+
+class TestClusterSkewBalance:
+    def test_hot_phash_spreads_across_files(self, spark, tmp_table_dir):
+        """20% of rows share the 0xBEEF phash prefix (FIXTURES.md); after a
+        clustered rewrite the hot rows must not all land in one file."""
+        import os
+
+        from olake_spark import datagen
+        from olake_spark.icelite import Table
+        from olake_spark.operators.cluster import run_cluster_rewrite
+        from pyspark.sql import functions as F
+
+        t = Table.create(
+            spark, os.path.join(tmp_table_dir, "skew"), datagen.IMAGES_SCHEMA,
+            identifier_fields=("image_id",),
+        )
+        t.append(datagen.gen_images_df(spark, 500), max_records_per_file=50)
+        run_cluster_rewrite(t, "skew", curve="zorder", target_bytes=64 * 1024)
+        hot = t.scan(with_file_seq=True).filter(
+            F.shiftright(F.col("phash"), 48).bitwiseAND(F.lit(0xFFFF)) == 0xBEEF
+        )
+        # count distinct files holding hot rows via input_file tagging
+        hot_files = (
+            t.scan(with_input_file=True)
+            .filter(
+                F.shiftright(F.col("phash"), 48).bitwiseAND(F.lit(0xFFFF)) == 0xBEEF
+            )
+            .select("_input_file")
+            .distinct()
+            .count()
+        )
+        assert hot.count() == 100
+        assert hot_files >= 2  # salting split the identical-prefix run
