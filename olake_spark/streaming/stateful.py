@@ -1,0 +1,98 @@
+"""Custom stateful streaming operator: cross-batch last-writer-wins dedup.
+
+The reference resolves late/out-of-order change events with the A1 rule —
+keep the newest (`_cdc_timestamp`, then op-priority) row per key — but only
+WITHIN a write batch; across batches it relies on equality deletes
+(IcebergTableOperator.java:70-141 + BaseDeltaTaskWriter.java:50-61). This
+operator lifts the same rule into Structured Streaming state: per key, the
+newest event seen so far is remembered in `applyInPandasWithState`; a batch
+emits a key only when its winning event CHANGES the remembered one — i.e.,
+the stream's output is the minimal change-feed a MERGE INTO needs.
+
+GroupState layout per key: (best_ts_epoch_us, best_priority, payload_json).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (LongType, StringType, StructField, StructType,
+                               TimestampType)
+
+_OP_PRIORITY = {"c": 1, "r": 2, "u": 3, "d": 4}
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("best_ts", LongType()),
+        StructField("best_prio", LongType()),
+        StructField("payload", StringType()),
+    ]
+)
+
+OUT_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("_op_type", StringType()),
+        StructField("_cdc_timestamp", TimestampType()),
+        StructField("payload", StringType()),
+    ]
+)
+
+
+def _dedup_fn(
+    key: Tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    best_ts, best_prio, payload = (
+        state.get if state.exists else (-1, -1, None)
+    )
+    changed = False
+    for b in batches:
+        for ts, op, pl in zip(b["_ts_us"], b["_op_type"], b["_payload"]):
+            ts, prio = int(ts), _OP_PRIORITY.get(op, 0)
+            if (ts, prio) > (best_ts, best_prio):
+                best_ts, best_prio, payload = ts, prio, pl
+                changed = True
+    state.update((best_ts, best_prio, payload))
+    if changed and payload is not None:
+        d = json.loads(payload)
+        yield pd.DataFrame(
+            [
+                {
+                    "image_id": key[0],
+                    "_op_type": d["op"],
+                    "_cdc_timestamp": pd.Timestamp(best_ts, unit="us"),
+                    "payload": payload,
+                }
+            ]
+        )
+
+
+def dedup_stream(changes: DataFrame, key_col: str = "image_id") -> DataFrame:
+    """Stateful cross-batch A1 dedup over a change-event stream."""
+    from pyspark.sql import functions as F
+
+    prepared = changes.select(
+        F.col(key_col).alias("image_id"),
+        F.col("_op_type"),
+        (F.unix_micros(F.col("_cdc_timestamp"))).alias("_ts_us"),
+        F.to_json(
+            F.struct(
+                F.col("_op_type").alias("op"),
+                F.col("caption"),
+                F.col("phash"),
+            )
+        ).alias("_payload"),
+    )
+    return prepared.groupBy("image_id").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
