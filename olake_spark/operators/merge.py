@@ -57,11 +57,17 @@ def op_priority_col(op_col: str = "_op_type"):
 
 def dedup_changes(changes: DataFrame, key_cols: list[str]) -> DataFrame:
     """A1: one row per key — latest `_cdc_timestamp`, ties broken by op
-    priority (DELETE beats UPDATE beats READ beats INSERT), then by a stable
-    total order so the result is deterministic."""
+    priority (DELETE beats UPDATE beats READ beats INSERT), then by a hash
+    of the full row: a (key, ts, op) collision with different payloads still
+    resolves to the SAME winner on every evaluation/plan (the reference's
+    concurrent hash-merge leaves that case arbitrary)."""
+    hashable = [
+        f.name for f in changes.schema.fields if f.dataType.typeName() != "binary"
+    ]
     w = Window.partitionBy(*key_cols).orderBy(
         F.col("_cdc_timestamp").desc(),
         op_priority_col().desc(),
+        F.xxhash64(*[F.col(c) for c in hashable]).desc(),
     )
     return (
         changes.withColumn("_rn", F.row_number().over(w))
