@@ -1,0 +1,132 @@
+"""CLI: the reference's verbs (spec/check/discover/sync + maintenance) as a
+spark-submit-shippable entrypoint (north star: "ships as spark-submit
+--py-files").
+
+    spark-submit --py-files olake_spark.zip -m olake_spark <verb> ...
+    python -m olake_spark check --warehouse /path
+    python -m olake_spark discover --warehouse /path
+    python -m olake_spark maintain --table /path/tbl --ops compact,cluster,expire \
+        --job-id nightly --log /path/_mlog [--verify]
+    python -m olake_spark bench
+
+Verbs mirror protocol/root.go (spec, check, discover, sync) with `maintain`
+as the engine's own addition.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spec() -> dict:
+    """JSON schema of the maintain-job config (the reference's `spec` verb —
+    utils/jsonschema rendered for our config surface)."""
+    return {
+        "type": "object",
+        "properties": {
+            "table": {"type": "string", "description": "icelite table root"},
+            "ops": {
+                "type": "array",
+                "items": {
+                    "enum": ["compact", "cluster", "manifests", "expire", "merge"]
+                },
+            },
+            "job_id": {"type": "string"},
+            "log": {"type": "string", "description": "maintenance-log table root"},
+            "curve": {"enum": ["zorder", "hilbert"], "default": "hilbert"},
+            "target_bytes": {"type": "integer", "default": 536870912},
+            "verify": {"type": "boolean", "default": False},
+            "keep_last": {"type": "integer", "default": 3},
+            "grace_seconds": {"type": "number", "default": 259200},
+        },
+        "required": ["table", "ops", "job_id"],
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="olake_spark")
+    sub = ap.add_subparsers(dest="verb", required=True)
+    sub.add_parser("spec")
+    p = sub.add_parser("check")
+    p.add_argument("--warehouse", required=True)
+    p = sub.add_parser("discover")
+    p.add_argument("--warehouse", required=True)
+    p = sub.add_parser("maintain")
+    p.add_argument("--table", required=True)
+    p.add_argument("--ops", required=True, help="comma list: compact,cluster,manifests,expire")
+    p.add_argument("--job-id", required=True)
+    p.add_argument("--log", default=None)
+    p.add_argument("--curve", default="hilbert")
+    p.add_argument("--target-bytes", type=int, default=None)
+    p.add_argument("--verify", action="store_true")
+    p.add_argument("--keep-last", type=int, default=3)
+    p.add_argument("--grace-seconds", type=float, default=3 * 24 * 3600)
+    sub.add_parser("bench")
+    args = ap.parse_args(argv)
+
+    if args.verb == "spec":
+        print(json.dumps(_spec(), indent=2))
+        return 0
+
+    if args.verb == "bench":
+        from bench import main as bench_main  # repo-root script
+
+        bench_main()
+        return 0
+
+    from olake_spark.session import get_spark
+
+    spark = get_spark(f"olake-{args.verb}")
+    if args.verb == "check":
+        from olake_spark.preflight import preflight
+
+        out = preflight(spark, args.warehouse)
+        print(json.dumps(out))
+        return 0 if out["ok"] else 1
+    if args.verb == "discover":
+        from olake_spark.preflight import discover
+
+        print(json.dumps(discover(spark, args.warehouse), indent=2))
+        return 0
+
+    # maintain
+    from olake_spark.checkpoint import MaintenanceLog
+    from olake_spark.icelite import Table
+    from olake_spark.operators.cluster import run_cluster_rewrite
+    from olake_spark.operators.compact import run_compaction
+    from olake_spark.operators.expire import run_expire
+    from olake_spark.operators.manifests import rewrite_manifests
+
+    table = Table.load(spark, args.table)
+    log = MaintenanceLog(spark, args.log) if args.log else None
+    results: dict = {}
+    for op in args.ops.split(","):
+        op = op.strip()
+        if op == "compact":
+            results[op] = run_compaction(
+                table, args.job_id, log=log, target_bytes=args.target_bytes,
+                verify=args.verify,
+            )
+        elif op == "cluster":
+            results[op] = run_cluster_rewrite(
+                table, args.job_id, curve=args.curve, log=log,
+                target_bytes=args.target_bytes, verify=args.verify,
+            )
+        elif op == "manifests":
+            results[op] = rewrite_manifests(table, audit=True)
+        elif op == "expire":
+            results[op] = run_expire(
+                table, keep_last=args.keep_last,
+                grace_seconds=args.grace_seconds, job_id=args.job_id, log=log,
+            )
+        else:
+            print(f"unknown op {op!r}", file=sys.stderr)
+            return 2
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
