@@ -35,6 +35,9 @@ def _v(spark: SparkSession, sf_dir: str, *names: str):
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # epoch outputs are compared against DuckDB's UTC-based epoch(); pin the
+    # session timezone so the comparison holds under ANY driver session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
