@@ -630,6 +630,64 @@ class Table:
         ents = self.entries(snapshot_id)
         return sum(e.record_count for e in ents if e.content == DATA)
 
+    def add_columns(self, new_fields: list) -> None:
+        """Schema evolution, union-by-name (the reference's
+        updateSchema().unionByNameWith, IcebergTableOperator.java:153-166):
+        append nullable fields; existing data files simply surface nulls for
+        them (scans pass the explicit table schema, so parquet fills missing
+        columns). Additive only — type promotion would follow the reference's
+        LCA lattice and is out of scope for the fixed image schema."""
+
+        def build(meta: dict) -> dict:
+            schema = StructType.fromJson(json.loads(meta["schema_json"]))
+            existing = {f.name for f in schema.fields}
+            for f in new_fields:
+                if f.name in existing:
+                    continue
+                if not f.nullable:
+                    raise ValueError(f"new column {f.name} must be nullable")
+                schema = schema.add(f)
+            new = dict(meta)
+            new["schema_json"] = schema.json()
+            return new
+
+        meta_dir = os.path.join(self.root, "metadata")
+        with self._lock:
+            for _ in range(20):
+                self.refresh()
+                new_meta = build(dict(self.meta))
+                target = os.path.join(
+                    meta_dir, f"v{self._version + 1:05d}.metadata.json"
+                )
+                if not _atomic_create_json(target, new_meta):
+                    continue
+                self._write_hint(meta_dir, self._version + 1)
+                self._meta, self._version = new_meta, self._version + 1
+                return
+            raise CommitConflict("add_columns: too many retries")
+
+    def rollback_to(self, snapshot_id: int) -> dict:
+        """Point current back to an earlier (still-retained) snapshot —
+        metadata-only undo of any maintenance commit; the abandoned files
+        become orphans for the reaper."""
+        target_snap = self.snapshot(snapshot_id)  # raises if expired
+
+        def build(meta: dict) -> dict:
+            snap_id = meta["last_snapshot_id"] + 1
+            new = dict(meta)
+            new["last_snapshot_id"] = snap_id
+            new["current_snapshot_id"] = snap_id
+            new["snapshots"] = meta["snapshots"] + [
+                self._snapshot_dict(
+                    meta, snap_id, target_snap["sequence_number"], "rollback",
+                    list(target_snap["manifests"]),
+                    {"rolled-back-to": snapshot_id},
+                )
+            ]
+            return new
+
+        return self._commit(build)
+
     def expire_snapshots(self, keep_last: int = 1, older_than_ms: int | None = None) -> dict:
         """Drop old snapshots from metadata (current always kept). Data/delete/
         manifest files become orphans, reaped by `remove_orphan_files`."""
