@@ -277,6 +277,7 @@ def _q_text_quality(spark, sf):
     return d.select(
         "doc_id",
         T.token_count_col("text").alias("n_tokens"),
+        T.bpe_token_count_col("text").alias("n_bpe_tokens"),
         T.avg_token_len_ppm_col("text").alias("avg_token_len_ppm"),
         T.stopword_ratio_ppm_col("text").alias("stopword_ratio_ppm"),
         T.quality_score_ppm_col("text").alias("quality_ppm"),
@@ -482,6 +483,7 @@ WHERE {cos('a.embedding', 'b.embedding')} >= {COSINE_PPM}
         "text_quality": f"""
 SELECT doc_id,
        {T.token_count_sql('text')} AS n_tokens,
+       {T.bpe_token_count_sql('text')} AS n_bpe_tokens,
        {T.avg_token_len_ppm_sql('text')} AS avg_token_len_ppm,
        {T.stopword_ratio_ppm_sql('text')} AS stopword_ratio_ppm,
        {T.quality_score_ppm_sql('text')} AS quality_ppm

@@ -35,6 +35,20 @@ def token_count_sql(text: str) -> str:
     return f"CAST(len(string_split({text}, ' ')) AS BIGINT)"
 
 
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def bpe_token_count_col(text: str) -> Column:
+    """BPE-ish subword proxy: runs of letters, runs of digits, and individual
+    punctuation each count as one token (the pre-tokenization split every
+    BPE vocabulary starts from)."""
+    return F.expr(f"regexp_count({text}, '{_BPE_RE}')").cast("long")
+
+
+def bpe_token_count_sql(text: str) -> str:
+    return f"CAST(len(regexp_extract_all({text}, '{_BPE_RE}')) AS BIGINT)"
+
+
 # ----------------------------------------------------------- quality score
 
 
