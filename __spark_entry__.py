@@ -334,9 +334,16 @@ def _q_ann_lsh_topk(spark, sf):
 
 
 def _q_multimodal_decode_stats(spark, sf):
+    # gate projection = the SQL-expressible subset: decode_ok is provable
+    # (every derived image decodes) and n_pixels must equal w*h from the
+    # derivation. The float channel means stay in the operator (pytest +
+    # the in-stream maintenance verify cover them) but out of the oracle
+    # hash, which compares integers only.
     from olake_spark.operators.multimodal import decode_stats
 
-    return decode_stats(pipeline.images_from_documents(spark, sf))
+    return decode_stats(pipeline.images_from_documents(spark, sf)).select(
+        "image_id", "decode_ok", "n_pixels"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -365,10 +372,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_text_lang_id,
         "text_fingerprint": _q_text_fingerprint,
         "stream_windowed_counts": _q_stream_windowed_counts,
-        # rows-only (no SQL-expressible oracle):
         "dedup_simhash": _q_dedup_simhash,
-        "ann_lsh_topk": _q_ann_lsh_topk,
         "multimodal_decode_stats": _q_multimodal_decode_stats,
+        # rows-only (no SQL-expressible oracle): LSH top-k is approximate by
+        # design — its guarantee is the recall property test vs brute force
+        "ann_lsh_topk": _q_ann_lsh_topk,
     }
 
 
@@ -449,11 +457,15 @@ SELECT CAST(count(DISTINCT md5(concat_ws('|', CAST(event_id AS STRING),
        CAST(count(*) AS BIGINT) AS total_rows
 FROM events
 """,
+        # DuckDB widens sum(BIGINT) to HUGEINT (int128), which round-trips
+        # through the driver's arrow/pandas compare as float — re-narrow to
+        # BIGINT so the typed value-hash matches Spark's bigint
         "a4_partition_stats": """
 SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
        min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
        CAST(count(*) AS BIGINT) AS n_rows,
-       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS price_cents
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
 FROM lineitem GROUP BY 1
 """,
         "o4_topk": """
@@ -499,5 +511,14 @@ SELECT doc_id, {T.fingerprint_sql('text')} AS fingerprint FROM documents
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
        event_type, CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY 1, 2
+""",
+        "dedup_simhash": dedup.simhash_pairs_sql(
+            "documents", "doc_id", "text", max_hamming=3
+        ),
+        # partial oracle: decode_ok + n_pixels are provable from the
+        # derivation (w*h); pixel contents are covered by the PSNR verify
+        "multimodal_decode_stats": f"""
+SELECT image_id, TRUE AS decode_ok, CAST(w * h AS BIGINT) AS n_pixels
+FROM ({pipeline.derive_images_sql()})
 """,
     }

@@ -233,52 +233,68 @@ def minhash_lsh_pairs(
 
 # ----------------------------------------------------------------- SimHash
 
-
-def _simhash64(token_lists: pd.Series) -> pd.Series:
-    """64-bit SimHash per row: signed bit-vote over crc32⊕spread token hashes."""
-    out = np.zeros(len(token_lists), dtype=np.int64)
-    for i, toks in enumerate(token_lists):
-        if toks is None or len(toks) == 0:
-            continue
-        h32 = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
-        # widen 32→64 bits with a splitmix-style mix (vectorized)
-        h = h32 * np.uint64(0x9E3779B97F4A7C15)
-        h ^= h >> np.uint64(29)
-        h *= np.uint64(0xBF58476D1CE4E5B9)
-        h ^= h >> np.uint64(32)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.int64
-        )
-        votes = (2 * bits - 1).sum(axis=0)
-        v = np.uint64(0)
-        for j in np.nonzero(votes > 0)[0]:
-            v |= np.uint64(1) << np.uint64(j)
-        out[i] = np.int64(v.astype(np.int64))
-    return pd.Series(out)
+# 60-bit SimHash (15 hex chars of md5 per token — the widest md5 prefix that
+# is expressible as a non-negative BIGINT in both Spark and DuckDB, making
+# the whole operator pure-Catalyst AND exactly oracle-able). 4 bands × 15
+# bits: a pair within Hamming distance ≤ 3 disagrees in at most 3 bands, so
+# it MUST agree on ≥1 band (pigeonhole) — band blocking is exact, not
+# probabilistic, and the banded output equals the brute-force O(n²) oracle.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
 
 
-simhash_udf = pandas_udf(_simhash64, LongType())
+def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sh) with sh = 60-bit SimHash: per-bit majority vote over the
+    md5-derived token hashes. Entirely JVM-side: explode → 60 conditional
+    SUMs with map-side partial aggregation (one shuffle on the doc id) —
+    no Python in the path, scale-safe at corpus size."""
+    h = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    ).select(
+        "id",
+        F.expr("CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)").alias("hv"),
+    )
+    votes = h.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(hv, {j}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    combine = " + ".join(
+        f"IF(v{j} > 0, CAST({1 << j} AS BIGINT), CAST(0 AS BIGINT))"
+        for j in range(SIMHASH_BITS)
+    )
+    return votes.select("id", F.expr(combine).alias("sh"))
 
 
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-dup pairs: 4×16-bit band blocking (a pair within Hamming
-    distance ≤ 4 must agree on ≥1 band), verified with exact popcount
-    (JVM-side bit_count). Returns (id_a, id_b, hamming)."""
-    hs = df.select(
-        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("toks")
-    ).withColumn("sh64", simhash_udf(F.col("toks")))
+    """SimHash near-dup pairs: 4×15-bit band blocking, then exact popcount
+    verification (JVM `bit_count`). Returns (id_a, id_b, hamming) for every
+    pair with Hamming distance ≤ max_hamming — EXACTLY (for max_hamming < 4
+    the pigeonhole guarantee makes blocking lossless; see module constants),
+    which is why the brute-force SQL oracle applies."""
+    if max_hamming >= SIMHASH_BANDS:
+        raise ValueError(
+            f"band blocking is exact only for max_hamming < {SIMHASH_BANDS}"
+        )
+    hs = simhash_df(df, id_col, text_col)
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
     bands = hs.select(
         "id",
-        "sh64",
+        "sh",
         F.explode(
             F.expr(
-                "transform(sequence(0, 3), "
-                "b -> struct(b AS band, shiftright(sh64, b * 16) & 65535 AS key))"
+                f"transform(sequence(0, {SIMHASH_BANDS - 1}), b -> struct(b AS "
+                f"band, shiftright(sh, b * {_SIMHASH_BAND_BITS}) & {mask} AS key))"
             )
         ).alias("bk"),
-    ).select("id", "sh64", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     return (
         bands.alias("a")
         .join(
@@ -290,11 +306,41 @@ def simhash_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.sh64").bitwiseXOR(F.col("b.sh64"))).alias("hamming"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+            .cast("long")
+            .alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_pairs_sql(
+    table: str, id_col: str, text_col: str, max_hamming: int = 3
+) -> str:
+    """DuckDB oracle twin of :func:`simhash_pairs`: the SAME 60-bit md5
+    SimHash, compared brute-force over all O(n²) pairs — band blocking being
+    exact (pigeonhole), the outputs must be identical."""
+    hv = "CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)"
+    votes = ", ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (SELECT {id_col} AS id, unnest(string_split({text_col}, ' ')) AS t
+             FROM {table}),
+h AS (SELECT id, {hv} AS hv FROM tok),
+votes AS (SELECT id, {votes} FROM h GROUP BY id),
+sh AS (SELECT id, CAST({combine} AS BIGINT) AS sh FROM votes)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
 
 
 # ------------------------------------------------- embedding cosine near-dup

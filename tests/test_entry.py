@@ -25,15 +25,34 @@ def _duck(sql: str):
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     rel = con.sql(sql)
-    cols, rows = rel.columns, rel.fetchall()
+    # fetch through pandas like the driver's typed-value hash does — this is
+    # what exposes e.g. DuckDB HUGEINT widening (sum(BIGINT)→int128→float64)
+    # that plain fetchall() hides by returning Python ints
+    pdf = rel.fetchdf()
+    cols = list(pdf.columns)
+    rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
     con.close()
     return cols, rows
 
 
 def _norm(v):
+    import numpy as np
+
+    if isinstance(v, (np.integer,)):
+        v = int(v)
+    elif isinstance(v, (np.floating,)):
+        v = float(v)
+    elif isinstance(v, np.bool_):
+        v = bool(v)
+    # tag the python type: the driver hashes TYPED values, so an int column
+    # that comes back float (or vice versa) must fail locally too
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
-        return round(v, 9)
-    return v
+        return ("f", round(v, 9))
+    if isinstance(v, int):
+        return ("i", v)
+    return ("o", v)
 
 
 def _rowset(cols, rows):
