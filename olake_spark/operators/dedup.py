@@ -377,17 +377,96 @@ def cosine_ppm_sql(a: str, b: str) -> str:
 
 
 def embedding_near_dup(
-    df: DataFrame, id_col: str, vec_col: str, threshold_ppm: int = 950_000
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold_ppm: int = 950_000,
+    n_blocks: int = 16,
 ) -> DataFrame:
-    """Cosine near-duplicate pairs ≥ threshold. Exact all-pairs within
-    id-range blocks (the baseline); at corpus scale the candidate set comes
-    from LSH bucketing (see operators.ann.lsh_buckets) instead of the full
-    self-join."""
+    """EXACT cosine near-duplicate pairs ≥ threshold, without a cartesian
+    join in the plan.
+
+    Low thresholds admit no lossless LSH (at 0.4 the hyperplane agreement
+    probability is 0.63/plane — any banding misses real pairs), so exactness
+    requires comparing every pair. The trick is HOW: ids hash into
+    `n_blocks` disjoint blocks; the B(B+1)/2 unordered block pairs become
+    cogroup keys, and each task runs ONE normalized BLAS matmul over its two
+    blocks, emitting only candidate id pairs above `threshold - margin`.
+    Candidates are then re-scored with the deterministic fold expression
+    (`cosine_ppm_expr`) so the output is bit-identical to the all-pairs
+    oracle — the matmul (whose summation order differs) only ever *finds*
+    pairs, never *scores* them; its 1e-7 margin dwarfs the ~1e-15 float
+    discrepancy, so no qualifying pair can be missed.
+
+    Scale: O(n²) FLOPs are inherent to exact low-threshold similarity, but
+    they run as vectorized BLAS inside Arrow batches (not a per-pair Catalyst
+    fold over n² rows), work is spread evenly over B(B+1)/2 independent
+    tasks, and the shuffle moves O(n·B) vectors instead of materializing n²
+    join rows. For 10^9-vector corpora use a real threshold (≥0.9) and the
+    approximate LSH path (operators.ann.lsh_buckets / knn_lsh) instead.
+    """
+    spark = df.sparkSession
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    blk = v.withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(n_blocks)).cast("int")
+    )
+    pairs = [
+        (p, i, j)
+        for p, (i, j) in enumerate(
+            (i, j) for i in range(n_blocks) for j in range(i, n_blocks)
+        )
+    ]
+    pair_blocks = {p: (i, j) for p, i, j in pairs}
+    pair_df = spark.createDataFrame(pairs, "pid int, bi int, bj int")
+    left = (
+        blk.alias("L")
+        .join(F.broadcast(pair_df.alias("PL")), F.col("L._blk") == F.col("PL.bi"))
+        .select(F.col("PL.pid").alias("pid"), F.col("L.id").alias("id"),
+                F.col("L.v").alias("v"))
+    )
+    right = (
+        blk.alias("R")
+        .join(F.broadcast(pair_df.alias("PR")), F.col("R._blk") == F.col("PR.bj"))
+        .select(F.col("PR.pid").alias("pid"), F.col("R.id").alias("id"),
+                F.col("R.v").alias("v"))
+    )
+    # find-threshold with margin: floor(cos*1e6) >= t  <=>  cos >= t/1e6
+    thr = threshold_ppm / float(PPM) - 1e-7
+
+    def find(key, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="object"),
+                              "id_b": pd.Series(dtype="object")})
+        if l.empty or r.empty:
+            return empty
+        bi, bj = pair_blocks[int(key[0])]
+        A = np.stack(l["v"].to_numpy()).astype(np.float64)
+        B = np.stack(r["v"].to_numpy()).astype(np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        C = A @ B.T
+        ia, jb = np.nonzero(C >= thr)
+        ids_a = l["id"].to_numpy()[ia]
+        ids_b = r["id"].to_numpy()[jb]
+        if bi == bj:  # self pair: keep strict upper triangle only
+            keep = ids_a < ids_b
+            ids_a, ids_b = ids_a[keep], ids_b[keep]
+        else:  # cross pair: each unordered pair appears once; orient it
+            lo = np.minimum(ids_a, ids_b)
+            hi = np.maximum(ids_a, ids_b)
+            ids_a, ids_b = lo, hi
+        return pd.DataFrame({"id_a": ids_a, "id_b": ids_b})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    cand = (
+        left.groupBy("pid")
+        .cogroup(right.groupBy("pid"))
+        .applyInPandas(find, f"id_a {id_type}, id_b {id_type}")
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos_ppm", cosine_ppm_expr("va", "vb"))
         .filter(F.col("cos_ppm") >= threshold_ppm)
         .select("id_a", "id_b", "cos_ppm")

@@ -88,3 +88,22 @@ class TestOperatorPlans:
         plan = plan_of(dedup_exact(d, "doc_id", "text"))
         # map-side partial agg before the exchange (two HashAggregate levels)
         assert plan.count("HashAggregate") >= 2
+
+    def test_embedding_near_dup_has_no_cartesian(self, spark):
+        # the scale-killer fixed in round 2: the exact near-dup pair search
+        # must run as blocked cogrouped matmuls, never an n×n join
+        from olake_spark.operators.dedup import embedding_near_dup
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        df = embedding_near_dup(emb, "vec_id", "embedding", 400_000)
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "FlatMapCoGroupsInPandas" in plan
+
+    def test_simhash_is_pure_catalyst(self, spark):
+        from olake_spark.operators.dedup import simhash_pairs
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = plan_of(simhash_pairs(d, "doc_id", "text"))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
