@@ -235,13 +235,12 @@ def minhash_lsh_pairs(
 
 # 60-bit SimHash (15 hex chars of md5 per token — the widest md5 prefix that
 # is expressible as a non-negative BIGINT in both Spark and DuckDB, making
-# the whole operator pure-Catalyst AND exactly oracle-able). 4 bands × 15
-# bits: a pair within Hamming distance ≤ 3 disagrees in at most 3 bands, so
-# it MUST agree on ≥1 band (pigeonhole) — band blocking is exact, not
-# probabilistic, and the banded output equals the brute-force O(n²) oracle.
+# the whole operator pure-Catalyst AND exactly oracle-able). Band blocking
+# uses max_hamming+1 bands: a pair within distance ≤ max_hamming disagrees
+# in at most max_hamming bands so it MUST agree on ≥1 (pigeonhole) — the
+# blocking is exact, not probabilistic, and the banded output equals the
+# brute-force O(n²) oracle.
 SIMHASH_BITS = 60
-SIMHASH_BANDS = 4
-_SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
 
 
 def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -274,24 +273,34 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-dup pairs: 4×15-bit band blocking, then exact popcount
-    verification (JVM `bit_count`). Returns (id_a, id_b, hamming) for every
-    pair with Hamming distance ≤ max_hamming — EXACTLY (for max_hamming < 4
-    the pigeonhole guarantee makes blocking lossless; see module constants),
-    which is why the brute-force SQL oracle applies."""
-    if max_hamming >= SIMHASH_BANDS:
-        raise ValueError(
-            f"band blocking is exact only for max_hamming < {SIMHASH_BANDS}"
-        )
+    """SimHash near-dup pairs: band blocking with `max_hamming + 1` bands
+    (a pair within Hamming distance ≤ max_hamming disagrees in at most
+    max_hamming bands, so it MUST agree on ≥1 — pigeonhole, lossless), then
+    exact popcount verification (JVM `bit_count`). Returns
+    (id_a, id_b, hamming) for every pair with distance ≤ max_hamming —
+    EXACTLY, which is why the brute-force SQL oracle applies."""
+    n_bands = max_hamming + 1
+    if n_bands > SIMHASH_BITS:
+        raise ValueError(f"max_hamming must be < {SIMHASH_BITS}")
+    base, rem = divmod(SIMHASH_BITS, n_bands)
+    offs, o = [], 0
+    for b in range(n_bands):
+        w = base + (1 if b < rem else 0)
+        offs.append((b, o, (1 << w) - 1))
+        o += w
     hs = simhash_df(df, id_col, text_col)
-    mask = (1 << _SIMHASH_BAND_BITS) - 1
     bands = hs.select(
         "id",
         "sh",
         F.explode(
-            F.expr(
-                f"transform(sequence(0, {SIMHASH_BANDS - 1}), b -> struct(b AS "
-                f"band, shiftright(sh, b * {_SIMHASH_BAND_BITS}) & {mask} AS key))"
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"shiftright(sh, {off}) & {mask}").alias("key"),
+                    )
+                    for b, off, mask in offs
+                ]
             )
         ).alias("bk"),
     ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))

@@ -111,3 +111,30 @@ class TestClusterSkewBalance:
         )
         assert hot.count() == 100
         assert hot_files >= 2  # salting split the identical-prefix run
+
+
+class TestAnnLshRecall:
+    def test_knn_lsh_recall_on_planted_neighbors(self, spark):
+        """Multi-table LSH must recover ≥90% of true near neighbors
+        (cos ≈ 0.99 planted twins) — the regime ANN indexes exist for.
+        Deterministic seed → deterministic recall; 16 planes × 4 tables is
+        the documented scale configuration, not a toy one."""
+        from olake_spark.operators.ann import knn_lsh
+
+        rng = np.random.default_rng(42)
+        dim, n, nq = 16, 200, 50
+        base = rng.standard_normal((n, dim)).astype(np.float32)
+        q = base[:nq] + 0.05 * rng.standard_normal((nq, dim)).astype(np.float32)
+        corpus = spark.createDataFrame(
+            [(i, base[i].tolist()) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+        queries = spark.createDataFrame(
+            [(1000 + i, q[i].tolist()) for i in range(nq)],
+            "vec_id long, embedding array<float>",
+        )
+        res = knn_lsh(corpus, queries, "vec_id", "embedding", dim=dim, k=1,
+                      n_planes=16, n_tables=4)
+        got = {r.query_id: r.neighbor_id for r in res.collect()}
+        hits = sum(1 for i in range(nq) if got.get(1000 + i) == i)
+        assert hits >= int(0.9 * nq), f"LSH recall {hits}/{nq} < 0.9"
