@@ -535,7 +535,15 @@ class Table:
         removed_paths: set[str] | None = None,
         extra_summary: dict | None = None,
         seq_used: int | None = None,
+        known_delete_paths: set[str] | None = None,
     ) -> dict:
+        """`known_delete_paths`: when set, the commit validates that no
+        equality-delete file beyond that set exists in the fresh base — the
+        validateNoNewDeleteFiles guard a rewrite needs: rows it re-writes get
+        a NEW sequence number, so a delete committed concurrently (which only
+        kills strictly-older files) would silently resurrect them. On
+        violation the commit raises CommitConflict; the caller re-plans from
+        fresh metadata (re-running the bin re-reads the post-delete state)."""
         removed_paths = removed_paths or set()
 
         def build(meta: dict) -> dict:
@@ -546,6 +554,19 @@ class Table:
                 None,
             )
             manifests = list(cur["manifests"]) if cur else []
+            if known_delete_paths is not None and cur is not None:
+                live_dels = {
+                    e.file_path
+                    for m in manifests
+                    for e in _read_manifest(self._abs(m))
+                    if e.content == EQ_DELETES
+                }
+                new_dels = live_dels - known_delete_paths
+                if new_dels:
+                    raise CommitConflict(
+                        f"concurrent equality-delete commit(s) {sorted(new_dels)[:3]} "
+                        f"would be invalidated by this rewrite — re-run it"
+                    )
             if removed_paths:
                 live = set()
                 keep: list[str] = []
@@ -609,10 +630,12 @@ class Table:
         self, removed_paths: Iterable[str], added: list[FileEntry],
         op: str = "replace", extra_summary: dict | None = None,
         seq_used: int | None = None,
+        known_delete_paths: set[str] | None = None,
     ) -> dict:
         """Atomically swap file sets (compaction / clustering commit)."""
         return self._commit_snapshot(
-            op, added, set(removed_paths), extra_summary, seq_used=seq_used
+            op, added, set(removed_paths), extra_summary, seq_used=seq_used,
+            known_delete_paths=known_delete_paths,
         )
 
     # -------------------------------------------------- maintenance helpers

@@ -62,7 +62,11 @@ def run_cluster_rewrite(
             )
         )
     snap_before = table.current_snapshot_id
-    data_entries = [e for e in table.entries() if e.content == DATA]
+    entries = table.entries()
+    data_entries = [e for e in entries if e.content == DATA]
+    # rewrite guard: a delete committed after this pin must conflict, not be
+    # silently out-raced by the re-sequenced rows (see Table._commit_snapshot)
+    pinned_dels = {e.file_path for e in entries if e.content != DATA}
     if not data_entries:
         return {"files_in": 0, "files_out": 0, "rows": 0}
     total_bytes = sum(e.file_size_bytes for e in data_entries)
@@ -128,6 +132,7 @@ def run_cluster_rewrite(
     snap = table.rewrite_files(
         {e.file_path for e in data_entries}, added, op="cluster",
         extra_summary={"job_id": job_id, "curve": curve}, seq_used=seq,
+        known_delete_paths=pinned_dels,
     )
     if log is not None:
         log.log_done(

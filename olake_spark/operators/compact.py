@@ -134,6 +134,7 @@ def _run_bulk(
     pin_snapshot: int,
     snap_before: int,
     verify: bool = False,
+    pinned_delete_paths: set[str] | None = None,
 ) -> dict:
     """One-job executor: see run_compaction (mode='bulk')."""
     import os
@@ -157,7 +158,17 @@ def _run_bulk(
     df = table.scan(
         snapshot_id=pin_snapshot, file_filter=rel_paths, with_input_file=True
     )
-    df = df.join(F.broadcast(mapping), "_input_file").drop("_input_file")
+    # left join + raise_error: a path-representation mismatch between
+    # input_file_name() and the planned bin map must FAIL the rewrite, never
+    # silently drop rows while the commit still removes their source files
+    df = df.join(F.broadcast(mapping), "_input_file", "left").drop("_input_file")
+    df = df.withColumn(
+        "_bin_",
+        F.expr(
+            "coalesce(_bin_, CAST(raise_error('compaction: scanned row from a "
+            "file missing in the bin map — path normalization drift') AS BIGINT))"
+        ),
+    )
     if verify:
         # verified rewrite: decode every image in-stream and fail the task on
         # corruption (north star: "correctness verified against decoded
@@ -247,6 +258,7 @@ def _run_bulk(
                 "chunk_ids": [b.chunk_id for _, b in group],
             },
             seq_used=seq,
+            known_delete_paths=pinned_delete_paths,
         )
         executed += len(group)
         rows_out += sum(e.record_count for e in added)
@@ -332,6 +344,15 @@ def run_compaction(
         )
 
     pin_snapshot = table.current_snapshot_id
+    # validateNoNewDeleteFiles guard: rewrites re-seq their rows, so a delete
+    # that commits between this pin and our commit would silently miss them —
+    # the commit must conflict instead (ADVICE round 1; Iceberg's
+    # RewriteFiles.validateNoNewDeleteFiles semantics)
+    pinned_dels = {
+        e.file_path
+        for e in table.entries(pin_snapshot)
+        if e.content != DATA
+    }
     skipped = sum(1 for b in bins if b.chunk_id in done)
     todo = [b for b in bins if b.chunk_id not in done]
     if stop_after_bins is not None:
@@ -340,7 +361,7 @@ def run_compaction(
     if mode == "bulk" and len(todo) > 1 and stop_after_bins is None:
         res = _run_bulk(
             table, job_id, log, todo, target_bytes, pin_snapshot, snap_before,
-            verify=verify,
+            verify=verify, pinned_delete_paths=pinned_dels,
         )
         res["bins_skipped"] = skipped
         res["delete_files_purged"] = (
@@ -370,6 +391,7 @@ def run_compaction(
             paths, added, op="compact",
             extra_summary={"job_id": job_id, "chunk_id": b.chunk_id},
             seq_used=seq,
+            known_delete_paths=pinned_dels,
         )
         if log is not None:
             log.log_done(

@@ -22,8 +22,31 @@ from __future__ import annotations
 
 import json
 
-from olake_spark.icelite.stats import footer_stats
-from olake_spark.icelite.table import DATA, FileEntry, Table
+from olake_spark.icelite.stats import collect_file_stats
+from olake_spark.icelite.table import DATA, FileEntry, Table, _read_manifest
+
+
+def _group_entries(
+    entries: list[FileEntry], target_entries: int
+) -> list[list[FileEntry]]:
+    def sort_key(e: FileEntry):
+        ph = e.mins.get("phash")
+        return (
+            json.dumps(e.partition, sort_keys=True),
+            e.content,
+            ph if isinstance(ph, int) else 0,
+            e.file_path,
+        )
+
+    groups: list[list[FileEntry]] = []
+    cur_part = object()
+    for e in sorted(entries, key=sort_key):
+        pj = json.dumps(e.partition, sort_keys=True)
+        if pj != cur_part or len(groups[-1]) >= target_entries:
+            groups.append([])
+            cur_part = pj
+        groups[-1].append(e)
+    return groups
 
 
 def rewrite_manifests(
@@ -33,15 +56,18 @@ def rewrite_manifests(
     entries = table.entries()
     if not entries:
         return {"manifests_before": 0, "manifests_after": 0, "entries": 0}
-    snap = table.snapshot()
-    n_before = len(snap["manifests"])
 
     audited = 0
     if audit:
-        for e in entries:
-            if e.content != DATA:
-                continue
-            st = footer_stats(table._abs(e.file_path))
+        # distributed audit: ONE footer-stats harvest over every data file
+        # (driver thread pool below 512 files, executor RDD above — see
+        # collect_file_stats) instead of a serial per-file driver loop
+        data_entries = [e for e in entries if e.content == DATA]
+        stats = collect_file_stats(
+            table.spark, [table._abs(e.file_path) for e in data_entries]
+        )
+        for e in data_entries:
+            st = stats[table._abs(e.file_path)]
             if st["record_count"] != e.record_count:
                 raise AssertionError(
                     f"manifest stats drift for {e.file_path}: "
@@ -56,28 +82,33 @@ def rewrite_manifests(
                     )
             audited += 1
 
-    def sort_key(e: FileEntry):
-        ph = e.mins.get("phash")
-        return (
-            json.dumps(e.partition, sort_keys=True),
-            e.content,
-            ph if isinstance(ph, int) else 0,
-            e.file_path,
-        )
-
-    ordered = sorted(entries, key=sort_key)
-    groups: list[list[FileEntry]] = []
-    cur_part = object()
-    for e in ordered:
-        pj = json.dumps(e.partition, sort_keys=True)
-        if pj != cur_part or len(groups[-1]) >= target_entries:
-            groups.append([])
-            cur_part = pj
-        groups[-1].append(e)
+    # entries/groups are re-derived INSIDE build() from each attempt's fresh
+    # base: on a conflict retry, a concurrent commit's file set must be
+    # regrouped, not reverted to this function's planning-time view (the
+    # rebuild-from-fresh-base contract _commit_snapshot already follows)
+    out: dict = {}
 
     def build(meta: dict) -> dict:
+        cur = next(
+            (
+                s
+                for s in meta["snapshots"]
+                if s["snapshot_id"] == meta["current_snapshot_id"]
+            ),
+            None,
+        )
+        cur_manifests = list(cur["manifests"]) if cur else []
+        fresh: list[FileEntry] = []
+        for m in cur_manifests:
+            fresh.extend(_read_manifest(table._abs(m)))
+        groups = _group_entries(fresh, target_entries)
         new_manifests = [table._new_manifest(g) for g in groups]
         snap_id = meta["last_snapshot_id"] + 1
+        out.update(
+            manifests_before=len(cur_manifests),
+            manifests_after=len(new_manifests),
+            entries=len(fresh),
+        )
         new = dict(meta)
         new["last_snapshot_id"] = snap_id
         new["current_snapshot_id"] = snap_id
@@ -89,18 +120,13 @@ def rewrite_manifests(
                 "rewrite-manifests",
                 new_manifests,
                 {
-                    "manifests-before": n_before,
+                    "manifests-before": len(cur_manifests),
                     "manifests-after": len(new_manifests),
-                    "entries": len(entries),
+                    "entries": len(fresh),
                 },
             )
         ]
         return new
 
     table._commit(build)
-    return {
-        "manifests_before": n_before,
-        "manifests_after": len(groups),
-        "entries": len(entries),
-        "audited": audited,
-    }
+    return {**out, "audited": audited}

@@ -63,3 +63,62 @@ class TestConcurrentMaintenance:
         # pinned reader still materializes the old snapshot exactly
         assert pinned_df.count() == 200
         assert t.snapshot(pin) is not None
+
+
+class TestRewriteDeleteConflict:
+    def test_rewrite_conflicts_on_concurrent_delete(self, spark, tmp_table_dir):
+        """A rewrite planned before an equality delete lands must CONFLICT at
+        commit, not silently resurrect the deleted rows (the rewrite's new
+        files get a fresh seq, escaping the delete's strictly-older scope)."""
+        import pytest
+
+        from olake_spark.icelite.table import DATA, CommitConflict
+
+        t = Table.create(
+            spark, os.path.join(tmp_table_dir, "delc"), datagen.IMAGES_SCHEMA,
+            identifier_fields=("image_id",),
+        )
+        t.append(datagen.gen_images_df(spark, 30))
+        pin_dels = {e.file_path for e in t.entries() if e.content != DATA}
+        victim = [e.file_path for e in t.entries() if e.content == DATA][0]
+        # concurrent merge lands a delete between pin and commit
+        t.row_delta(None, spark.createDataFrame([("img-000000000001",)],
+                                                ["image_id"]))
+        with pytest.raises(CommitConflict, match="equality-delete"):
+            t.rewrite_files({victim}, [], known_delete_paths=pin_dels)
+        # without the guard the same commit goes through (legacy behavior)
+        t.rewrite_files({victim}, [])
+
+    def test_rewrite_manifests_absorbs_concurrent_appends(self, spark, tmp_table_dir):
+        """Manifest rewrites racing appends must regroup from each retry's
+        fresh base — a concurrent append's files may never be dropped."""
+        from olake_spark.operators.manifests import rewrite_manifests
+
+        t = Table.create(
+            spark, os.path.join(tmp_table_dir, "mfc"), datagen.IMAGES_SCHEMA,
+            identifier_fields=("image_id",),
+        )
+        t.append(datagen.gen_images_df(spark, 50))
+        t2 = Table.load(spark, t.root)
+        errors: list[Exception] = []
+
+        def appender():
+            try:
+                for k in range(4):
+                    t2.append(
+                        datagen.gen_images_df(spark, 10).withColumn(
+                            "image_id",
+                            F.concat(F.lit(f"mf{k}-"), F.col("image_id")),
+                        )
+                    )
+            except Exception as exc:  # pragma: no cover
+                errors.append(exc)
+
+        th = threading.Thread(target=appender)
+        th.start()
+        for _ in range(6):
+            rewrite_manifests(t, target_entries=4)
+        th.join()
+        assert not errors
+        t.refresh()
+        assert t.scan().select(F.countDistinct("image_id")).collect()[0][0] == 90
