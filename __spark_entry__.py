@@ -64,6 +64,10 @@ def _q_maintenance_merge_cdc(spark, sf):
     return pipeline.maintenance_roundtrip(spark, sf, with_merge=True)
 
 
+def _q_merge_keep_deletes(spark, sf):
+    return pipeline.keep_deletes_roundtrip(spark, sf)
+
+
 def _q_s2_range_chunk_bounds(spark, sf):
     # splitVector/bucketAuto-style chunk planning (SURVEY §2.1 S2/S3):
     # equal-frequency key ranges = ntile over the chunk column
@@ -350,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "maintenance_compact_cluster": _q_maintenance_compact_cluster,
         "maintenance_merge_cdc": _q_maintenance_merge_cdc,
+        "merge_keep_deletes": _q_merge_keep_deletes,
         "s2_range_chunk_bounds": _q_s2_range_chunk_bounds,
         "s4_timestamp_chunks": _q_s4_timestamp_chunks,
         "s10_snapshot_pinned_scan": _q_s10_snapshot_pinned_scan,
@@ -388,6 +393,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "maintenance_compact_cluster": pipeline.roundtrip_oracle_sql(False),
         "maintenance_merge_cdc": pipeline.roundtrip_oracle_sql(True),
+        "merge_keep_deletes": pipeline.keep_deletes_oracle_sql(),
         # isolation: the pinned snapshot ignores the merge that committed after it
         "s10_snapshot_pinned_scan": pipeline.roundtrip_oracle_sql(False),
         # chunked backfill must load exactly the derivation (and resume as a no-op)

@@ -79,7 +79,7 @@ def dedup_changes(changes: DataFrame, key_cols: list[str]) -> DataFrame:
 def merge_into(
     table: Table,
     changes: DataFrame,
-    keep_deletes: bool = False,
+    keep_deletes: bool | None = None,
     job_id: str | None = None,
     log: MaintenanceLog | None = None,
 ) -> dict:
@@ -88,11 +88,25 @@ def merge_into(
     `changes` must contain the table's identifier fields, the table's data
     columns (nullable for deletes), `_op_type` and `_cdc_timestamp`.
     Returns the commit's snapshot dict.
+
+    `keep_deletes=None` resolves the table property `upsert-keep-deletes`
+    (the reference's name AND default — iceberg_utils.go:180 defaults true).
+    The reference can always honor it because its sink schema always carries
+    the metadata columns; here a table opts in by carrying `_op_type`, so the
+    unset-property default is "true iff the schema can express tombstones".
+    An explicit property (or argument) is honored strictly — `true` on a
+    schema without `_op_type` raises.
     """
     keys = table.identifier_fields
     if not keys:
         raise ValueError("merge_into requires identifier fields (append-only table)")
     table_cols = [f.name for f in table.schema.fields]
+    if keep_deletes is None:
+        prop = table.meta["properties"].get("upsert-keep-deletes")
+        if prop is not None:
+            keep_deletes = str(prop).lower() == "true"
+        else:
+            keep_deletes = "_op_type" in table_cols
 
     survivors = dedup_changes(changes, keys)
 

@@ -186,6 +186,17 @@ def changes_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("_olake_timestamp", F.col("_cdc_timestamp"))
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Materialize a scan BEFORE its scratch table is deleted:
+    localCheckpoint truncates lineage into executor block storage (memory +
+    disk), so nothing recomputes from the soon-removed files — and unlike the
+    round-1 collect()/createDataFrame pattern, no table-sized data ever moves
+    through the driver, so the verifiable table size is bounded by cluster
+    storage, not driver RAM. At deployment scale the same call site uses
+    `checkpoint()` to reliable storage."""
+    return df.localCheckpoint(eager=True)
+
+
 def maintenance_roundtrip(
     spark: SparkSession,
     sf_dir: str,
@@ -220,8 +231,7 @@ def maintenance_roundtrip(
         run_cluster_rewrite(t, "rt-cluster", curve=curve, log=log, verify=True)
         rewrite_manifests(t, target_entries=64, audit=True)
         run_expire(t, keep_last=1, grace_seconds=0.0)
-        rows = [r.asDict() for r in t.scan(columns=SCAN_COLS).collect()]
-        return spark.createDataFrame(rows, SCAN_SCHEMA)
+        return _materialize(t.scan(columns=SCAN_COLS))
     finally:
         if keep_tmp is None:
             shutil.rmtree(tmp, ignore_errors=True)
@@ -253,8 +263,7 @@ def backfill_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # resume call proves idempotence inside the gate: nothing re-executes
         res2 = backfill(t, src, key_col="phash", job_id="bf", log=log, n_chunks=8)
         assert res2["chunks_executed"] == 0, res2
-        rows = [r.asDict() for r in t.scan(columns=SCAN_COLS).collect()]
-        return spark.createDataFrame(rows, SCAN_SCHEMA)
+        return _materialize(t.scan(columns=SCAN_COLS))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -284,10 +293,81 @@ def cdc_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(feed)
         )
         apply_cdc_stream(t, stream, os.path.join(tmp, "ckpt"))
-        rows = [r.asDict() for r in t.scan(columns=SCAN_COLS).collect()]
-        return spark.createDataFrame(rows, SCAN_SCHEMA)
+        return _materialize(t.scan(columns=SCAN_COLS))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def keep_deletes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 keep-deletes tombstones under the reference's DEFAULT
+    (`upsert-keep-deletes=true`, iceberg_utils.go:180): the destination
+    schema carries the OLake metadata column `_op_type`, the table property
+    turns the mode on, and a MERGE leaves deleted keys behind as tombstone
+    rows instead of dropping them. The gate projection COALESCEs the nulled
+    payload columns to sentinels (-1 / '') so the typed cross-engine compare
+    never sees NULL integers (pandas would widen those columns to float)."""
+    tmp = tempfile.mkdtemp(prefix="olake-keepdel-")
+    try:
+        t = Table.create(
+            spark,
+            os.path.join(tmp, "images"),
+            datagen.CHANGES_SCHEMA,
+            identifier_fields=("image_id",),
+            properties={"upsert-keep-deletes": "true"},
+        )
+        base_ts = "TIMESTAMP '2025-12-01 00:00:00'"
+        base = images_from_documents(spark, sf_dir).select(
+            "*",
+            F.lit("r").alias("_op_type"),
+            F.expr(base_ts).alias("_cdc_timestamp"),
+            F.expr(base_ts).alias("_olake_timestamp"),
+        )
+        t.append(base)
+        merge_into(t, changes_from_documents(spark, sf_dir))  # property mode
+        out = t.scan(columns=[*SCAN_COLS, "_op_type"]).select(
+            "image_id",
+            F.expr("coalesce(w, -1)").alias("w"),
+            F.expr("coalesce(h, -1)").alias("h"),
+            F.expr("coalesce(fmt, '')").alias("fmt"),
+            F.expr("coalesce(caption, '')").alias("caption"),
+            F.expr("coalesce(phash, CAST(-1 AS BIGINT))").alias("phash"),
+            "_op_type",
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def keep_deletes_oracle_sql() -> str:
+    """Expected keep-deletes table: kept base rows ('r') ∪ updates ('u') ∪
+    delete tombstones ('d', sentinel payload) ∪ inserts ('c') ∪ burst
+    survivors ('d' wins the same-timestamp op-priority tie, payload kept)."""
+
+    def tag(sql: str, op: str) -> str:
+        return (
+            f"SELECT image_id, w, h, fmt, caption, phash, '{op}' AS _op_type "
+            f"FROM ({sql})"
+        )
+
+    kept = derive_images_sql("doc_id", "text", "WHERE doc_id % 10 NOT IN (3, 7)")
+    upd = derive_images_sql(
+        "doc_id", "'updated ' || text", "WHERE doc_id % 10 = 3"
+    )
+    ins = derive_images_sql(
+        f"(doc_id + {_NEW_ID_BASE})", "'inserted ' || text", "WHERE doc_id % 10 = 5"
+    )
+    burst = derive_images_sql(
+        f"(doc_id + {_BURST_ID_BASE})", "text", "WHERE doc_id % 100 = 11"
+    )
+    tomb = (
+        "SELECT 'img-' || lpad(CAST(doc_id AS STRING), 12, '0') AS image_id, "
+        "-1 AS w, -1 AS h, '' AS fmt, '' AS caption, "
+        "CAST(-1 AS BIGINT) AS phash, 'd' AS _op_type "
+        "FROM documents WHERE doc_id % 10 = 7"
+    )
+    return " UNION ALL ".join(
+        [tag(kept, "r"), tag(upd, "u"), tomb, tag(ins, "c"), tag(burst, "d")]
+    )
 
 
 def snapshot_pinned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,7 +389,6 @@ def snapshot_pinned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.append(images_from_documents(spark, sf_dir))
         pinned = t.current_snapshot_id
         merge_into(t, changes_from_documents(spark, sf_dir))
-        rows = [r.asDict() for r in t.scan(snapshot_id=pinned, columns=SCAN_COLS).collect()]
-        return spark.createDataFrame(rows, SCAN_SCHEMA)
+        return _materialize(t.scan(snapshot_id=pinned, columns=SCAN_COLS))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

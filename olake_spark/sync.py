@@ -178,7 +178,7 @@ def apply_cdc_stream(
     table: Table,
     changes_stream: DataFrame,
     checkpoint_dir: str,
-    keep_deletes: bool = False,
+    keep_deletes: bool | None = None,
 ) -> None:
     """Drain a bounded change-feed stream, applying each micro-batch with
     MERGE INTO. availableNow ≙ 'consume up to the position captured at
