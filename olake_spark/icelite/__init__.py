@@ -21,5 +21,7 @@ parquet manifests readable as DataFrames for metadata-driven planning
 (never touching the heavy ``bytes`` column).
 """
 
+from olake_spark.icelite.fileio import (ConditionalPutFileIO, FileIO,  # noqa: F401
+                                        LocalFileIO)
 from olake_spark.icelite.spec import PartitionField, PartitionSpec  # noqa: F401
 from olake_spark.icelite.table import Table  # noqa: F401

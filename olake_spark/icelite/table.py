@@ -14,8 +14,11 @@ Semantics replicated from the reference's Iceberg usage (SURVEY.md §4):
   against fresh metadata and retry (IcebergTableOperator.java:248-281's
   refresh-then-commit under lock, without the lock).
 
-Storage layout (local FS here; s3a/hdfs paths work the same through Spark —
-only the metadata-side os.* calls would need an FS shim at deployment):
+Storage layout (local FS by default; s3a/hdfs paths work the same through
+Spark for the data plane, and every metadata-side filesystem call goes
+through the FileIO interface (icelite.fileio) — deployment to an object
+store / catalog service implements ONE class, mirroring the reference's
+catalog-vs-FileIO split, iceberg_utils.go:197-260):
 
     <root>/metadata/v00001.metadata.json     ← linearization point
     <root>/metadata/version-hint.text        ← advisory cache
@@ -28,7 +31,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import threading
 import time
 import uuid
@@ -41,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from olake_spark.icelite.fileio import FileIO, LocalFileIO
 from olake_spark.icelite.spec import PartitionSpec
 from olake_spark.icelite.stats import collect_file_stats
 
@@ -69,23 +72,6 @@ _MANIFEST_SCHEMA = pa.schema(
 
 class CommitConflict(Exception):
     """Another writer invalidated this commit's assumptions (files vanished)."""
-
-
-def _atomic_create_json(target: str, meta: dict) -> bool:
-    """Create `target` with `meta` as content, atomically: the file is either
-    absent or COMPLETE — a concurrent reader can never observe a partial
-    write (open(.., "x") + dump would expose one). os.link both publishes the
-    fully-written temp file and loses to an existing winner in one syscall."""
-    tmp = os.path.join(os.path.dirname(target), f".commit-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    try:
-        os.link(tmp, target)
-        return True
-    except FileExistsError:
-        return False
-    finally:
-        os.unlink(tmp)
 
 
 @dataclass
@@ -157,14 +143,15 @@ def _read_manifest(path: str) -> list[FileEntry]:
 class Table:
     """One icelite table. Cheap to construct; metadata loaded lazily."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, io: FileIO | None = None):
         self.spark = spark
         self.root = os.path.abspath(root)
+        self.io = io or LocalFileIO()
         self._meta: dict | None = None
         self._version: int = 0
         # in-process writers (e.g. concurrent compaction bins) serialize
         # their read-modify-write of (_meta, _version) here; cross-process
-        # atomicity still comes from the O_EXCL metadata-file create
+        # atomicity still comes from the FileIO's atomic create
         self._lock = threading.RLock()
 
     # ------------------------------------------------------------------ DDL
@@ -178,22 +165,36 @@ class Table:
         partition_spec: PartitionSpec | None = None,
         identifier_fields: tuple[str, ...] = (),
         properties: dict[str, str] | None = None,
+        io: FileIO | None = None,
+        sort_order: tuple[str, ...] = (),
     ) -> "Table":
         root = os.path.abspath(root)
+        io = io or LocalFileIO()
         meta_dir = os.path.join(root, "metadata")
-        os.makedirs(os.path.join(meta_dir, "manifests"), exist_ok=True)
-        os.makedirs(os.path.join(root, "data"), exist_ok=True)
-        os.makedirs(os.path.join(root, "deletes"), exist_ok=True)
+        io.makedirs(os.path.join(meta_dir, "manifests"))
+        io.makedirs(os.path.join(root, "data"))
+        io.makedirs(os.path.join(root, "deletes"))
         props = {
             "format-version": "2",
             "write.target-file-size-bytes": str(512 * 1024 * 1024),
             **(properties or {}),
         }
+        # declared table sort order (O3): the reference tables carry PK-asc
+        # sort order (IcebergUtil.java:210-217); honored by every data write
+        # as a within-file sort unless the writer overrides it
+        if sort_order:
+            known = {f.name for f in schema.fields}
+            bad = [c for c in sort_order if c not in known]
+            if bad:
+                raise ValueError(f"sort_order columns not in schema: {bad}")
+        elif identifier_fields:
+            sort_order = tuple(identifier_fields)
         meta = {
             "table_uuid": uuid.uuid4().hex,
             "location": root,
             "schema_json": schema.json(),
             "identifier_fields": list(identifier_fields),
+            "sort_order": list(sort_order),
             "partition_spec": (partition_spec or PartitionSpec(())).to_json(),
             "properties": props,
             "last_sequence_number": 0,
@@ -202,23 +203,21 @@ class Table:
             "snapshots": [],
         }
         path = os.path.join(meta_dir, "v00001.metadata.json")
-        if not _atomic_create_json(path, meta):
+        if not io.atomic_create_json(path, meta):
             raise FileExistsError(f"table already exists at {root}")
-        cls._write_hint(meta_dir, 1)
-        t = cls(spark, root)
+        io.write_text_atomic(os.path.join(meta_dir, "version-hint.text"), "1")
+        t = cls(spark, root, io=io)
         t._meta, t._version = meta, 1
         return t
 
-    @staticmethod
-    def _write_hint(meta_dir: str, version: int) -> None:
-        tmp = os.path.join(meta_dir, f".hint-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, os.path.join(meta_dir, "version-hint.text"))
+    def _write_hint(self, meta_dir: str, version: int) -> None:
+        self.io.write_text_atomic(
+            os.path.join(meta_dir, "version-hint.text"), str(version)
+        )
 
     @classmethod
-    def load(cls, spark: SparkSession, root: str) -> "Table":
-        t = cls(spark, root)
+    def load(cls, spark: SparkSession, root: str, io: FileIO | None = None) -> "Table":
+        t = cls(spark, root, io=io)
         t.refresh()
         return t
 
@@ -226,14 +225,15 @@ class Table:
         meta_dir = os.path.join(self.root, "metadata")
         versions = [
             int(n[1:6])
-            for n in os.listdir(meta_dir)
+            for n in self.io.list_dir(meta_dir)
             if n.startswith("v") and n.endswith(".metadata.json")
         ]
         if not versions:
             raise FileNotFoundError(f"no icelite table at {self.root}")
         v = max(versions)
-        with open(os.path.join(meta_dir, f"v{v:05d}.metadata.json")) as f:
-            meta = json.load(f)
+        meta = json.loads(
+            self.io.read_text(os.path.join(meta_dir, f"v{v:05d}.metadata.json"))
+        )
         with self._lock:
             self._version, self._meta = v, meta
         return self
@@ -257,6 +257,10 @@ class Table:
     @property
     def identifier_fields(self) -> list[str]:
         return list(self.meta["identifier_fields"])
+
+    @property
+    def sort_order(self) -> list[str]:
+        return list(self.meta.get("sort_order", []))
 
     @property
     def current_snapshot_id(self) -> int | None:
@@ -408,8 +412,15 @@ class Table:
         spec = self.spec
         stage = os.path.join(self.root, "data", f".stage-{uuid.uuid4().hex}")
         out = spec.apply(df)
+        if sort_within_by is None:
+            # honor the declared table sort order (O3) by default; callers
+            # with their own layout (cluster rewrite) pass [] to opt out
+            sort_within_by = self.sort_order
         if sort_within_by:
-            out = out.sortWithinPartitions(*sort_within_by)
+            # lead with the partition columns: the partitioned file writer
+            # requires rows ordered by partition expression — satisfying it
+            # here means no writer-side re-sort erases the within-file order
+            out = out.sortWithinPartitions(*spec.names, *sort_within_by)
         # image payloads are already entropy-coded — recompressing them in
         # parquet burns CPU for ~0% ratio; tables opt in via the property
         codec = self.meta["properties"].get(
@@ -423,34 +434,35 @@ class Table:
         try:
             w.parquet(stage)
         except Exception:
-            shutil.rmtree(stage, ignore_errors=True)
+            self.io.rmtree(stage)
             raise
 
         entries: list[FileEntry] = []
         moved: list[tuple[str, str, dict]] = []  # (abs_final, rel_final, partition)
-        for dirpath, _dirs, files in os.walk(stage):
-            rel_dir = os.path.relpath(dirpath, stage)
+        for src in self.io.walk_files(stage):
+            name = os.path.basename(src)
+            if not name.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(os.path.dirname(src), stage)
             partition = _parse_partition(rel_dir)
-            for name in files:
-                if not name.endswith(".parquet"):
-                    continue
-                final_name = f"{seq:06d}-{uuid.uuid4().hex}.parquet"
-                dest_dir = (
-                    os.path.join(self.root, "data", rel_dir)
-                    if rel_dir != "."
-                    else os.path.join(self.root, "data")
-                )
-                os.makedirs(dest_dir, exist_ok=True)
-                dest = os.path.join(dest_dir, final_name)
-                os.replace(os.path.join(dirpath, name), dest)
-                moved.append((dest, os.path.relpath(dest, self.root), partition))
-        shutil.rmtree(stage, ignore_errors=True)
+            final_name = f"{seq:06d}-{uuid.uuid4().hex}.parquet"
+            dest_dir = (
+                os.path.join(self.root, "data", rel_dir)
+                if rel_dir != "."
+                else os.path.join(self.root, "data")
+            )
+            self.io.makedirs(dest_dir)
+            dest = os.path.join(dest_dir, final_name)
+            self.io.rename(src, dest)
+            moved.append((dest, os.path.relpath(dest, self.root), partition))
+        self.io.rmtree(stage)
 
         stats = collect_file_stats(self.spark, [m[0] for m in moved])
         for abspath, rel, partition in moved:
             st = stats[abspath]
             if st["record_count"] == 0:
-                os.remove(abspath)  # reference deletes empty files, parquet.go:210-283
+                # reference deletes empty files, parquet.go:210-283
+                self.io.remove(abspath)
                 continue
             entries.append(
                 FileEntry(
@@ -467,14 +479,14 @@ class Table:
             "_delete_seq", F.lit(seq)
         ).write.mode("overwrite").parquet(stage)
         entries: list[FileEntry] = []
-        for name in os.listdir(stage):
+        for name in self.io.list_dir(stage):
             if not name.endswith(".parquet"):
                 continue
             dest = os.path.join(self.root, "deletes", f"{seq:06d}-{uuid.uuid4().hex}.parquet")
-            os.replace(os.path.join(stage, name), dest)
+            self.io.rename(os.path.join(stage, name), dest)
             st = collect_file_stats(self.spark, [dest])[dest]
             if st["record_count"] == 0:
-                os.remove(dest)
+                self.io.remove(dest)
                 continue
             entries.append(
                 FileEntry(
@@ -483,7 +495,7 @@ class Table:
                     st["mins"], st["maxs"], st["null_counts"],
                 )
             )
-        shutil.rmtree(stage, ignore_errors=True)
+        self.io.rmtree(stage)
         return entries
 
     def _new_manifest(self, entries: list[FileEntry]) -> str:
@@ -507,7 +519,7 @@ class Table:
                 target = os.path.join(
                     meta_dir, f"v{self._version + 1:05d}.metadata.json"
                 )
-                if not _atomic_create_json(target, new_meta):
+                if not self.io.atomic_create_json(target, new_meta):
                     time.sleep(0.05)
                     continue
                 self._write_hint(meta_dir, self._version + 1)
@@ -682,7 +694,7 @@ class Table:
                 target = os.path.join(
                     meta_dir, f"v{self._version + 1:05d}.metadata.json"
                 )
-                if not _atomic_create_json(target, new_meta):
+                if not self.io.atomic_create_json(target, new_meta):
                     continue
                 self._write_hint(meta_dir, self._version + 1)
                 self._meta, self._version = new_meta, self._version + 1
@@ -737,7 +749,7 @@ class Table:
                 target = os.path.join(
                     meta_dir, f"v{self._version + 1:05d}.metadata.json"
                 )
-                if not _atomic_create_json(target, new_meta):
+                if not self.io.atomic_create_json(target, new_meta):
                     continue
                 self._write_hint(meta_dir, self._version + 1)
                 self._meta, self._version = new_meta, self._version + 1
@@ -763,17 +775,15 @@ class Table:
         orphans: list[str] = []
         for sub in ("data", "deletes", os.path.join("metadata", "manifests")):
             base = os.path.join(self.root, sub)
-            for dirpath, _dirs, files in os.walk(base):
-                for name in files:
-                    p = os.path.join(dirpath, name)
-                    rel = os.path.relpath(p, self.root)
-                    if rel in referenced:
-                        continue
-                    if os.path.getmtime(p) > cutoff:
-                        continue
-                    orphans.append(rel)
-                    if not dry_run:
-                        os.remove(p)
+            for p in self.io.walk_files(base):
+                rel = os.path.relpath(p, self.root)
+                if rel in referenced:
+                    continue
+                if self.io.getmtime(p) > cutoff:
+                    continue
+                orphans.append(rel)
+                if not dry_run:
+                    self.io.remove(p)
         return sorted(orphans)
 
 

@@ -128,7 +128,11 @@ def run_cluster_rewrite(
         .drop("_ckey", "_skey", "_pid")
     )
     seq = table.meta["last_sequence_number"] + 1
-    added = table._stage_write(clustered, seq, max_records_per_file=per_file)
+    # sort_within_by=[]: the curve sort above IS this rewrite's file order —
+    # the table's declared PK sort order must not override it
+    added = table._stage_write(
+        clustered, seq, max_records_per_file=per_file, sort_within_by=[]
+    )
     snap = table.rewrite_files(
         {e.file_path for e in data_entries}, added, op="cluster",
         extra_summary={"job_id": job_id, "curve": curve}, seq_used=seq,

@@ -138,7 +138,6 @@ def _run_bulk(
 ) -> dict:
     """One-job executor: see run_compaction (mode='bulk')."""
     import os
-    import shutil
     import uuid
 
     from pyspark.sql import functions as F
@@ -198,40 +197,38 @@ def _run_bulk(
             .parquet(stage)
         )
     except Exception:
-        shutil.rmtree(stage, ignore_errors=True)
+        table.io.rmtree(stage)
         raise
 
     # promote: <stage>/_bin_=k/<partition dirs>/file → data/<partition>/file
     moved: list[tuple[int, str, str, dict]] = []  # (bin, abs, rel, partition)
-    for dirpath, _dirs, files in os.walk(stage):
-        rel_dir = os.path.relpath(dirpath, stage)
+    for src in table.io.walk_files(stage):
+        name = os.path.basename(src)
+        if not name.endswith(".parquet"):
+            continue
+        rel_dir = os.path.relpath(os.path.dirname(src), stage)
         comps = [] if rel_dir == "." else rel_dir.split(os.sep)
         if not comps or not comps[0].startswith("_bin_="):
             continue
         bin_idx = int(comps[0].split("=", 1)[1])
         partition = _parse_partition(os.path.join(*comps[1:]) if comps[1:] else ".")
-        for name in files:
-            if not name.endswith(".parquet"):
-                continue
-            dest_dir = (
-                os.path.join(table.root, "data", *comps[1:])
-                if comps[1:]
-                else os.path.join(table.root, "data")
-            )
-            os.makedirs(dest_dir, exist_ok=True)
-            dest = os.path.join(dest_dir, f"{seq:06d}-{uuid.uuid4().hex}.parquet")
-            os.replace(os.path.join(dirpath, name), dest)
-            moved.append((bin_idx, dest, os.path.relpath(dest, table.root), partition))
-    shutil.rmtree(stage, ignore_errors=True)
+        dest_dir = (
+            os.path.join(table.root, "data", *comps[1:])
+            if comps[1:]
+            else os.path.join(table.root, "data")
+        )
+        table.io.makedirs(dest_dir)
+        dest = os.path.join(dest_dir, f"{seq:06d}-{uuid.uuid4().hex}.parquet")
+        table.io.rename(src, dest)
+        moved.append((bin_idx, dest, os.path.relpath(dest, table.root), partition))
+    table.io.rmtree(stage)
 
     stats = collect_file_stats(spark, [m[1] for m in moved])
     per_bin: dict[int, list[FileEntry]] = {}
     for bin_idx, abspath, rel, partition in moved:
         st = stats[abspath]
         if st["record_count"] == 0:
-            import os as _os
-
-            _os.remove(abspath)
+            table.io.remove(abspath)
             continue
         per_bin.setdefault(bin_idx, []).append(
             FileEntry(

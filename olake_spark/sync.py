@@ -19,7 +19,6 @@ apply, with chunk-granular resumable state (SURVEY.md §3.1). Here:
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame
@@ -106,30 +105,30 @@ def backfill(
     try:
         w.partitionBy("_chunk_", *spec.names).parquet(stage)
     except Exception:
-        shutil.rmtree(stage, ignore_errors=True)
+        table.io.rmtree(stage)
         raise
 
     moved: list[tuple[int, str, str, dict]] = []
-    for dirpath, _dirs, files in os.walk(stage):
-        rel_dir = os.path.relpath(dirpath, stage)
+    for src in table.io.walk_files(stage):
+        name = os.path.basename(src)
+        if not name.endswith(".parquet"):
+            continue
+        rel_dir = os.path.relpath(os.path.dirname(src), stage)
         comps = [] if rel_dir == "." else rel_dir.split(os.sep)
         if not comps or not comps[0].startswith("_chunk_="):
             continue
         ci = int(comps[0].split("=", 1)[1])
         partition = _parse_partition(os.path.join(*comps[1:]) if comps[1:] else ".")
-        for name in files:
-            if not name.endswith(".parquet"):
-                continue
-            dest_dir = (
-                os.path.join(table.root, "data", *comps[1:])
-                if comps[1:]
-                else os.path.join(table.root, "data")
-            )
-            os.makedirs(dest_dir, exist_ok=True)
-            dest = os.path.join(dest_dir, f"{seq:06d}-{uuid.uuid4().hex}.parquet")
-            os.replace(os.path.join(dirpath, name), dest)
-            moved.append((ci, dest, os.path.relpath(dest, table.root), partition))
-    shutil.rmtree(stage, ignore_errors=True)
+        dest_dir = (
+            os.path.join(table.root, "data", *comps[1:])
+            if comps[1:]
+            else os.path.join(table.root, "data")
+        )
+        table.io.makedirs(dest_dir)
+        dest = os.path.join(dest_dir, f"{seq:06d}-{uuid.uuid4().hex}.parquet")
+        table.io.rename(src, dest)
+        moved.append((ci, dest, os.path.relpath(dest, table.root), partition))
+    table.io.rmtree(stage)
 
     stats = collect_file_stats(table.spark, [m[1] for m in moved])
     per_chunk: dict[int, list[FileEntry]] = {}
@@ -137,7 +136,7 @@ def backfill(
     for ci, abspath, rel, partition in moved:
         st = stats[abspath]
         if st["record_count"] == 0:
-            os.remove(abspath)
+            table.io.remove(abspath)
             continue
         rows_total += st["record_count"]
         per_chunk.setdefault(ci, []).append(
