@@ -93,6 +93,14 @@ def _q_sync_backfill_chunked(spark, sf):
     return pipeline.backfill_roundtrip(spark, sf)
 
 
+def _q_sync_backfill_composite(spark, sf):
+    # S8: lexicographic (fmt, image_id) composite chunk key — string columns
+    # the numeric approxQuantile path can't chunk — with in-gate resume assert
+    return pipeline.backfill_roundtrip(
+        spark, sf, key_col=("fmt", "image_id"), n_chunks=6
+    )
+
+
 def _q_cdc_stream_apply(spark, sf):
     return pipeline.cdc_stream_roundtrip(spark, sf)
 
@@ -359,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_timestamp_chunks": _q_s4_timestamp_chunks,
         "s10_snapshot_pinned_scan": _q_s10_snapshot_pinned_scan,
         "sync_backfill_chunked": _q_sync_backfill_chunked,
+        "sync_backfill_composite": _q_sync_backfill_composite,
         "cdc_stream_apply": _q_cdc_stream_apply,
         "s7_ordered_chunk_walk": _q_s7_ordered_chunk_walk,
         "p3_type_coercion": _q_p3_type_coercion,
@@ -398,6 +407,7 @@ def oracle_sql() -> dict[str, str]:
         "s10_snapshot_pinned_scan": pipeline.roundtrip_oracle_sql(False),
         # chunked backfill must load exactly the derivation (and resume as a no-op)
         "sync_backfill_chunked": pipeline.roundtrip_oracle_sql(False),
+        "sync_backfill_composite": pipeline.roundtrip_oracle_sql(False),
         # bounded streaming CDC apply ends in the same state as batch MERGE
         "cdc_stream_apply": pipeline.roundtrip_oracle_sql(True),
         "s2_range_chunk_bounds": """

@@ -5,12 +5,17 @@ spark-submit-shippable entrypoint (north star: "ships as spark-submit
     spark-submit --py-files olake_spark.zip -m olake_spark <verb> ...
     python -m olake_spark check --warehouse /path
     python -m olake_spark discover --warehouse /path
+    python -m olake_spark sync --table /path/tbl --source /path/batch.parquet \
+        [--create --id-fields image_id] --key-col phash --n-chunks 16 \
+        --job-id nightly --log /path/_mlog [--cdc-feed /path/feed --checkpoint /c]
     python -m olake_spark maintain --table /path/tbl --ops compact,cluster,expire \
         --job-id nightly --log /path/_mlog [--verify]
     python -m olake_spark bench
 
-Verbs mirror protocol/root.go (spec, check, discover, sync) with `maintain`
-as the engine's own addition.
+Verbs mirror protocol/root.go:73 (spec, check, discover, sync) with
+`maintain` as the engine's own addition. `sync` = chunked resumable backfill
+(rerunning with the same --job-id/--log skips completed chunks) followed by
+a bounded CDC drain whose resume cursor is the streaming checkpoint.
 """
 
 from __future__ import annotations
@@ -53,6 +58,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--warehouse", required=True)
     p = sub.add_parser("discover")
     p.add_argument("--warehouse", required=True)
+    p = sub.add_parser("sync")
+    p.add_argument("--table", required=True, help="icelite table root")
+    p.add_argument("--source", required=True, help="parquet path of the source batch")
+    p.add_argument("--create", action="store_true",
+                   help="create the table from the source schema if absent")
+    p.add_argument("--id-fields", default="",
+                   help="comma list of identifier fields (used with --create)")
+    p.add_argument("--key-col", default=None,
+                   help="backfill chunk key; comma list = lexicographic composite (S8)")
+    p.add_argument("--n-chunks", type=int, default=16)
+    p.add_argument("--job-id", required=True)
+    p.add_argument("--log", default=None,
+                   help="maintenance-log root: backfill resume state lives here")
+    p.add_argument("--cdc-feed", default=None,
+                   help="parquet dir of change batches to drain after backfill")
+    p.add_argument("--checkpoint", default=None,
+                   help="streaming checkpoint dir (CDC resume cursor)")
     p = sub.add_parser("maintain")
     p.add_argument("--table", required=True)
     p.add_argument("--ops", required=True, help="comma list: compact,cluster,manifests,expire")
@@ -89,6 +111,53 @@ def main(argv: list[str] | None = None) -> int:
         from olake_spark.preflight import discover
 
         print(json.dumps(discover(spark, args.warehouse), indent=2))
+        return 0
+
+    if args.verb == "sync":
+        # the reference's main verb (protocol/root.go:73): chunked resumable
+        # backfill, then bounded CDC drain — state in --log / --checkpoint
+        import os
+
+        from olake_spark.checkpoint import MaintenanceLog
+        from olake_spark.icelite import Table
+        from olake_spark.sync import apply_cdc_stream, backfill
+
+        source = spark.read.parquet(args.source)
+        try:
+            table = Table.load(spark, args.table)
+        except FileNotFoundError:
+            if not args.create:
+                raise
+            table = Table.create(
+                spark, args.table, source.schema,
+                identifier_fields=tuple(
+                    f for f in args.id_fields.split(",") if f
+                ),
+            )
+        log = MaintenanceLog(spark, args.log) if args.log else None
+        out: dict = {}
+        if args.key_col:
+            key = [c for c in args.key_col.split(",") if c]
+            out["backfill"] = backfill(
+                table, source, key_col=key if len(key) > 1 else key[0],
+                job_id=args.job_id, log=log, n_chunks=args.n_chunks,
+            )
+        if args.cdc_feed:
+            schema = spark.read.parquet(args.cdc_feed).schema
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(args.cdc_feed)
+            )
+            ckpt = args.checkpoint or os.path.join(
+                args.table, f"_cdc_ckpt_{args.job_id}"
+            )
+            apply_cdc_stream(table, stream, ckpt)
+            out["cdc"] = {"applied": True, "checkpoint": ckpt}
+        table.refresh()
+        out["snapshot_id"] = table.current_snapshot_id
+        out["total_records"] = table.total_records()
+        print(json.dumps(out))
         return 0
 
     # maintain

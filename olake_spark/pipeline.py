@@ -241,10 +241,17 @@ def roundtrip_oracle_sql(with_merge: bool) -> str:
     return _expected_post_merge_sql() if with_merge else derive_images_sql()
 
 
-def backfill_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def backfill_roundtrip(
+    spark: SparkSession,
+    sf_dir: str,
+    key_col: str | tuple[str, ...] = "phash",
+    n_chunks: int = 8,
+) -> DataFrame:
     """S2/S6/S7 chunked backfill (sync verb): load the derived image table
-    through `sync.backfill` (equal-frequency phash chunks, per-chunk-group
-    commits, resume log) and scan it back — must equal the pure derivation."""
+    through `sync.backfill` (equal-frequency chunks over `key_col`,
+    per-chunk-group commits, resume log) and scan it back — must equal the
+    pure derivation. With a tuple key this is the S8 lexicographic
+    composite-key walk."""
     from olake_spark.checkpoint import MaintenanceLog
     from olake_spark.sync import backfill
 
@@ -259,9 +266,11 @@ def backfill_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         log = MaintenanceLog(spark, os.path.join(tmp, "mlog"))
         src = images_from_documents(spark, sf_dir)
-        backfill(t, src, key_col="phash", job_id="bf", log=log, n_chunks=8)
+        backfill(t, src, key_col=key_col, job_id="bf", log=log, n_chunks=n_chunks)
         # resume call proves idempotence inside the gate: nothing re-executes
-        res2 = backfill(t, src, key_col="phash", job_id="bf", log=log, n_chunks=8)
+        res2 = backfill(
+            t, src, key_col=key_col, job_id="bf", log=log, n_chunks=n_chunks
+        )
         assert res2["chunks_executed"] == 0, res2
         return _materialize(t.scan(columns=SCAN_COLS))
     finally:

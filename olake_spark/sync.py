@@ -48,6 +48,40 @@ def plan_chunks(
     return [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
 
 
+def plan_chunks_multi(
+    source: DataFrame,
+    key_cols: list[str],
+    n_chunks: int,
+    sample_rows: int = 65536,
+    seed: int = 42,
+) -> list[tuple]:
+    """S8 composite chunk keys: lexicographic boundary TUPLES over
+    (a, b, …) — the reference's multi-PK next-chunk walk
+    (drivers/mysql/internal/backfill.go:52-156) re-expressed as the
+    sample-sort-pick boundary scheme Spark's own RangePartitioner uses:
+    sample the pruned key projection (bounded driver footprint regardless of
+    table size), sort, take equal-spaced tuples. Works for string/composite
+    keys that the numeric approxQuantile path can't chunk."""
+    if n_chunks <= 1:
+        return [(None, None)]
+    keys = source.select(*key_cols)
+    n = keys.count()
+    if n == 0:
+        return [(None, None)]
+    frac = min(1.0, sample_rows / n)
+    sampled = (
+        keys.sample(fraction=frac, seed=seed) if frac < 1.0 else keys
+    ).collect()
+    tuples = sorted(tuple(r) for r in sampled)
+    bounds: list[tuple] = []
+    for i in range(1, n_chunks):
+        b = tuples[min(len(tuples) - 1, (i * len(tuples)) // n_chunks)]
+        if (not bounds or b > bounds[-1]) and b > tuples[0]:
+            bounds.append(b)
+    edges = [None, *bounds, None]
+    return [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
+
+
 def _chunk_id(job_id: str, lo, hi) -> str:
     return f"chunk-{lo}-{hi}"
 
@@ -55,14 +89,26 @@ def _chunk_id(job_id: str, lo, hi) -> str:
 def backfill(
     table: Table,
     source: DataFrame,
-    key_col: str,
+    key_col: str | list[str] | tuple[str, ...],
     job_id: str,
     log: MaintenanceLog | None = None,
     n_chunks: int = 16,
     max_records_per_file: int | None = None,
 ) -> dict:
-    """Chunked, resumable full load of `source` into `table`."""
-    chunks = plan_chunks(source, key_col, n_chunks)
+    """Chunked, resumable full load of `source` into `table`.
+
+    `key_col` may be a single numeric column (approxQuantile boundaries) or
+    a LIST of columns — a lexicographic composite key (S8): chunk membership
+    is a Catalyst struct comparison, which Spark defines lexicographically,
+    so string / multi-column PKs chunk exactly like the reference's
+    `(a, b) > (x, y)` walks."""
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
+    composite = len(key_cols) > 1
+    chunks = (
+        plan_chunks_multi(source, key_cols, n_chunks)
+        if composite
+        else plan_chunks(source, key_cols[0], n_chunks)
+    )
     done = log.done_chunk_ids(job_id) if log is not None else set()
     todo = [(lo, hi) for lo, hi in chunks if _chunk_id(job_id, lo, hi) not in done]
     if log is not None and todo:
@@ -76,15 +122,28 @@ def backfill(
 
     # route each row to its pending chunk; rows of done chunks are filtered
     # out BEFORE the write (resume re-reads the source but rewrites nothing)
-    k = F.col(key_col).cast("double")
+    if composite:
+        fields = source.select(*key_cols).schema.fields
+        k = F.struct(*[F.col(c) for c in key_cols])
+
+        def bound_lit(tup):
+            return F.struct(
+                *[
+                    F.lit(v).cast(f.dataType).alias(f.name)
+                    for v, f in zip(tup, fields)
+                ]
+            )
+    else:
+        k = F.col(key_cols[0]).cast("double")
+        bound_lit = F.lit
     cid = F.lit(None).cast("int")
     cond_any = F.lit(False)
     for i, (lo, hi) in enumerate(todo):
         c = F.lit(True)
         if lo is not None:
-            c = c & (k >= F.lit(lo))
+            c = c & (k >= bound_lit(lo))
         if hi is not None:
-            c = c & (k < F.lit(hi))
+            c = c & (k < bound_lit(hi))
         cid = F.when(c & cid.isNull(), F.lit(i)).otherwise(cid)
         cond_any = cond_any | c
     df = source.filter(cond_any).withColumn("_chunk_", cid)

@@ -79,3 +79,72 @@ class TestCdcStream:
         apply_cdc_stream(t, stream, str(tmp_path / "ckpt"))
         got = t.scan().select("image_id", "caption", "phash")
         assert row_sets_equal(expected, got)
+
+
+class TestCompositeKeyBackfill:
+    def test_lexicographic_composite_chunks_and_resume(self, spark, tmp_table_dir):
+        """S8: chunk on (fmt, image_id) — a string composite key the numeric
+        path can't handle; full load + resume no-op + no duplicates."""
+        t = Table.create(
+            spark, os.path.join(tmp_table_dir, "bfc"), datagen.IMAGES_SCHEMA,
+            identifier_fields=("image_id",),
+        )
+        log = MaintenanceLog(spark, os.path.join(tmp_table_dir, "bfclog"))
+        src = datagen.gen_images_df(spark, 150)
+        r1 = backfill(t, src, ("fmt", "image_id"), "cj", log=log, n_chunks=5)
+        assert r1["rows_written"] == 150 and r1["chunks_executed"] > 1
+        r2 = backfill(t, src, ("fmt", "image_id"), "cj", log=log, n_chunks=5)
+        assert r2["chunks_executed"] == 0
+        assert t.scan().count() == 150
+        assert t.scan().select(F.countDistinct("image_id")).collect()[0][0] == 150
+
+    def test_chunk_plan_covers_key_space(self, spark):
+        from olake_spark.sync import plan_chunks_multi
+
+        src = datagen.gen_images_df(spark, 120)
+        chunks = plan_chunks_multi(src, ["fmt", "image_id"], 4)
+        assert chunks[0][0] is None and chunks[-1][1] is None
+        # boundaries strictly increase lexicographically
+        bounds = [hi for _, hi in chunks[:-1]]
+        assert bounds == sorted(bounds) and len(set(bounds)) == len(bounds)
+
+
+class TestCliSync:
+    def test_cli_sync_backfill_resume_and_cdc(self, spark, tmp_table_dir, capsys):
+        """`python -m olake_spark sync` — the reference's main verb
+        (protocol/root.go:73): create+backfill, resume as a no-op with the
+        same --job-id/--log, then drain a CDC feed with a checkpoint."""
+        import json as _json
+
+        from olake_spark.__main__ import main
+
+        src_dir = os.path.join(tmp_table_dir, "src")
+        datagen.gen_images_df(spark, 60).write.parquet(src_dir)
+        tbl = os.path.join(tmp_table_dir, "clitbl")
+        logd = os.path.join(tmp_table_dir, "clilog")
+        argv = ["sync", "--table", tbl, "--source", src_dir, "--create",
+                "--id-fields", "image_id", "--key-col", "phash",
+                "--job-id", "cli1", "--log", logd, "--n-chunks", "4"]
+        assert main(argv) == 0
+        out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out1["backfill"]["chunks_executed"] > 0
+        assert out1["total_records"] == 60
+        assert main(argv) == 0
+        out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out2["backfill"]["chunks_executed"] == 0
+        assert out2["total_records"] == 60  # resume wrote nothing
+
+        feed = os.path.join(tmp_table_dir, "feed")
+        datagen.gen_changes_df(spark, base_n=60, n_changes=20).coalesce(1)\
+            .write.parquet(feed)
+        ckpt = os.path.join(tmp_table_dir, "ckpt")
+        argv_cdc = ["sync", "--table", tbl, "--source", src_dir,
+                    "--job-id", "cli1", "--cdc-feed", feed,
+                    "--checkpoint", ckpt]
+        assert main(argv_cdc) == 0
+        out3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out3["cdc"]["applied"] and out3["snapshot_id"] > out2["snapshot_id"]
+        # re-drain with the same checkpoint: offsets consumed, state unchanged
+        assert main(argv_cdc) == 0
+        out4 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out4["total_records"] == out3["total_records"]
