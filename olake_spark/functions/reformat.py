@@ -47,6 +47,27 @@ def flatten_top_level(df: DataFrame) -> DataFrame:
     return df.select(*cols)
 
 
+def cdc_stream_filter(
+    df: DataFrame, streams: list[str] | set[str], stream_col: str = "_stream"
+) -> DataFrame:
+    """P4: keep change events only for selected streams/tables — the
+    reference's per-stream CDC routing (a change feed carries events for
+    every table; each configured stream consumes its own,
+    types/stream_configured.go + drivers' ChangeStreamDriver filtering).
+    A trivial Catalyst `isin` filter, pushed into the feed scan."""
+    return df.filter(F.col(stream_col).isin(*sorted(set(streams))))
+
+
+def exclude_columns(df: DataFrame, exclude: list[str] | set[str]) -> DataFrame:
+    """P7: drop excluded columns before the write — the reference's
+    partial-data column exclusion (`stream_configured.go:19` TODO; shipped
+    here). Unknown names are ignored (exclusion is a projection contract,
+    not a schema assertion)."""
+    drop = {reformat_key(c) for c in exclude}
+    keep = [c for c in df.columns if reformat_key(c) not in drop]
+    return df.select(*keep)
+
+
 def coerce_to_schema(df: DataFrame, target: StructType) -> DataFrame:
     """P3: cast every column to the target type with try_cast semantics
     (unparseable → null, like ReformatRecord's error-to-null paths); missing

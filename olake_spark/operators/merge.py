@@ -108,7 +108,19 @@ def merge_into(
         else:
             keep_deletes = "_op_type" in table_cols
 
+    missing_keys = [k for k in keys if k not in changes.columns]
+    if missing_keys:
+        raise ValueError(f"change batch lacks identifier fields {missing_keys}")
     survivors = dedup_changes(changes, keys)
+
+    # partial-column batches (P7 exclusion / sparse CDC payloads) null-fill
+    # the table columns they don't carry — only the keys are mandatory
+    present = set(survivors.columns)
+    proj = [
+        F.col(f.name) if f.name in present
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in table.schema.fields
+    ]
 
     # delete-before-insert: every surviving key gets an equality delete
     delete_keys = survivors.select(*keys)
@@ -119,9 +131,9 @@ def merge_into(
         # delete mapping); requires the metadata columns in the table schema
         if "_op_type" not in table_cols:
             raise ValueError("keep_deletes needs _op_type in the table schema")
-        data = survivors.select(*table_cols)
+        data = survivors.select(*proj)
     else:
-        data = survivors.filter(F.col("_op_type") != "d").select(*table_cols)
+        data = survivors.filter(F.col("_op_type") != "d").select(*proj)
 
     snap = table.row_delta(data, delete_keys)
     if log is not None and job_id is not None:

@@ -237,17 +237,27 @@ def apply_cdc_stream(
     changes_stream: DataFrame,
     checkpoint_dir: str,
     keep_deletes: bool | None = None,
+    streams: list[str] | set[str] | None = None,
+    stream_col: str = "_stream",
+    exclude: list[str] | set[str] | None = None,
 ) -> None:
     """Drain a bounded change-feed stream, applying each micro-batch with
     MERGE INTO. availableNow ≙ 'consume up to the position captured at
     start, then stop' (waljs.go:172-179); the checkpoint dir is the resume
-    cursor."""
+    cursor. `streams` keeps only events of the selected tables (P4);
+    `exclude` drops the listed columns before the write (P7)."""
+    from olake_spark.functions.reformat import cdc_stream_filter, exclude_columns
     from olake_spark.operators.merge import merge_into
 
     def apply(batch_df: DataFrame, _batch_id: int) -> None:
-        if batch_df.isEmpty():
+        b = batch_df
+        if streams is not None:
+            b = cdc_stream_filter(b, streams, stream_col)
+        if exclude:
+            b = exclude_columns(b, exclude)
+        if b.isEmpty():
             return
-        merge_into(table, batch_df, keep_deletes=keep_deletes)
+        merge_into(table, b, keep_deletes=keep_deletes)
 
     q = (
         changes_stream.writeStream.foreachBatch(apply)
