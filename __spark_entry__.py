@@ -70,7 +70,12 @@ def _q_merge_keep_deletes(spark, sf):
 
 def _q_s2_range_chunk_bounds(spark, sf):
     # splitVector/bucketAuto-style chunk planning (SURVEY §2.1 S2/S3):
-    # equal-frequency key ranges = ntile over the chunk column
+    # equal-frequency key ranges = ntile over the chunk column.
+    # NOTE (scale): ntile's global unpartitioned window is exact — which is
+    # what makes it DuckDB-oracle-able — but runs as one task. The
+    # PRODUCTION planner is sync.plan_chunks / plan_chunks_multi
+    # (approxQuantile / sample-sort-pick: distributed, bounded driver
+    # memory); this query exists to pin the equal-frequency SEMANTICS.
     o = _tbl(spark, sf, "orders")
     w = Window.orderBy("o_orderkey")
     return (
@@ -123,7 +128,10 @@ def _q_s4_timestamp_chunks(spark, sf):
 
 
 def _q_s7_ordered_chunk_walk(spark, sf):
-    # ordered next-chunk walk (S7): SELECT MAX(col) per LIMIT-batch window
+    # ordered next-chunk walk (S7): SELECT MAX(col) per LIMIT-batch window.
+    # Same scale note as s2: the global row_number window pins the walk
+    # semantics exactly for the oracle; production chunking goes through
+    # sync.plan_chunks (distributed boundaries, no global sort).
     o = _tbl(spark, sf, "orders")
     w = Window.orderBy("o_orderkey")
     return (
@@ -141,8 +149,9 @@ def _q_s7_ordered_chunk_walk(spark, sf):
 
 
 def _q_p3_type_coercion(spark, sf):
-    # Reformat* coercions (P3): JSON field extract + try_cast, year clamp,
-    # exact integer cents from doubles
+    # Reformat* coercions (P3) + F3 misc scalars: JSON field extract +
+    # try_cast, year clamp, exact integer cents through a NaN→null guard
+    # (reformat.go's NaN handling), hex key encoding
     e = _tbl(spark, sf, "events")
     return e.select(
         "event_id",
@@ -150,7 +159,8 @@ def _q_p3_type_coercion(spark, sf):
             'try_cast(regexp_extract(props, \'"k": (\\\\d+)\', 1) AS BIGINT)'
         ).alias("k_val"),
         F.expr("least(greatest(year(ts), 0), 9999)").cast("long").alias("year_clamped"),
-        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("value_cents"),
+        F.expr("CAST(floor(nanvl(value, NULL) * 100) AS BIGINT)").alias("value_cents"),
+        F.expr("hex(event_id)").alias("key_hex"),
     )
 
 
@@ -259,9 +269,13 @@ def _q_dedup_exact(spark, sf):
     return dedup.dedup_exact(_tbl(spark, sf, "documents"), "doc_id", "text")
 
 
+JACCARD_MAX_DF = 5  # stop-shingle guard exercised in-gate (drops df>5 shingles)
+
+
 def _q_dedup_ngram_jaccard(spark, sf):
     return dedup.jaccard_pairs(
-        _tbl(spark, sf, "documents"), "doc_id", "text", JACCARD_PPM, k=3
+        _tbl(spark, sf, "documents"), "doc_id", "text", JACCARD_PPM, k=3,
+        max_df=JACCARD_MAX_DF,
     )
 
 
@@ -437,7 +451,9 @@ GROUP BY chunk
 SELECT event_id,
        try_cast(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k_val,
        CAST(least(greatest(year(ts), 0), 9999) AS BIGINT) AS year_clamped,
-       CAST(floor(value * 100) AS BIGINT) AS value_cents
+       CAST(floor((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100)
+            AS BIGINT) AS value_cents,
+       hex(event_id) AS key_hex
 FROM events
 """,
         "p5_cdc_envelope": """
@@ -494,7 +510,8 @@ SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,
 FROM documents GROUP BY 1
 """,
         "dedup_ngram_jaccard": dedup.jaccard_pairs_sql(
-            "documents", "doc_id", "text", JACCARD_PPM, k=3
+            "documents", "doc_id", "text", JACCARD_PPM, k=3,
+            max_df=JACCARD_MAX_DF,
         ),
         "dedup_minhash_lsh": dedup.jaccard_pairs_sql(
             "documents", "doc_id", "text", JACCARD_PPM, k=3
