@@ -44,11 +44,16 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # local mode: the driver JVM hosts every executor thread — size the
-        # heap with the thread count or per-task execution memory shrinks
-        # linearly with parallelism and fat-row sorts start spilling
+        # heap PER CORE (4g/thread, capped at the box), or per-task execution
+        # memory shrinks linearly with parallelism, allocation rate outruns a
+        # constant heap, and GC time shows up as fake anti-scaling. A real
+        # N→4N executor fleet carries 4× the total heap; local-mode scaling
+        # runs must reproduce that per-core parity to measure the engine.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_DRIVER_MEM", f"{max(8, cpus)}g"),
+            os.environ.get(
+                "SPARK_DRIVER_MEM", f"{min(64, max(8, cpus * 4))}g"
+            ),
         )
         # Image `bytes` rows are fat: small parquet splits keep (a) per-task
         # memory bounded (the reference's RAM-scaled flush batches,

@@ -224,3 +224,36 @@ class TestVerify:
         assert s["pixel_failures"] == 0
         assert s["caption_failures"] == 0
         assert s["min_psnr_db"] >= 40.0
+
+
+class TestDistributedAudit:
+    def test_manifest_audit_routes_through_bulk_stats_harvest(
+        self, spark, tmp_table_dir, monkeypatch
+    ):
+        """The stats audit must be ONE collect_file_stats harvest (executor
+        RDD above the threshold), never a serial per-file driver loop: force
+        the distribute threshold to 1 so the RDD path itself is exercised,
+        and count harvest calls."""
+        import olake_spark.icelite.stats as stats_mod
+        import olake_spark.operators.manifests as mf_mod
+        from olake_spark import datagen
+        from olake_spark.icelite import Table
+
+        t = Table.create(
+            spark, os.path.join(tmp_table_dir, "audit"), datagen.IMAGES_SCHEMA,
+            identifier_fields=("image_id",),
+        )
+        t.append(datagen.gen_images_df(spark, 40), max_records_per_file=10)
+
+        calls = []
+        real = stats_mod.collect_file_stats
+
+        def counting(spark_, paths):
+            calls.append(len(paths))
+            return real(spark_, paths)
+
+        monkeypatch.setattr(stats_mod, "_DISTRIBUTE_THRESHOLD", 1)
+        monkeypatch.setattr(mf_mod, "collect_file_stats", counting)
+        res = mf_mod.rewrite_manifests(t, target_entries=8, audit=True)
+        assert res["audited"] >= 4
+        assert len(calls) == 1 and calls[0] == res["audited"]
