@@ -528,3 +528,47 @@ def embedding_near_dup(
         .filter(F.col("cos_ppm") >= threshold_ppm)
         .select("id_a", "id_b", "cos_ppm")
     )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold_ppm: int = 950_000,
+    n_planes: int = 16,
+    n_tables: int = 4,
+) -> DataFrame:
+    """APPROXIMATE near-dup pairs for HIGH thresholds (cos ≥ ~0.9) at
+    10^9-vector scale: a candidate pair collides in ≥1 of `n_tables`
+    independent hyperplane band tables (uniform-hash buckets → skew-free
+    join, candidates ≈ n·bucket_size instead of n²), then exact fold-cosine
+    verification. For cos=0.99 twins at 16 planes × 4 tables the analytic
+    miss probability is < 6% per pair (property-tested recall ≥ 0.9,
+    tests/test_pipeline_ops.py); for EXACT output — required at low
+    thresholds where hyperplane agreement carries no signal — use
+    :func:`embedding_near_dup` (blocked matmul) instead."""
+    from olake_spark.operators.ann import lsh_buckets  # deferred: ann imports us
+
+    b = lsh_buckets(df, id_col, vec_col, dim, n_planes, n_tables)
+    cand = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_ppm", cosine_ppm_expr("va", "vb"))
+        .filter(F.col("cos_ppm") >= threshold_ppm)
+        .select("id_a", "id_b", "cos_ppm")
+    )

@@ -219,3 +219,26 @@ class TestBoundedStreaming:
         # the run completes instantly without reprocessing (offsets persisted)
         out2 = run_available_now(agg, ckpt)
         assert out2.agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0] in (0, 300)
+
+
+class TestEmbeddingLshDedup:
+    def test_lsh_near_dup_recall_on_planted_twins(self, spark):
+        """The 10^9-scale approximate path must recover ≥90% of planted
+        cos≈0.99 twin pairs, each verified with the exact fold cosine
+        (so precision is 1.0 by construction — only recall is at stake)."""
+        rng = np.random.default_rng(11)
+        dim, n, nt = 24, 150, 40
+        base = rng.standard_normal((n, dim)).astype(np.float32)
+        rows = [(i, base[i].tolist()) for i in range(n)]
+        for j in range(nt):  # twin of vector j with tiny perturbation
+            tw = base[j] + 0.03 * rng.standard_normal(dim).astype(np.float32)
+            rows.append((1000 + j, tw.tolist()))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = dedup.embedding_near_dup_lsh(
+            df, "vec_id", "embedding", dim=dim, threshold_ppm=950_000
+        ).collect()
+        pairs = {(r["id_a"], r["id_b"]) for r in got}
+        hits = sum(1 for j in range(nt) if (j, 1000 + j) in pairs)
+        assert hits >= int(0.9 * nt), f"LSH dedup recall {hits}/{nt}"
+        # every emitted pair really is above threshold (exact verify ran)
+        assert all(r["cos_ppm"] >= 950_000 for r in got)
