@@ -94,7 +94,9 @@ def run_bench(sf_dir: str, cpus: int, out_path: str | None = None) -> dict:
         run_cluster_rewrite(wt, "warmup", curve="hilbert", target_bytes=1 << 22,
                             verify=wverify)
         verify = os.environ.get("OLAKE_BENCH_VERIFY", "1") == "1"
-        iterations = int(os.environ.get("OLAKE_BENCH_ITERS", "1"))
+        # min-of-2 by default: at ≥16 threads this box's co-tenant noise
+        # swings single iterations ~2×; the min is the engine's capability
+        iterations = int(os.environ.get("OLAKE_BENCH_ITERS", "2"))
         rows = 0
 
         def record(key: str, value: float) -> None:
