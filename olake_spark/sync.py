@@ -153,10 +153,14 @@ def backfill(
     seq = table.meta["last_sequence_number"] + 1
     codec = table.meta["properties"].get("write.parquet.compression-codec", "snappy")
     stage = os.path.join(table.root, "data", f".backfill-{uuid.uuid4().hex}")
+    out = spec.apply(df).repartition(max(len(todo), 1), F.col("_chunk_"))
+    if table.sort_order:
+        # honor the declared table sort order (O3) in backfill-written files
+        # too; leading with the write's partition columns keeps the parquet
+        # writer on its no-resort path (same contract as Table._stage_write)
+        out = out.sortWithinPartitions("_chunk_", *spec.names, *table.sort_order)
     w = (
-        spec.apply(df)
-        .repartition(max(len(todo), 1), F.col("_chunk_"))
-        .write.mode("overwrite")
+        out.write.mode("overwrite")
         .option("compression", codec)
     )
     if max_records_per_file:
