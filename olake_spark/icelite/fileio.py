@@ -133,7 +133,6 @@ class ConditionalPutFileIO(LocalFileIO):
     only the catalog commit differs."""
 
     _lock = threading.Lock()  # stands in for the remote endpoint's serialization
-    link_calls = 0  # proof the POSIX CAS is never exercised
 
     def atomic_create_json(self, target: str, meta: dict) -> bool:
         data = json.dumps(meta)

@@ -686,20 +686,7 @@ class Table:
             new["schema_json"] = schema.json()
             return new
 
-        meta_dir = os.path.join(self.root, "metadata")
-        with self._lock:
-            for _ in range(20):
-                self.refresh()
-                new_meta = build(dict(self.meta))
-                target = os.path.join(
-                    meta_dir, f"v{self._version + 1:05d}.metadata.json"
-                )
-                if not self.io.atomic_create_json(target, new_meta):
-                    continue
-                self._write_hint(meta_dir, self._version + 1)
-                self._meta, self._version = new_meta, self._version + 1
-                return
-            raise CommitConflict("add_columns: too many retries")
+        self._commit(build)
 
     def rollback_to(self, snapshot_id: int) -> dict:
         """Point current back to an earlier (still-retained) snapshot —
@@ -726,6 +713,7 @@ class Table:
     def expire_snapshots(self, keep_last: int = 1, older_than_ms: int | None = None) -> dict:
         """Drop old snapshots from metadata (current always kept). Data/delete/
         manifest files become orphans, reaped by `remove_orphan_files`."""
+        expired = {"n": 0}
 
         def build(meta: dict) -> dict:
             snaps = meta["snapshots"]
@@ -736,25 +724,13 @@ class Table:
                 if s["snapshot_id"] in keep_ids
                 or (older_than_ms is not None and s["timestamp_ms"] >= older_than_ms)
             ]
+            expired["n"] = len(snaps) - len(kept)
             new = dict(meta)
             new["snapshots"] = kept
             return new
 
-        meta_dir = os.path.join(self.root, "metadata")
-        with self._lock:
-            for _ in range(20):
-                self.refresh()
-                before = len(self.meta["snapshots"])
-                new_meta = build(dict(self.meta))
-                target = os.path.join(
-                    meta_dir, f"v{self._version + 1:05d}.metadata.json"
-                )
-                if not self.io.atomic_create_json(target, new_meta):
-                    continue
-                self._write_hint(meta_dir, self._version + 1)
-                self._meta, self._version = new_meta, self._version + 1
-                return {"expired": before - len(new_meta["snapshots"])}
-            raise CommitConflict("expire_snapshots: too many retries")
+        self._commit(build)
+        return {"expired": expired["n"]}
 
     def remove_orphan_files(
         self, grace_seconds: float = 3 * 24 * 3600, dry_run: bool = False

@@ -141,6 +141,7 @@ def knn_lsh(
     multiprobe: bool = True,
     n_planes: int | None = None,
     n_tables: int = 4,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH: a candidate
     shares the query's bucket in ANY of `n_tables` independent tables (plus
@@ -149,9 +150,12 @@ def knn_lsh(
     (tests/test_properties.py) — ≥0.9 for true near neighbors (cos ≈ 0.95+),
     the regime LSH is for. `n_planes` defaults to auto_planes(|corpus|), so
     buckets stay ≈64 rows at any corpus size (10^9 vectors → 24-bit buckets ×
-    4 tables); the bucket join is uniform-hash skew-free."""
+    4 tables); the bucket join is uniform-hash skew-free. Auto-sizing needs
+    the corpus cardinality — pass `n_rows` (e.g. from table metadata /
+    `Table.total_records()`) to avoid the count() job re-running an expensive
+    corpus lineage just to pick an integer."""
     if n_planes is None:
-        n_planes = auto_planes(corpus.count())
+        n_planes = auto_planes(n_rows if n_rows is not None else corpus.count())
     cb = lsh_buckets(corpus, id_col, vec_col, dim, n_planes, n_tables).withColumnRenamed(
         "id", "neighbor_id"
     )

@@ -146,12 +146,9 @@ def _run_bulk(
     from olake_spark.icelite.table import _parse_partition
 
     spark = table.spark
-    # LPT scheduling: bin index == shuffle partition index == task launch
-    # order, so biggest bins FIRST turns the write stage's task packing into
-    # longest-processing-time-first — the greedy-makespan bound (≤4/3·OPT)
-    # instead of a random-order tail where the last wave straggles on a big
-    # bin while other cores idle (measured ~0.7 scaling efficiency without
-    # this at 64 tasks / 8 cores)
+    # deterministic execution order: biggest bins first (stable across runs;
+    # also the order hash-partition collisions are least likely to pair two
+    # large bins when the partition count is widened below)
     todo = sorted(todo, key=lambda b: -b.total_bytes)
     rel_paths = {f.file_path for b in todo for f in b.files}
     pairs = [
@@ -189,7 +186,20 @@ def _run_bulk(
     per_file = max(1, target_bytes // avg_row)
 
     spec = table.spec
-    out = spec.apply(df).repartition(len(todo), F.col("_bin_"))
+    # `repartition(n, _bin_)` HASH-partitions: with exactly len(todo)
+    # partitions, birthday collisions routinely pack two bins into one task
+    # (a straggler) and leave ~1/e of tasks empty. 4× the partition count
+    # makes collisions rare and empty partitions are free — bin identity is
+    # carried by the partitionBy(_bin_) directory, not the task, so this is
+    # purely a load-balance knob
+    out = spec.apply(df).repartition(4 * len(todo), F.col("_bin_"))
+    if table.sort_order:
+        # O3: compacted files keep the declared table sort order; leading
+        # with the write's partition columns keeps the parquet writer on its
+        # no-resort path (same contract as _stage_write). Within-file order
+        # does not affect file-level min/max, so clustered layouts keep
+        # their pruning power through compaction.
+        out = out.sortWithinPartitions("_bin_", *spec.names, *table.sort_order)
     seq = table.meta["last_sequence_number"] + 1
     stage = os.path.join(table.root, "data", f".bulk-{uuid.uuid4().hex}")
     codec = table.meta["properties"].get(

@@ -82,6 +82,7 @@ def merge_into(
     keep_deletes: bool | None = None,
     job_id: str | None = None,
     log: MaintenanceLog | None = None,
+    allow_partial: bool = False,
 ) -> dict:
     """Apply a CDC change batch to the table in one atomic snapshot.
 
@@ -111,6 +112,19 @@ def merge_into(
     missing_keys = [k for k in keys if k not in changes.columns]
     if missing_keys:
         raise ValueError(f"change batch lacks identifier fields {missing_keys}")
+    # merge is delete-before-insert (full-row replacement): a batch missing a
+    # data column would overwrite that column with NULL table-wide. That must
+    # be a loud error on upstream schema drift, and a deliberate choice
+    # (allow_partial=True — set automatically by apply_cdc_stream when
+    # columns are excluded via P7) when the caller opted in.
+    missing_data = [
+        f.name for f in table.schema.fields if f.name not in changes.columns
+    ]
+    if missing_data and not allow_partial:
+        raise ValueError(
+            f"change batch lacks table columns {missing_data}; pass "
+            f"allow_partial=True to null-fill them deliberately"
+        )
     survivors = dedup_changes(changes, keys)
 
     # partial-column batches (P7 exclusion / sparse CDC payloads) null-fill

@@ -12,6 +12,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _heap_gb(cpus: int) -> int:
+    """4 GB per executor thread, bounded to [8, RAM/2] of the actual box."""
+    ram_gb = 64
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    ram_gb = int(line.split()[1]) // (1024 * 1024)
+                    break
+    except OSError:
+        pass
+    return max(8, min(cpus * 4, max(8, ram_gb // 2)))
+
+
 def get_spark(
     app_name: str = "olake-spark",
     master: str | None = None,
@@ -44,16 +58,15 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # local mode: the driver JVM hosts every executor thread — size the
-        # heap PER CORE (4g/thread, capped at the box), or per-task execution
-        # memory shrinks linearly with parallelism, allocation rate outruns a
-        # constant heap, and GC time shows up as fake anti-scaling. A real
-        # N→4N executor fleet carries 4× the total heap; local-mode scaling
-        # runs must reproduce that per-core parity to measure the engine.
+        # heap PER CORE (4g/thread), or per-task execution memory shrinks
+        # linearly with parallelism, allocation rate outruns a constant heap,
+        # and GC time shows up as fake anti-scaling. A real N→4N executor
+        # fleet carries 4× the total heap; local-mode scaling runs must
+        # reproduce that per-core parity to measure the engine. Capped at
+        # half of PHYSICAL RAM so smaller boxes never swap-thrash.
         .config(
             "spark.driver.memory",
-            os.environ.get(
-                "SPARK_DRIVER_MEM", f"{min(64, max(8, cpus * 4))}g"
-            ),
+            os.environ.get("SPARK_DRIVER_MEM", f"{_heap_gb(cpus)}g"),
         )
         # Image `bytes` rows are fat: small parquet splits keep (a) per-task
         # memory bounded (the reference's RAM-scaled flush batches,

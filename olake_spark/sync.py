@@ -72,7 +72,15 @@ def plan_chunks_multi(
     sampled = (
         keys.sample(fraction=frac, seed=seed) if frac < 1.0 else keys
     ).collect()
-    tuples = sorted(tuple(r) for r in sampled)
+    # NULL-containing key tuples are un-orderable in Python AND unusable as
+    # struct-comparison literals (NULL comparisons yield NULL): exclude them
+    # from boundary selection — backfill routes null-key rows to the
+    # unbounded-left chunk instead
+    tuples = sorted(
+        tuple(r) for r in sampled if all(v is not None for v in r)
+    )
+    if not tuples:
+        return [(None, None)]
     bounds: list[tuple] = []
     for i in range(1, n_chunks):
         b = tuples[min(len(tuples) - 1, (i * len(tuples)) // n_chunks)]
@@ -138,12 +146,20 @@ def backfill(
         bound_lit = F.lit
     cid = F.lit(None).cast("int")
     cond_any = F.lit(False)
+    # a row with any NULL key field fails every range comparison (NULL
+    # semantics) — route it to the unbounded-left chunk, STABLY across runs
+    # (resume must re-derive the same chunk id for the same row)
+    null_key = F.lit(False)
+    for c_name in key_cols:
+        null_key = null_key | F.col(c_name).isNull()
     for i, (lo, hi) in enumerate(todo):
         c = F.lit(True)
         if lo is not None:
             c = c & (k >= bound_lit(lo))
         if hi is not None:
             c = c & (k < bound_lit(hi))
+        if lo is None:
+            c = (c & ~null_key) | null_key
         cid = F.when(c & cid.isNull(), F.lit(i)).otherwise(cid)
         cond_any = cond_any | c
     df = source.filter(cond_any).withColumn("_chunk_", cid)
@@ -261,7 +277,9 @@ def apply_cdc_stream(
             b = exclude_columns(b, exclude)
         if b.isEmpty():
             return
-        merge_into(table, b, keep_deletes=keep_deletes)
+        merge_into(
+            table, b, keep_deletes=keep_deletes, allow_partial=bool(exclude)
+        )
 
     q = (
         changes_stream.writeStream.foreachBatch(apply)

@@ -76,3 +76,27 @@ class TestClusterResume:
         assert r1["rows"] == 100
         r2 = run_cluster_rewrite(t, "cjob", curve="zorder", log=log)
         assert r2.get("skipped") is True
+
+
+class TestPartialBatchGuard:
+    def test_missing_data_column_raises_without_opt_in(self, spark, tmp_table_dir):
+        """A change batch silently missing a table column must FAIL —
+        delete-before-insert would otherwise null that column table-wide
+        on upstream schema drift. Opt-in via allow_partial (what the P7
+        exclusion path sets) null-fills deliberately."""
+        t = Table.create(
+            spark,
+            os.path.join(tmp_table_dir, "partial"),
+            datagen.IMAGES_SCHEMA,
+            PartitionSpec(()),
+            identifier_fields=("image_id",),
+        )
+        t.append(datagen.gen_images_df(spark, 20))
+        changes = datagen.gen_changes_df(spark, base_n=20, n_changes=8).drop(
+            "caption"
+        )
+        with pytest.raises(ValueError, match="caption"):
+            merge_into(t, changes)
+        merge_into(t, changes, allow_partial=True)  # deliberate → null-fill
+        touched = t.scan().filter(F.col("caption").isNull())
+        assert touched.count() > 0

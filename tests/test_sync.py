@@ -148,3 +148,28 @@ class TestCliSync:
         assert main(argv_cdc) == 0
         out4 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out4["total_records"] == out3["total_records"]
+
+
+class TestNullKeyBackfill:
+    def test_null_keys_route_to_leftmost_chunk(self, spark, tmp_table_dir):
+        """Rows whose chunk key is NULL fail every range comparison — they
+        must land in the unbounded-left chunk (stably across resume), never
+        be silently dropped from a 'full load'."""
+        t = Table.create(
+            spark, os.path.join(tmp_table_dir, "nullbf"), datagen.IMAGES_SCHEMA,
+            identifier_fields=("image_id",),
+        )
+        src = datagen.gen_images_df(spark, 60).withColumn(
+            "fmt",
+            F.when(F.pmod(F.xxhash64("image_id"), F.lit(5)) == 0,
+                   F.lit(None).cast("string")).otherwise(F.col("fmt")),
+        )
+        n_null = src.filter(F.col("fmt").isNull()).count()
+        assert n_null > 0
+        log = MaintenanceLog(spark, os.path.join(tmp_table_dir, "nullbflog"))
+        r1 = backfill(t, src, ("fmt", "image_id"), "nk", log=log, n_chunks=4)
+        assert r1["rows_written"] == 60
+        assert t.scan().count() == 60
+        r2 = backfill(t, src, ("fmt", "image_id"), "nk", log=log, n_chunks=4)
+        assert r2["chunks_executed"] == 0
+        assert t.scan().count() == 60  # resume rewrote nothing
