@@ -135,6 +135,7 @@ def _run_bulk(
     snap_before: int,
     verify: bool = False,
     pinned_delete_paths: set[str] | None = None,
+    sort_output: bool = False,
 ) -> dict:
     """One-job executor: see run_compaction (mode='bulk')."""
     import os
@@ -193,12 +194,12 @@ def _run_bulk(
     # carried by the partitionBy(_bin_) directory, not the task, so this is
     # purely a load-balance knob
     out = spec.apply(df).repartition(4 * len(todo), F.col("_bin_"))
-    if table.sort_order:
-        # O3: compacted files keep the declared table sort order; leading
-        # with the write's partition columns keeps the parquet writer on its
-        # no-resort path (same contract as _stage_write). Within-file order
-        # does not affect file-level min/max, so clustered layouts keep
-        # their pruning power through compaction.
+    if sort_output and table.sort_order:
+        # 'sort' strategy: compacted files keep the declared table sort
+        # order; leading with the write's partition columns keeps the
+        # parquet writer on its no-resort path (same contract as
+        # _stage_write). Within-file order does not affect file-level
+        # min/max, so clustered layouts keep their pruning power either way.
         out = out.sortWithinPartitions("_bin_", *spec.names, *table.sort_order)
     seq = table.meta["last_sequence_number"] + 1
     stage = os.path.join(table.root, "data", f".bulk-{uuid.uuid4().hex}")
@@ -311,8 +312,18 @@ def run_compaction(
     max_concurrency: int | None = None,
     mode: str = "bulk",  # or "bins"
     verify: bool = False,
+    sort: bool | None = None,
 ) -> dict:
     """Execute a compaction job. Returns summary metrics.
+
+    `sort`: binpack-vs-sort strategy, exactly Iceberg's RewriteDataFiles
+    split — the DEFAULT is binpack (coalesce only; re-sorting every fat
+    image row through the shuffle sorter costs ~20-40% of rewrite wall and
+    Iceberg's default strategy skips it too), so compaction does NOT
+    maintain the declared table sort order unless asked: pass sort=True or
+    set table property `compaction.sort-order=true`. Appends/backfills
+    always honor the declared order (O3); only the rewrite strategy is a
+    choice.
 
     Two executors:
 
@@ -333,6 +344,11 @@ def run_compaction(
     k committed bins.
     """
     table.refresh()
+    if sort is None:
+        sort = (
+            str(table.meta["properties"].get("compaction.sort-order", "false"))
+            .lower() == "true"
+        )
     if target_bytes is None:
         target_bytes = int(
             table.meta["properties"].get("write.target-file-size-bytes", DEFAULT_TARGET)
@@ -375,7 +391,7 @@ def run_compaction(
     if mode == "bulk" and len(todo) > 1 and stop_after_bins is None:
         res = _run_bulk(
             table, job_id, log, todo, target_bytes, pin_snapshot, snap_before,
-            verify=verify, pinned_delete_paths=pinned_dels,
+            verify=verify, pinned_delete_paths=pinned_dels, sort_output=sort,
         )
         res["bins_skipped"] = skipped
         res["delete_files_purged"] = (
@@ -400,7 +416,10 @@ def run_compaction(
         # thread-per-chunk writers, destination/writers.go:50-89)
         out = df.coalesce(1) if n_out == 1 else df.repartition(n_out)
         seq = table.meta["last_sequence_number"] + 1
-        added = table._stage_write(out, seq, max_records_per_file=per_file)
+        added = table._stage_write(
+            out, seq, max_records_per_file=per_file,
+            sort_within_by=None if sort else [],  # binpack: no re-sort
+        )
         snap = table.rewrite_files(
             paths, added, op="compact",
             extra_summary={"job_id": job_id, "chunk_id": b.chunk_id},
