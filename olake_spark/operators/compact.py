@@ -27,7 +27,8 @@ import math
 from dataclasses import dataclass, field
 
 from olake_spark.checkpoint import MaintenanceLog
-from olake_spark.icelite.table import DATA, EQ_DELETES, FileEntry, Table
+from olake_spark.icelite.table import (DATA, EQ_DELETES, CommitConflict,
+                                       FileEntry, Table)
 
 DEFAULT_TARGET = 512 * 1024 * 1024
 
@@ -266,15 +267,28 @@ def _run_bulk(
         group = list(enumerate(todo))[g : g + GROUP]
         removed = {f.file_path for _, b in group for f in b.files}
         added = [e for i, _ in group for e in per_bin.get(i, [])]
-        snap = table.rewrite_files(
-            removed, added, op="compact",
-            extra_summary={
-                "job_id": job_id,
-                "chunk_ids": [b.chunk_id for _, b in group],
-            },
-            seq_used=seq,
-            known_delete_paths=pinned_delete_paths,
-        )
+        try:
+            snap = table.rewrite_files(
+                removed, added, op="compact",
+                extra_summary={
+                    "job_id": job_id,
+                    "chunk_ids": [b.chunk_id for _, b in group],
+                },
+                seq_used=seq,
+                known_delete_paths=pinned_delete_paths,
+            )
+        except CommitConflict as ce:
+            # earlier groups are committed (and logged); this group and every
+            # later one are not. Delete their already-written output files so
+            # the abort leaves zero orphans, then propagate — run_compaction
+            # re-plans from fresh metadata and redoes the remaining bins. The
+            # committed groups' counts ride on the exception so the caller's
+            # summary stays accurate.
+            for i in range(g, len(todo)):
+                for e in per_bin.get(i, []):
+                    table.io.remove(table._abs(e.file_path))
+            ce.partial = (executed, rows_out, bytes_out)
+            raise
         executed += len(group)
         rows_out += sum(e.record_count for e in added)
         bytes_out += sum(e.file_size_bytes for e in added)
@@ -389,11 +403,49 @@ def run_compaction(
         todo = todo[:stop_after_bins]
 
     if mode == "bulk" and len(todo) > 1 and stop_after_bins is None:
-        res = _run_bulk(
-            table, job_id, log, todo, target_bytes, pin_snapshot, snap_before,
-            verify=verify, pinned_delete_paths=pinned_dels, sort_output=sort,
+        # a concurrent equality-delete commit can CommitConflict the per-group
+        # commit loop midway: committed groups stand, _run_bulk has already
+        # deleted the uncommitted groups' outputs, and we re-plan the rest
+        # from fresh metadata (which now includes the conflicting deletes, so
+        # the redone bins read the post-delete row state)
+        executed_total = rows_total = bytes_total = 0
+        for attempt in range(3):
+            try:
+                res = _run_bulk(
+                    table, job_id, log, todo, target_bytes, pin_snapshot,
+                    snap_before, verify=verify,
+                    pinned_delete_paths=pinned_dels, sort_output=sort,
+                )
+            except CommitConflict as ce:
+                p = getattr(ce, "partial", (0, 0, 0))
+                executed_total += p[0]
+                rows_total += p[1]
+                bytes_total += p[2]
+                if attempt == 2:
+                    raise
+                table.refresh()
+                pin_snapshot = table.current_snapshot_id
+                pinned_dels = {
+                    e.file_path
+                    for e in table.entries(pin_snapshot)
+                    if e.content != DATA
+                }
+                bins = plan_compaction(table, target_bytes, fill_ratio)
+                done = log.done_chunk_ids(job_id) if log is not None else set()
+                todo = [b for b in bins if b.chunk_id not in done]
+                if not todo:
+                    res = {"bins_planned": 0, "bins_executed": 0,
+                           "rows_rewritten": 0, "bytes_out": 0, "mode": "bulk"}
+                    break
+                continue
+            break
+        executed_total += res["bins_executed"]
+        rows_total += res["rows_rewritten"]
+        bytes_total += res["bytes_out"]
+        res.update(
+            bins_executed=executed_total, rows_rewritten=rows_total,
+            bytes_out=bytes_total, bins_skipped=skipped,
         )
-        res["bins_skipped"] = skipped
         res["delete_files_purged"] = (
             purge_dead_deletes(table) if res["bins_executed"] else 0
         )

@@ -82,7 +82,7 @@ def merge_into(
     keep_deletes: bool | None = None,
     job_id: str | None = None,
     log: MaintenanceLog | None = None,
-    allow_partial: bool = False,
+    allow_partial: bool | set[str] | list[str] | tuple[str, ...] = False,
 ) -> dict:
     """Apply a CDC change batch to the table in one atomic snapshot.
 
@@ -114,17 +114,23 @@ def merge_into(
         raise ValueError(f"change batch lacks identifier fields {missing_keys}")
     # merge is delete-before-insert (full-row replacement): a batch missing a
     # data column would overwrite that column with NULL table-wide. That must
-    # be a loud error on upstream schema drift, and a deliberate choice
-    # (allow_partial=True — set automatically by apply_cdc_stream when
-    # columns are excluded via P7) when the caller opted in.
+    # be a loud error on upstream schema drift, and a deliberate choice when
+    # the caller opted in. `allow_partial` is either True (waive the guard
+    # entirely) or the exact SET of columns allowed to be missing —
+    # apply_cdc_stream passes its P7 exclusion set, so drift on any
+    # NON-excluded column still raises instead of null-filling table-wide.
     missing_data = [
         f.name for f in table.schema.fields if f.name not in changes.columns
     ]
-    if missing_data and not allow_partial:
-        raise ValueError(
-            f"change batch lacks table columns {missing_data}; pass "
-            f"allow_partial=True to null-fill them deliberately"
-        )
+    if missing_data and allow_partial is not True:
+        allowed = set(allow_partial) if allow_partial else set()
+        drifted = [c for c in missing_data if c not in allowed]
+        if drifted:
+            raise ValueError(
+                f"change batch lacks table columns {drifted}; pass "
+                f"allow_partial=True (or include them in the allowed-missing "
+                f"set) to null-fill them deliberately"
+            )
     survivors = dedup_changes(changes, keys)
 
     # partial-column batches (P7 exclusion / sparse CDC payloads) null-fill

@@ -13,7 +13,9 @@ from pyspark.sql import SparkSession
 
 
 def _heap_gb(cpus: int) -> int:
-    """4 GB per executor thread, bounded to [8, RAM/2] of the actual box."""
+    """4 GB per executor thread, floored at 8 GB, then capped at RAM/2 of the
+    actual box — the cap is applied LAST so a small-RAM host never gets a
+    default heap at or beyond physical memory."""
     ram_gb = 64
     try:
         with open("/proc/meminfo") as f:
@@ -23,7 +25,7 @@ def _heap_gb(cpus: int) -> int:
                     break
     except OSError:
         pass
-    return max(8, min(cpus * 4, max(8, ram_gb // 2)))
+    return min(max(8, cpus * 4), max(2, ram_gb // 2))
 
 
 def get_spark(

@@ -277,8 +277,11 @@ def apply_cdc_stream(
             b = exclude_columns(b, exclude)
         if b.isEmpty():
             return
+        # only the explicitly excluded columns may be absent from the batch —
+        # schema drift on any other column still raises inside merge_into
         merge_into(
-            table, b, keep_deletes=keep_deletes, allow_partial=bool(exclude)
+            table, b, keep_deletes=keep_deletes,
+            allow_partial=set(exclude) if exclude else False,
         )
 
     q = (
