@@ -353,9 +353,16 @@ def _q_dedup_simhash(spark, sf):
 
 
 def _q_ann_lsh_topk(spark, sf):
+    # n_planes pinned (the auto_planes sizing depends on |corpus|, which the
+    # static oracle SQL can't) and exact_buckets=True: plane signs come from
+    # the sequential Catalyst fold that is bit-identical to the DuckDB twin,
+    # making the full LSH — buckets, multiprobe, candidate set, re-rank —
+    # exactly oracled. The numpy/BLAS bucket path stays the production
+    # default, covered by the recall property test.
     emb = _tbl(spark, sf, "embeddings")
     return ann.knn_lsh(
-        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", dim=64, k=5
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        dim=64, k=5, n_planes=8, exact_buckets=True,
     )
 
 
@@ -402,8 +409,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": _q_stream_windowed_counts,
         "dedup_simhash": _q_dedup_simhash,
         "multimodal_decode_stats": _q_multimodal_decode_stats,
-        # rows-only (no SQL-expressible oracle): LSH top-k is approximate by
-        # design — its guarantee is the recall property test vs brute force
         "ann_lsh_topk": _q_ann_lsh_topk,
     }
 
@@ -524,6 +529,10 @@ WHERE {cos('a.embedding', 'b.embedding')} >= {COSINE_PPM}
 """,
         "ann_bruteforce_topk": ann.knn_bruteforce_sql(
             "embeddings", "vec_id < 10", "vec_id", cos("qv", "cv"), k=5
+        ),
+        "ann_lsh_topk": ann.knn_lsh_sql(
+            "embeddings", "vec_id < 10", "vec_id", cos("qv", "cv"),
+            dim=64, k=5, n_planes=8, n_tables=4,
         ),
         "text_quality": f"""
 SELECT doc_id,

@@ -91,6 +91,35 @@ def auto_planes(n_rows: int, target_bucket_rows: int = 64) -> int:
     return max(2, min(30, math.ceil(math.log2(max(2, n_rows / target_bucket_rows)))))
 
 
+def lsh_bucket_exprs(
+    vec_col: str, dim: int, n_planes: int = N_PLANES, n_tables: int = 1
+) -> list:
+    """Pure-Catalyst bucket ids, one Column per hash table: each plane's sign
+    comes from a sequential double-precision left fold (`aggregate` over
+    `zip_with` with the plane as a literal array) — the SAME fold shape as
+    `cosine_ppm_expr`, so it is bit-identical to the DuckDB `list_reduce`
+    twin in :func:`knn_lsh_sql` and the whole LSH becomes exactly oracle-able.
+
+    The numpy UDF path (`lsh_bucket_udf`) computes the same buckets via one
+    BLAS matmul per Arrow batch — the throughput path — but BLAS summation
+    order is not the sequential fold, so a dot product within float-ulp of
+    zero could (astronomically rarely) sign-flip across engines. This path is
+    all JVM whole-stage codegen (zero Python), deterministic to the bit."""
+    exprs = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, t)
+        b = F.lit(0)
+        for p in range(n_planes):
+            arr = F.array(*[F.lit(float(v)) for v in planes[p]])
+            prod = F.zip_with(
+                F.col(vec_col), arr, lambda x, y: x.cast("double") * y
+            )
+            dot = F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+            b = b + F.when(dot > F.lit(0.0), F.lit(1 << p)).otherwise(F.lit(0))
+        exprs.append(b.cast("int"))
+    return exprs
+
+
 def lsh_bucket_udf(dim: int, n_planes: int = N_PLANES, n_tables: int = 1):
     """array<int> of one bucket id per hash table; a single stacked matmul
     per Arrow batch computes all tables at once."""
@@ -119,12 +148,20 @@ def lsh_buckets(
     dim: int,
     n_planes: int = N_PLANES,
     n_tables: int = 1,
+    exact: bool = False,
 ) -> DataFrame:
-    """(id, v, table, bucket) — one row per (vector, hash table)."""
+    """(id, v, table, bucket) — one row per (vector, hash table). `exact`
+    swaps the BLAS-matmul pandas UDF for the bit-deterministic Catalyst fold
+    (see lsh_bucket_exprs)."""
+    buckets = (
+        F.array(*lsh_bucket_exprs(vec_col, dim, n_planes, n_tables))
+        if exact
+        else lsh_bucket_udf(dim, n_planes, n_tables)(F.col(vec_col))
+    )
     tagged = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        lsh_bucket_udf(dim, n_planes, n_tables)(F.col(vec_col)).alias("buckets"),
+        buckets.alias("buckets"),
     )
     return tagged.select(
         "id", "v", F.posexplode("buckets").alias("table", "bucket")
@@ -142,6 +179,7 @@ def knn_lsh(
     n_planes: int | None = None,
     n_tables: int = 4,
     n_rows: int | None = None,
+    exact_buckets: bool = False,
 ) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH: a candidate
     shares the query's bucket in ANY of `n_tables` independent tables (plus
@@ -156,12 +194,12 @@ def knn_lsh(
     corpus lineage just to pick an integer."""
     if n_planes is None:
         n_planes = auto_planes(n_rows if n_rows is not None else corpus.count())
-    cb = lsh_buckets(corpus, id_col, vec_col, dim, n_planes, n_tables).withColumnRenamed(
-        "id", "neighbor_id"
-    )
-    qb = lsh_buckets(queries, id_col, vec_col, dim, n_planes, n_tables).withColumnRenamed(
-        "id", "query_id"
-    )
+    cb = lsh_buckets(
+        corpus, id_col, vec_col, dim, n_planes, n_tables, exact=exact_buckets
+    ).withColumnRenamed("id", "neighbor_id")
+    qb = lsh_buckets(
+        queries, id_col, vec_col, dim, n_planes, n_tables, exact=exact_buckets
+    ).withColumnRenamed("id", "query_id")
     if multiprobe:
         probes = F.explode(
             F.expr(
@@ -192,3 +230,90 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long"), "cos_ppm")
     )
+
+
+def knn_lsh_sql(
+    corpus: str,
+    queries_pred: str,
+    id_col: str,
+    cos_ppm: str,
+    dim: int,
+    k: int = 5,
+    n_planes: int = N_PLANES,
+    n_tables: int = 4,
+    multiprobe: bool = True,
+) -> str:
+    """DuckDB oracle twin of :func:`knn_lsh` with `exact_buckets=True`.
+
+    The seeded hyperplanes are embedded as literal DOUBLE lists (shortest
+    round-trip repr → both engines hold the identical IEEE754 doubles); each
+    plane's sign comes from the same sequential left fold `cosine_ppm_sql`
+    uses (`list_reduce` over element order, double precision), so bucket ids
+    — and therefore the candidate set, the exact `cos_ppm` re-rank, and the
+    final top-k — are bit-identical to the Spark expression path. Multiprobe
+    replicates `bucket XOR (1<<i)` per plane. `cos_ppm` is the SQL for
+    cosine_ppm over columns qv / cv."""
+    rows = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, t)
+        for p in range(n_planes):
+            lits = ", ".join(repr(float(v)) for v in planes[p])
+            rows.append(f"({t}, {p}, [{lits}])")
+    plane_values = ",\n  ".join(rows)
+
+    def dot(x: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"[CAST({x}[i] AS DOUBLE) * pv[i] "
+            f"FOR i IN range(1, len({x}) + 1)]), (acc, v) -> acc + v)"
+        )
+
+    probes = (
+        "list_prepend(bucket, ["
+        + ", ".join(f"xor(bucket, {1 << i})" for i in range(n_planes))
+        + "])"
+        if multiprobe
+        else "[bucket]"
+    )
+    return f"""
+WITH planes(tbl, p, pv) AS (VALUES
+  {plane_values}
+),
+c AS (SELECT {id_col} AS neighbor_id, embedding AS cv FROM {corpus}),
+q AS (SELECT {id_col} AS query_id, embedding AS qv FROM {corpus}
+      WHERE {queries_pred}),
+cb AS (
+  SELECT neighbor_id, tbl,
+         CAST(SUM(CASE WHEN {dot('cv')} > 0 THEN 1 << p ELSE 0 END) AS INT)
+           AS bucket
+  FROM c CROSS JOIN planes GROUP BY neighbor_id, tbl
+),
+qb AS (
+  SELECT query_id, tbl,
+         CAST(SUM(CASE WHEN {dot('qv')} > 0 THEN 1 << p ELSE 0 END) AS INT)
+           AS bucket
+  FROM q CROSS JOIN planes GROUP BY query_id, tbl
+),
+qp AS (
+  SELECT query_id, tbl, unnest({probes}) AS probe FROM qb
+),
+cand AS (
+  SELECT DISTINCT qp.query_id, cb.neighbor_id
+  FROM cb JOIN qp ON cb.tbl = qp.tbl AND cb.bucket = qp.probe
+                 AND qp.query_id <> cb.neighbor_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, {cos_ppm} AS cos_ppm
+  FROM cand
+  JOIN q ON q.query_id = cand.query_id
+  JOIN c ON c.neighbor_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_ppm,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_ppm DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_ppm
+FROM ranked WHERE rank <= {k}
+"""
