@@ -21,7 +21,8 @@ parquet manifests readable as DataFrames for metadata-driven planning
 (never touching the heavy ``bytes`` column).
 """
 
-from olake_spark.icelite.fileio import (ConditionalPutFileIO, FileIO,  # noqa: F401
-                                        LocalFileIO)
+from olake_spark.icelite.fileio import (ConditionalPutFileIO,  # noqa: F401
+                                        FakeObjectStoreFileIO, FaultInjected,
+                                        FileIO, LocalFileIO, default_io)
 from olake_spark.icelite.spec import PartitionField, PartitionSpec  # noqa: F401
 from olake_spark.icelite.table import Table  # noqa: F401

@@ -29,8 +29,24 @@ import json
 import os
 import shutil
 import threading
+import time
 import uuid
+from collections import Counter
 from typing import Iterator
+
+
+def default_io() -> "FileIO":
+    """Default FileIO, selectable via OLAKE_FILEIO ∈ {local, conditional,
+    objectstore} — the hook that lets the FULL test suite run against
+    object-store semantics (`OLAKE_FILEIO=objectstore pytest tests/`)."""
+    kind = os.environ.get("OLAKE_FILEIO", "local").lower()
+    if kind in ("", "local"):
+        return LocalFileIO()
+    if kind == "conditional":
+        return ConditionalPutFileIO()
+    if kind in ("objectstore", "fake-objectstore"):
+        return FakeObjectStoreFileIO()
+    raise ValueError(f"unknown OLAKE_FILEIO={kind!r}")
 
 
 class FileIO:
@@ -63,8 +79,25 @@ class FileIO:
     def rename(self, src: str, dst: str) -> None:
         raise NotImplementedError
 
+    def rename_many(self, pairs: list[tuple[str, str]]) -> None:
+        """Promote a whole batch of files in ONE FileIO call. Engine promote
+        paths (staged write → final location) MUST use this, never a per-file
+        rename loop: the driver's work is then O(1) calls per write job, and
+        an object-store implementation is free to run the batch as parallel
+        server-side copy requests (each of which is a copy+delete, not an
+        atomic rename)."""
+        for src, dst in pairs:
+            self.rename(src, dst)
+
     def remove(self, path: str) -> None:
         raise NotImplementedError
+
+    def remove_many(self, paths: list[str]) -> None:
+        """Batched delete — the object-store analogue is DeleteObjects (one
+        request per 1000 keys); same O(1)-driver-calls contract as
+        rename_many."""
+        for p in paths:
+            self.remove(p)
 
     def rmtree(self, path: str) -> None:
         raise NotImplementedError
@@ -146,3 +179,149 @@ class ConditionalPutFileIO(LocalFileIO):
                 f.write(data)
             os.replace(tmp, target)  # "PUT succeeded": object appears whole
             return True
+
+
+class FaultInjected(OSError):
+    """Raised by FakeObjectStoreFileIO when an injected fault fires."""
+
+
+class FakeObjectStoreFileIO(FileIO):
+    """Object-store semantics on local disk, with fault injection — the
+    in-sandbox stand-in for S3FileIO the round-2 verdict asked for
+    (reference: catalog/FileIO split + S3 semantics, iceberg_utils.go:197-260).
+    Breaks every POSIX assumption an engine might lean on:
+
+    - **No atomic rename**: `rename` is COPY then DELETE (S3 has no rename at
+      all). A fault between the two leaves BOTH source and destination — the
+      worst case promote/resume logic must survive.
+    - **No hard links**: the commit CAS is a conditional put (`If-None-Match`)
+      served under the (simulated) store endpoint's serialization, like
+      ConditionalPutFileIO. `os.link` is never used.
+    - **Whole-object PUTs**: objects appear complete or not at all (real
+      object stores have no partial objects); the simulator's own use of a
+      temp-file + replace *inside* a PUT models the store's internal
+      atomicity, not a capability offered to the engine.
+    - **rename_many** runs the batch as parallel copy+delete requests (a
+      thread pool standing in for concurrent HTTP requests), so a promote's
+      wall-clock is batch/parallelism, not O(files) serial round-trips.
+
+    Fault injection: `fail_renames_after=k` makes the k+1-th rename fail
+    AFTER the copy and BEFORE the delete (duplicating the object — the
+    nastiest crash point); `latency_s` adds per-request latency so tests can
+    surface accidental per-file loops as wall-clock. `counts` tallies every
+    API call for bounded-driver-work assertions."""
+
+    _cas_lock = threading.Lock()  # the store endpoint's serialization
+
+    def __init__(
+        self,
+        fail_renames_after: int | None = None,
+        latency_s: float = 0.0,
+        parallelism: int = 16,
+    ):
+        self.fail_renames_after = fail_renames_after
+        self.latency_s = latency_s
+        self.parallelism = parallelism
+        self.counts: Counter = Counter()
+        self._renames_done = 0
+        self._count_lock = threading.Lock()
+
+    # -- internals ---------------------------------------------------------
+
+    def _tick(self, op: str) -> None:
+        with self._count_lock:
+            self.counts[op] += 1
+        if self.latency_s:
+            time.sleep(self.latency_s)
+
+    def _copy_delete(self, src: str, dst: str) -> None:
+        """One 'rename' request: server-side copy, then delete-source."""
+        tmp = f"{dst}.put-{uuid.uuid4().hex}"
+        shutil.copyfile(src, tmp)
+        os.replace(tmp, dst)  # the PUT's whole-object atomicity (see class doc)
+        with self._count_lock:
+            self._renames_done += 1
+            if (
+                self.fail_renames_after is not None
+                and self._renames_done > self.fail_renames_after
+            ):
+                raise FaultInjected(
+                    f"injected fault after copy, before delete: {src} -> {dst}"
+                )
+        os.remove(src)
+
+    # -- FileIO API --------------------------------------------------------
+
+    def atomic_create_json(self, target: str, meta: dict) -> bool:
+        self._tick("atomic_create_json")
+        data = json.dumps(meta)
+        with FakeObjectStoreFileIO._cas_lock:
+            if os.path.exists(target):
+                return False
+            tmp = f"{target}.put-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(data)
+            os.replace(tmp, target)
+            return True
+
+    def write_text_atomic(self, path: str, data: str) -> None:
+        self._tick("write_text_atomic")
+        tmp = f"{path}.put-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def read_text(self, path: str) -> str:
+        self._tick("read_text")
+        with open(path) as f:
+            return f.read()
+
+    def list_dir(self, path: str) -> list[str]:
+        self._tick("list_dir")
+        return os.listdir(path)
+
+    def walk_files(self, root: str) -> Iterator[str]:
+        self._tick("walk_files")
+        for dirpath, _dirs, files in os.walk(root):
+            for name in files:
+                yield os.path.join(dirpath, name)
+
+    def makedirs(self, path: str) -> None:
+        # object stores have no directories; kept real so the local data
+        # plane (Spark parquet jobs) can write under the same root
+        self._tick("makedirs")
+        os.makedirs(path, exist_ok=True)
+
+    def rename(self, src: str, dst: str) -> None:
+        self._tick("rename")
+        self._copy_delete(src, dst)
+
+    def rename_many(self, pairs: list[tuple[str, str]]) -> None:
+        self._tick("rename_many")
+        if not pairs:
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(self.parallelism, len(pairs))
+        ) as ex:
+            # materialize to surface the FIRST failure; remaining futures
+            # still run (parallel requests already in flight)
+            list(ex.map(lambda p: self._copy_delete(*p), pairs))
+
+    def remove(self, path: str) -> None:
+        self._tick("remove")
+        os.remove(path)
+
+    def remove_many(self, paths: list[str]) -> None:
+        self._tick("remove_many")
+        for p in paths:
+            os.remove(p)
+
+    def rmtree(self, path: str) -> None:
+        self._tick("rmtree")
+        shutil.rmtree(path, ignore_errors=True)
+
+    def getmtime(self, path: str) -> float:
+        self._tick("getmtime")
+        return os.path.getmtime(path)

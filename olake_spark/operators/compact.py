@@ -220,7 +220,10 @@ def _run_bulk(
         raise
 
     # promote: <stage>/_bin_=k/<partition dirs>/file → data/<partition>/file
+    # — planned on the driver, published with ONE bulk FileIO call
     moved: list[tuple[int, str, str, dict]] = []  # (bin, abs, rel, partition)
+    pairs: list[tuple[str, str]] = []
+    dest_dirs: set[str] = set()
     for src in table.io.walk_files(stage):
         name = os.path.basename(src)
         if not name.endswith(".parquet"):
@@ -236,18 +239,22 @@ def _run_bulk(
             if comps[1:]
             else os.path.join(table.root, "data")
         )
-        table.io.makedirs(dest_dir)
+        dest_dirs.add(dest_dir)
         dest = os.path.join(dest_dir, f"{seq:06d}-{uuid.uuid4().hex}.parquet")
-        table.io.rename(src, dest)
+        pairs.append((src, dest))
         moved.append((bin_idx, dest, os.path.relpath(dest, table.root), partition))
+    for d in sorted(dest_dirs):
+        table.io.makedirs(d)
+    table._promote(pairs, stage)
     table.io.rmtree(stage)
 
     stats = collect_file_stats(spark, [m[1] for m in moved])
     per_bin: dict[int, list[FileEntry]] = {}
+    empties: list[str] = []
     for bin_idx, abspath, rel, partition in moved:
         st = stats[abspath]
         if st["record_count"] == 0:
-            table.io.remove(abspath)
+            empties.append(abspath)
             continue
         per_bin.setdefault(bin_idx, []).append(
             FileEntry(
@@ -256,6 +263,8 @@ def _run_bulk(
                 st["mins"], st["maxs"], st["null_counts"],
             )
         )
+    if empties:
+        table.io.remove_many(empties)
 
     # commit in groups: one snapshot swaps a group of bins atomically, one
     # batched log append records their lineage. Resume granularity stays

@@ -187,7 +187,10 @@ def backfill(
         table.io.rmtree(stage)
         raise
 
+    # promote planned on the driver, published with ONE bulk FileIO call
     moved: list[tuple[int, str, str, dict]] = []
+    pairs: list[tuple[str, str]] = []
+    dest_dirs: set[str] = set()
     for src in table.io.walk_files(stage):
         name = os.path.basename(src)
         if not name.endswith(".parquet"):
@@ -203,19 +206,23 @@ def backfill(
             if comps[1:]
             else os.path.join(table.root, "data")
         )
-        table.io.makedirs(dest_dir)
+        dest_dirs.add(dest_dir)
         dest = os.path.join(dest_dir, f"{seq:06d}-{uuid.uuid4().hex}.parquet")
-        table.io.rename(src, dest)
+        pairs.append((src, dest))
         moved.append((ci, dest, os.path.relpath(dest, table.root), partition))
+    for d in sorted(dest_dirs):
+        table.io.makedirs(d)
+    table._promote(pairs, stage)
     table.io.rmtree(stage)
 
     stats = collect_file_stats(table.spark, [m[1] for m in moved])
     per_chunk: dict[int, list[FileEntry]] = {}
+    empties: list[str] = []
     rows_total = 0
     for ci, abspath, rel, partition in moved:
         st = stats[abspath]
         if st["record_count"] == 0:
-            table.io.remove(abspath)
+            empties.append(abspath)
             continue
         rows_total += st["record_count"]
         per_chunk.setdefault(ci, []).append(
@@ -223,6 +230,8 @@ def backfill(
                       st["file_size_bytes"], st["mins"], st["maxs"],
                       st["null_counts"])
         )
+    if empties:
+        table.io.remove_many(empties)
 
     GROUP = 16
     executed = 0
