@@ -366,6 +366,52 @@ def _q_ann_lsh_topk(spark, sf):
     )
 
 
+def _q_p8_json_struct(spark, sf):
+    # P8: recursive JSON → typed struct (RecordConverter.java:199-303 parity).
+    # A nested JSON document (struct + list + ms-epoch metadata timestamp) is
+    # derived from `events` identically in both engines, then Spark parses it
+    # through json_to_struct (from_json recursion + TS_MS ms-epoch handling)
+    # while DuckDB walks it with json_extract — same flattened output.
+    from olake_spark.functions.reformat import json_to_struct
+    from pyspark.sql.types import (ArrayType, LongType, StringType,
+                                   StructField, StructType, TimestampType)
+
+    ev = _tbl(spark, sf, "events")
+    j = F.format_string(
+        '{"a": %s, "b": {"c": "%s", "d": [%s, %s]}, "_cdc_timestamp": %s}',
+        F.col("event_id"),
+        F.coalesce(F.col("event_type"), F.lit("")),
+        F.coalesce(F.col("user_id"), F.lit(-1)),
+        F.coalesce(F.col("user_id"), F.lit(-1)) + 1,
+        F.coalesce(F.unix_millis(F.col("ts").cast("timestamp")), F.lit(-1)),
+    )
+    schema = StructType(
+        [
+            StructField("a", LongType()),
+            StructField(
+                "b",
+                StructType(
+                    [
+                        StructField("c", StringType()),
+                        StructField("d", ArrayType(LongType())),
+                    ]
+                ),
+            ),
+            StructField("_cdc_timestamp", TimestampType()),
+        ]
+    )
+    out = json_to_struct(ev.select("event_id", j.alias("j")), "j", schema)
+    return out.select(
+        "event_id",
+        F.col("j.a").alias("a"),
+        F.col("j.b.c").alias("c"),
+        F.size("j.b.d").cast("long").alias("d_n"),
+        F.element_at("j.b.d", 1).alias("d0"),
+        F.element_at("j.b.d", 2).alias("d1"),
+        F.unix_millis(F.col("j._cdc_timestamp")).alias("ts_ms"),
+    )
+
+
 def _q_multimodal_decode_stats(spark, sf):
     # gate projection = the SQL-expressible subset: decode_ok is provable
     # (every derived image decodes) and n_pixels must equal w*h from the
@@ -410,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "multimodal_decode_stats": _q_multimodal_decode_stats,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "p8_json_struct": _q_p8_json_struct,
     }
 
 
@@ -557,6 +604,24 @@ FROM events GROUP BY 1, 2
         "dedup_simhash": dedup.simhash_pairs_sql(
             "documents", "doc_id", "text", max_hamming=3
         ),
+        "p8_json_struct": """
+WITH src AS (
+  SELECT event_id,
+         printf('{"a": %d, "b": {"c": "%s", "d": [%d, %d]}, "_cdc_timestamp": %d}',
+                event_id, coalesce(event_type, ''),
+                coalesce(user_id, -1), coalesce(user_id, -1) + 1,
+                coalesce(epoch_ms(ts), -1)) AS j
+  FROM events
+)
+SELECT event_id,
+       CAST(json_extract(j, '$.a') AS BIGINT) AS a,
+       json_extract_string(j, '$.b.c') AS c,
+       CAST(json_array_length(j, '$.b.d') AS BIGINT) AS d_n,
+       CAST(json_extract(j, '$.b.d[0]') AS BIGINT) AS d0,
+       CAST(json_extract(j, '$.b.d[1]') AS BIGINT) AS d1,
+       CAST(json_extract(j, '$._cdc_timestamp') AS BIGINT) AS ts_ms
+FROM src
+""",
         # partial oracle: decode_ok + n_pixels are provable from the
         # derivation (w*h); pixel contents are covered by the PSNR verify
         "multimodal_decode_stats": f"""

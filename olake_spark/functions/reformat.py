@@ -68,6 +68,47 @@ def exclude_columns(df: DataFrame, exclude: list[str] | set[str]) -> DataFrame:
     return df.select(*keep)
 
 
+def json_to_struct(
+    df: DataFrame,
+    col: str,
+    schema,
+    ts_ms_fields: tuple[str, ...] = ("_cdc_timestamp", "_olake_timestamp"),
+) -> DataFrame:
+    """P8: recursive JSON → typed value conversion (RecordConverter.java's
+    jsonValToIcebergVal walk, :199-303): parse the JSON-string column into a
+    fully typed struct/list/map tree per `schema`, recursing into nested
+    types exactly as the reference does element-by-element — except here one
+    `from_json` expression does the whole recursion JVM-side (Jackson under
+    Catalyst), with unparseable input → null (mode PERMISSIVE, the
+    error-to-null contract of the reformat path).
+
+    The reference special-cases ms-epoch numbers for its metadata timestamp
+    columns (TS_MS_FIELDS, RecordConverter.java:243-248): top-level fields
+    named in `ts_ms_fields` that are declared timestamp in `schema` are
+    parsed as LONG ms-epoch then converted, not as ISO text."""
+    from pyspark.sql.types import LongType, StructField, TimestampType
+
+    ms_fields = [
+        f.name
+        for f in schema.fields
+        if f.name in ts_ms_fields and isinstance(f.dataType, TimestampType)
+    ]
+    # parse ms-epoch fields as long, everything else as declared
+    parse_schema = StructType(
+        [
+            StructField(f.name, LongType(), True)
+            if f.name in ms_fields
+            else f
+            for f in schema.fields
+        ]
+    )
+    parsed = F.from_json(F.col(col), parse_schema)
+    out = parsed
+    for name in ms_fields:
+        out = out.withField(name, F.timestamp_millis(parsed.getField(name)))
+    return df.withColumn(col, out)
+
+
 def coerce_to_schema(df: DataFrame, target: StructType) -> DataFrame:
     """P3: cast every column to the target type with try_cast semantics
     (unparseable → null, like ReformatRecord's error-to-null paths); missing

@@ -41,9 +41,9 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
-from olake_spark.icelite.fileio import FileIO, LocalFileIO
+from olake_spark.icelite.fileio import FileIO, default_io
 from olake_spark.icelite.spec import PartitionSpec
 from olake_spark.icelite.stats import collect_file_stats
 
@@ -146,7 +146,7 @@ class Table:
     def __init__(self, spark: SparkSession, root: str, io: FileIO | None = None):
         self.spark = spark
         self.root = os.path.abspath(root)
-        self.io = io or LocalFileIO()
+        self.io = io or default_io()
         self._meta: dict | None = None
         self._version: int = 0
         # in-process writers (e.g. concurrent compaction bins) serialize
@@ -169,7 +169,7 @@ class Table:
         sort_order: tuple[str, ...] = (),
     ) -> "Table":
         root = os.path.abspath(root)
-        io = io or LocalFileIO()
+        io = io or default_io()
         meta_dir = os.path.join(root, "metadata")
         io.makedirs(os.path.join(meta_dir, "manifests"))
         io.makedirs(os.path.join(root, "data"))
@@ -439,6 +439,8 @@ class Table:
 
         entries: list[FileEntry] = []
         moved: list[tuple[str, str, dict]] = []  # (abs_final, rel_final, partition)
+        pairs: list[tuple[str, str]] = []
+        dest_dirs: set[str] = set()
         for src in self.io.walk_files(stage):
             name = os.path.basename(src)
             if not name.endswith(".parquet"):
@@ -451,18 +453,22 @@ class Table:
                 if rel_dir != "."
                 else os.path.join(self.root, "data")
             )
-            self.io.makedirs(dest_dir)
+            dest_dirs.add(dest_dir)
             dest = os.path.join(dest_dir, final_name)
-            self.io.rename(src, dest)
+            pairs.append((src, dest))
             moved.append((dest, os.path.relpath(dest, self.root), partition))
+        for d in sorted(dest_dirs):
+            self.io.makedirs(d)
+        self._promote(pairs, stage)
         self.io.rmtree(stage)
 
         stats = collect_file_stats(self.spark, [m[0] for m in moved])
+        empties: list[str] = []
         for abspath, rel, partition in moved:
             st = stats[abspath]
             if st["record_count"] == 0:
                 # reference deletes empty files, parquet.go:210-283
-                self.io.remove(abspath)
+                empties.append(abspath)
                 continue
             entries.append(
                 FileEntry(
@@ -471,22 +477,53 @@ class Table:
                     st["mins"], st["maxs"], st["null_counts"],
                 )
             )
+        if empties:
+            self.io.remove_many(empties)
         return entries
+
+    def _promote(self, pairs: list[tuple[str, str]], stage: str) -> None:
+        """Publish staged files with ONE bulk FileIO call — O(1) driver calls
+        per write job regardless of file count; an object-store FileIO runs
+        the batch as parallel copy+delete requests. On failure: best-effort
+        delete of destinations already materialized (copy+delete stores can
+        leave BOTH names on a mid-batch fault), rmtree the stage, re-raise —
+        no commit referenced these files, so anything a hard crash still
+        leaves behind is reaped by remove_orphan_files."""
+        try:
+            self.io.rename_many(pairs)
+        except Exception:
+            for _src, dst in pairs:
+                try:
+                    self.io.remove(dst)
+                except OSError:
+                    pass
+            self.io.rmtree(stage)
+            raise
 
     def _write_delete_files(self, keys_df: DataFrame, seq: int) -> list[FileEntry]:
         stage = os.path.join(self.root, "deletes", f".stage-{uuid.uuid4().hex}")
         keys_df.select(*self.identifier_fields).withColumn(
             "_delete_seq", F.lit(seq)
         ).write.mode("overwrite").parquet(stage)
+        pairs = [
+            (
+                os.path.join(stage, name),
+                os.path.join(
+                    self.root, "deletes", f"{seq:06d}-{uuid.uuid4().hex}.parquet"
+                ),
+            )
+            for name in self.io.list_dir(stage)
+            if name.endswith(".parquet")
+        ]
+        self._promote(pairs, stage)
+        self.io.rmtree(stage)
         entries: list[FileEntry] = []
-        for name in self.io.list_dir(stage):
-            if not name.endswith(".parquet"):
-                continue
-            dest = os.path.join(self.root, "deletes", f"{seq:06d}-{uuid.uuid4().hex}.parquet")
-            self.io.rename(os.path.join(stage, name), dest)
-            st = collect_file_stats(self.spark, [dest])[dest]
+        stats = collect_file_stats(self.spark, [dst for _, dst in pairs])
+        empties: list[str] = []
+        for _, dest in pairs:
+            st = stats[dest]
             if st["record_count"] == 0:
-                self.io.remove(dest)
+                empties.append(dest)
                 continue
             entries.append(
                 FileEntry(
@@ -495,7 +532,8 @@ class Table:
                     st["mins"], st["maxs"], st["null_counts"],
                 )
             )
-        self.io.rmtree(stage)
+        if empties:
+            self.io.remove_many(empties)
         return entries
 
     def _new_manifest(self, entries: list[FileEntry]) -> str:
@@ -670,8 +708,7 @@ class Table:
         updateSchema().unionByNameWith, IcebergTableOperator.java:153-166):
         append nullable fields; existing data files simply surface nulls for
         them (scans pass the explicit table schema, so parquet fills missing
-        columns). Additive only — type promotion would follow the reference's
-        LCA lattice and is out of scope for the fixed image schema."""
+        columns). Additive only; type conflicts go through evolve_schema."""
 
         def build(meta: dict) -> dict:
             schema = StructType.fromJson(json.loads(meta["schema_json"]))
@@ -687,6 +724,51 @@ class Table:
             return new
 
         self._commit(build)
+
+    def evolve_schema(self, incoming: StructType) -> StructType:
+        """Union-by-name evolution WITH type promotion: a field arriving with
+        a different type takes the lattice LCA (the reference's weighted
+        typecast tree, utils/typeutils/fields.go:18-47,248-284) — restricted
+        to promotions committed parquet files can serve without a rewrite,
+        i.e. Iceberg's legal widenings int→long / float→double (Spark's
+        reader upcasts those on old files natively). A conflict whose LCA
+        needs more than that (e.g. long vs string → string) raises: it must
+        be resolved at ingest with typeutils.merge_schemas + coerce, exactly
+        where the reference applies the full lattice. Returns the evolved
+        schema."""
+        from olake_spark.functions.typeutils import (is_legal_table_widening,
+                                                     promote_spark)
+
+        def build(meta: dict) -> dict:
+            schema = StructType.fromJson(json.loads(meta["schema_json"]))
+            by_name = {f.name: f for f in schema.fields}
+            out = list(schema.fields)
+            for f in incoming.fields:
+                cur = by_name.get(f.name)
+                if cur is None:
+                    out.append(StructField(f.name, f.dataType, True))
+                    continue
+                if cur.dataType == f.dataType:
+                    continue
+                target = promote_spark(cur.dataType, f.dataType)
+                if target == cur.dataType:
+                    continue  # incoming is narrower; files stay as-is
+                if not is_legal_table_widening(cur.dataType, target):
+                    raise ValueError(
+                        f"column {f.name}: promotion "
+                        f"{cur.dataType.simpleString()} → "
+                        f"{target.simpleString()} is not a legal in-place "
+                        f"widening; coerce the batch at ingest "
+                        f"(typeutils.merge_schemas) instead"
+                    )
+                i = next(j for j, g in enumerate(out) if g.name == f.name)
+                out[i] = StructField(f.name, target, True)
+            new = dict(meta)
+            new["schema_json"] = StructType(out).json()
+            return new
+
+        self._commit(build)
+        return self.schema
 
     def rollback_to(self, snapshot_id: int) -> dict:
         """Point current back to an earlier (still-retained) snapshot —
@@ -732,14 +814,27 @@ class Table:
         self._commit(build)
         return {"expired": expired["n"]}
 
+    # above this many files, the orphan listing switches from a driver-side
+    # walk to a Spark job (one task per first-level directory)
+    DISTRIBUTED_LIST_THRESHOLD = 4096
+
     def remove_orphan_files(
-        self, grace_seconds: float = 3 * 24 * 3600, dry_run: bool = False
+        self,
+        grace_seconds: float = 3 * 24 * 3600,
+        dry_run: bool = False,
+        distributed: bool | None = None,
     ) -> list[str]:
         """Delete files under data/ deletes/ metadata/manifests/ that no
         retained snapshot references and that are older than the grace period
         (never touch files newer than grace — they may belong to an in-flight
-        commit). Local os.walk here; at deployment scale this is a distributed
-        listing job over the object store."""
+        commit).
+
+        `distributed=None` auto-selects the listing strategy: a driver-side
+        walk bounded by DISTRIBUTED_LIST_THRESHOLD files, else a Spark listing
+        job — one task per first-level (partition) directory, each executor
+        listing its own prefix with mtimes, the object-store pattern. Either
+        way the deletion is ONE batched remove_many call, so driver FileIO
+        work stays O(1) calls no matter how many orphans exist."""
         self.refresh()
         referenced: set[str] = set()
         for s in self.meta["snapshots"]:
@@ -748,22 +843,90 @@ class Table:
                 for e in _read_manifest(self._abs(m)):
                     referenced.add(e.file_path)
         cutoff = time.time() - grace_seconds
+        roots = [
+            os.path.join(self.root, sub)
+            for sub in ("data", "deletes", os.path.join("metadata", "manifests"))
+        ]
+
+        listing: list[tuple[str, float | None]] = []
+        if distributed is not True:
+            overflow = False
+            for base in roots:
+                for p in self.io.walk_files(base):
+                    listing.append((p, None))  # mtime fetched lazily below
+                    if (
+                        distributed is None
+                        and len(listing) > self.DISTRIBUTED_LIST_THRESHOLD
+                    ):
+                        overflow = True
+                        break
+                if overflow:
+                    break
+            if overflow:
+                distributed = True
+        if distributed:
+            listing = _list_files_spark(self.spark, self.io, roots)
+
         orphans: list[str] = []
-        for sub in ("data", "deletes", os.path.join("metadata", "manifests")):
-            base = os.path.join(self.root, sub)
-            for p in self.io.walk_files(base):
-                rel = os.path.relpath(p, self.root)
-                if rel in referenced:
-                    continue
-                if self.io.getmtime(p) > cutoff:
-                    continue
-                orphans.append(rel)
-                if not dry_run:
-                    self.io.remove(p)
+        victims: list[str] = []
+        for p, mtime in listing:
+            rel = os.path.relpath(p, self.root)
+            if rel in referenced:
+                continue
+            if (mtime if mtime is not None else self.io.getmtime(p)) > cutoff:
+                continue
+            orphans.append(rel)
+            victims.append(p)
+        if victims and not dry_run:
+            self.io.remove_many(victims)
         return sorted(orphans)
 
 
 # ------------------------------------------------------------------ helpers
+
+
+def _list_files_spark(
+    spark: SparkSession, io: FileIO, roots: list[str]
+) -> list[tuple[str, float]]:
+    """Distributed prefix listing for orphan reaping: the driver enumerates
+    only FIRST-level entries (partition directories) through the FileIO; each
+    executor task then walks one subtree and returns (path, mtime). In local
+    mode tasks share the filesystem; on a deployment each executor lists its
+    own object-store prefix — driver work is O(first-level dirs), never
+    O(files)."""
+    units: list[str] = []
+    out: list[tuple[str, float]] = []
+    for r in roots:
+        if not os.path.isdir(r):
+            continue
+        for name in io.list_dir(r):
+            p = os.path.join(r, name)
+            if os.path.isdir(p):
+                units.append(p)
+            else:
+                try:
+                    out.append((p, io.getmtime(p)))
+                except OSError:
+                    pass
+    if units:
+
+        def walk(d: str) -> list[tuple[str, float]]:
+            import os as _os
+
+            res = []
+            for dirpath, _dirs, files in _os.walk(d):
+                for f in files:
+                    p = _os.path.join(dirpath, f)
+                    try:
+                        res.append((p, _os.path.getmtime(p)))
+                    except OSError:
+                        pass
+            return res
+
+        sc = spark.sparkContext
+        n = max(1, min(len(units), sc.defaultParallelism * 2))
+        out += sc.parallelize(units, n).flatMap(walk).collect()
+    return out
 
 
 def _parse_partition(rel_dir: str) -> dict[str, str]:
