@@ -161,29 +161,73 @@ def _mh_params() -> tuple[np.ndarray, np.ndarray]:
 _HASH_R = np.uint64(0x100000001B3)  # FNV-ish odd multiplier; mod-2^64 wrap
 
 
-def _hash_strings_u64(strings: list[str]) -> np.ndarray:
+# padded-matrix budget for _hash_strings_u64: 8M uint64 elements = 64 MB.
+# One pathological multi-MB token then hashes in its own tiny chunk instead
+# of inflating an (N × maxlen) matrix for the whole Arrow batch.
+_HASH_MATRIX_ELEMS = 1 << 23
+
+
+def _plan_hash_chunks(
+    sorted_lens: np.ndarray, budget: int
+) -> list[tuple[int, int]]:
+    """Split length-ASCENDING positions into [start, end) chunks whose padded
+    matrix (count × chunk_maxlen) stays ≤ budget elements; a single oversized
+    string always gets its own chunk."""
+    out: list[tuple[int, int]] = []
+    n = len(sorted_lens)
+    start = 0
+    while start < n:
+        end = start + 1
+        while end < n and (end - start + 1) * max(
+            1, int(sorted_lens[end])
+        ) <= budget:
+            end += 1
+        out.append((start, end))
+        start = end
+    return out
+
+
+def _hash_strings_u64(
+    strings: list[str], max_matrix_elems: int = _HASH_MATRIX_ELEMS
+) -> np.ndarray:
     """Vectorized polynomial hash of N variable-length strings → uint64[N].
-    One (N × maxlen) uint8 matrix, one matmul-shaped reduction — no per-row
-    Python. h(s) = (Σ byte_i · R^i + len·R^maxlen) mod 2^64, then a splitmix
-    finalizer; zero-padding is harmless because length is mixed in."""
+    h(s) = (Σ byte_i · R^i + len·C) mod 2^64, then a splitmix finalizer;
+    zero-padding is harmless because length is mixed in (with a FIXED
+    constant, so the value depends only on the string — never on what else
+    shares its batch). Strings are bucketed by length class so the padded
+    (count × maxlen) matrix never exceeds `max_matrix_elems` — a planted
+    multi-MB token costs itself, not the whole batch (round-2 verdict #9)."""
     enc = [s.encode() for s in strings]
-    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
-    maxlen = int(lens.max()) if len(lens) else 1
-    buf = np.zeros((len(enc), maxlen), dtype=np.uint64)
-    for i, e in enumerate(enc):  # byte copy only; the math below is batched
-        if e:
-            buf[i, : len(e)] = np.frombuffer(e, dtype=np.uint8)
-    rpow = np.empty(maxlen + 1, dtype=np.uint64)
-    rpow[0] = 1
-    np.multiply.accumulate(np.full(maxlen, _HASH_R, dtype=np.uint64),
-                           out=rpow[1:])
-    h = (buf * rpow[:maxlen]).sum(axis=1, dtype=np.uint64)
-    h += lens.astype(np.uint64) * rpow[maxlen]
-    h *= np.uint64(0x9E3779B97F4A7C15)
-    h ^= h >> np.uint64(29)
-    h *= np.uint64(0xBF58476D1CE4E5B9)
-    h ^= h >> np.uint64(32)
-    return h
+    n = len(enc)
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    order = np.argsort(lens, kind="stable")
+    lens_sorted = lens[order]
+    len_mix = np.uint64(0xD6E8FEB86659FD93)
+    for start, end in _plan_hash_chunks(lens_sorted, max_matrix_elems):
+        idx = order[start:end]
+        maxlen = max(1, int(lens_sorted[end - 1]))
+        buf = np.zeros((len(idx), maxlen), dtype=np.uint64)
+        for row, i in enumerate(idx):  # byte copy only; math below is batched
+            e = enc[i]
+            if e:
+                buf[row, : len(e)] = np.frombuffer(e, dtype=np.uint8)
+        rpow = np.empty(maxlen, dtype=np.uint64)
+        rpow[0] = 1
+        if maxlen > 1:
+            np.multiply.accumulate(
+                np.full(maxlen - 1, _HASH_R, dtype=np.uint64), out=rpow[1:]
+            )
+        h = (buf * rpow).sum(axis=1, dtype=np.uint64)
+        h += lens[idx].astype(np.uint64) * len_mix
+        h *= np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(32)
+        out[idx] = h
+    return out
 
 
 def _minhash_sigs(shingle_lists: pd.Series) -> pd.Series:

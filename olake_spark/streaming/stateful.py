@@ -48,17 +48,36 @@ def _dedup_fn(
     batches: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
     best_ts, best_prio, payload = (
         state.get if state.exists else (-1, -1, None)
     )
     changed = False
     for b in batches:
-        for ts, op, pl in zip(b["_ts_us"], b["_op_type"], b["_payload"]):
-            ts, prio = int(ts), _OP_PRIORITY.get(op, 0)
-            if (ts, prio) > (best_ts, best_prio):
-                best_ts, best_prio, payload = ts, prio, pl
-                changed = True
+        if not len(b):
+            continue
+        # vectorized winner scan: first occurrence of the lexicographic
+        # (ts, priority) maximum — identical to the sequential
+        # strictly-greater-replaces rule, without a per-row Python loop
+        ts = b["_ts_us"].to_numpy()
+        prio = np.fromiter(
+            (_OP_PRIORITY.get(o, 0) for o in b["_op_type"]),
+            dtype=np.int64, count=len(b),
+        )
+        cand = np.flatnonzero(ts == ts.max())
+        i = int(cand[np.argmax(prio[cand])])
+        if (int(ts[i]), int(prio[i])) > (best_ts, best_prio):
+            best_ts, best_prio = int(ts[i]), int(prio[i])
+            payload = b["_payload"].iloc[i]
+            changed = True
     state.update((best_ts, best_prio, payload))
+    # NOTE: the applyInPandasWithState contract invokes this function once
+    # per key and takes per-key output frames — one small DataFrame per
+    # CHANGED key per batch is the minimum this API can emit; cross-key
+    # batched emission would need a (not yet available) batched state API.
+    # At high key cardinality the winner scan above is the hot part and is
+    # numpy; the emission cost is bounded by |changed keys|.
     if changed and payload is not None:
         d = json.loads(payload)
         yield pd.DataFrame(

@@ -94,6 +94,52 @@ def _chunk_id(job_id: str, lo, hi) -> str:
     return f"chunk-{lo}-{hi}"
 
 
+def route_to_chunks(
+    source: DataFrame, key_cols: list[str], todo: list[tuple]
+) -> DataFrame:
+    """Tag each source row with the index of its pending chunk (`_chunk_`),
+    dropping rows of already-done chunks. Pure narrow Catalyst expressions —
+    boundary literals + when/otherwise chains, NO window and NO shuffle: the
+    production backfill plan stays embarrassingly parallel at any table size
+    (the s2/s7 gate queries' global windows are semantics pins of the
+    reference's planner output, not this execution path — see
+    tests/test_plans.py::test_backfill_routing_no_global_window)."""
+    composite = len(key_cols) > 1
+    if composite:
+        fields = source.select(*key_cols).schema.fields
+        k = F.struct(*[F.col(c) for c in key_cols])
+
+        def bound_lit(tup):
+            return F.struct(
+                *[
+                    F.lit(v).cast(f.dataType).alias(f.name)
+                    for v, f in zip(tup, fields)
+                ]
+            )
+    else:
+        k = F.col(key_cols[0]).cast("double")
+        bound_lit = F.lit
+    cid = F.lit(None).cast("int")
+    cond_any = F.lit(False)
+    # a row with any NULL key field fails every range comparison (NULL
+    # semantics) — route it to the unbounded-left chunk, STABLY across runs
+    # (resume must re-derive the same chunk id for the same row)
+    null_key = F.lit(False)
+    for c_name in key_cols:
+        null_key = null_key | F.col(c_name).isNull()
+    for i, (lo, hi) in enumerate(todo):
+        c = F.lit(True)
+        if lo is not None:
+            c = c & (k >= bound_lit(lo))
+        if hi is not None:
+            c = c & (k < bound_lit(hi))
+        if lo is None:
+            c = (c & ~null_key) | null_key
+        cid = F.when(c & cid.isNull(), F.lit(i)).otherwise(cid)
+        cond_any = cond_any | c
+    return source.filter(cond_any).withColumn("_chunk_", cid)
+
+
 def backfill(
     table: Table,
     source: DataFrame,
@@ -130,39 +176,7 @@ def backfill(
 
     # route each row to its pending chunk; rows of done chunks are filtered
     # out BEFORE the write (resume re-reads the source but rewrites nothing)
-    if composite:
-        fields = source.select(*key_cols).schema.fields
-        k = F.struct(*[F.col(c) for c in key_cols])
-
-        def bound_lit(tup):
-            return F.struct(
-                *[
-                    F.lit(v).cast(f.dataType).alias(f.name)
-                    for v, f in zip(tup, fields)
-                ]
-            )
-    else:
-        k = F.col(key_cols[0]).cast("double")
-        bound_lit = F.lit
-    cid = F.lit(None).cast("int")
-    cond_any = F.lit(False)
-    # a row with any NULL key field fails every range comparison (NULL
-    # semantics) — route it to the unbounded-left chunk, STABLY across runs
-    # (resume must re-derive the same chunk id for the same row)
-    null_key = F.lit(False)
-    for c_name in key_cols:
-        null_key = null_key | F.col(c_name).isNull()
-    for i, (lo, hi) in enumerate(todo):
-        c = F.lit(True)
-        if lo is not None:
-            c = c & (k >= bound_lit(lo))
-        if hi is not None:
-            c = c & (k < bound_lit(hi))
-        if lo is None:
-            c = (c & ~null_key) | null_key
-        cid = F.when(c & cid.isNull(), F.lit(i)).otherwise(cid)
-        cond_any = cond_any | c
-    df = source.filter(cond_any).withColumn("_chunk_", cid)
+    df = route_to_chunks(source, key_cols, todo)
 
     spec = table.spec
     table.refresh()

@@ -107,3 +107,24 @@ class TestOperatorPlans:
         d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         plan = plan_of(simhash_pairs(d, "doc_id", "text"))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_backfill_routing_no_global_window(self, spark):
+        """Round-2 verdict #7: the PRODUCTION backfill path (plan_chunks /
+        plan_chunks_multi boundaries + route_to_chunks routing) must contain
+        no global unpartitioned Window — chunk membership is pure narrow
+        expressions. (The s2/s7 gate queries' ntile/row_number windows are
+        semantics pins of the reference planner's OUTPUT, not this path.)"""
+        from olake_spark.sync import (plan_chunks, plan_chunks_multi,
+                                      route_to_chunks)
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        single = route_to_chunks(ev, ["event_id"],
+                                 plan_chunks(ev, "event_id", 8))
+        multi = route_to_chunks(
+            ev, ["event_type", "event_id"],
+            plan_chunks_multi(ev, ["event_type", "event_id"], 8),
+        )
+        for df in (single, multi):
+            plan = plan_of(df)
+            assert "Window" not in plan
+            assert "Exchange" not in plan  # routing is narrow: no shuffle

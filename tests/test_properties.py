@@ -138,3 +138,26 @@ class TestAnnLshRecall:
         got = {r.query_id: r.neighbor_id for r in res.collect()}
         hits = sum(1 for i in range(nq) if got.get(1000 + i) == i)
         assert hits >= int(0.9 * nq), f"LSH recall {hits}/{nq} < 0.9"
+
+
+def test_hash_kernel_memory_bounded_and_batch_independent():
+    """Round-2 verdict #9: a planted multi-MB token must not inflate the
+    padded hash matrix for its whole batch; length-class chunking bounds
+    every chunk to the element budget without changing a single hash value,
+    and a string's hash no longer depends on what shares its batch."""
+    import numpy as np
+
+    from olake_spark.operators.dedup import (_hash_strings_u64,
+                                             _plan_hash_chunks)
+
+    strings = [f"tok{i}" for i in range(500)] + ["x" * (1 << 20)]
+    full = _hash_strings_u64(strings)
+    tiny = _hash_strings_u64(strings, max_matrix_elems=1024)
+    assert (full == tiny).all()  # chunking never changes values
+    sub = _hash_strings_u64(strings[5:10])
+    assert (sub == full[5:10]).all()  # value depends only on the string
+    lens = np.sort(
+        np.fromiter((len(s.encode()) for s in strings), dtype=np.int64)
+    )
+    for s, e in _plan_hash_chunks(lens, 4096):
+        assert (e - s) == 1 or (e - s) * max(1, int(lens[e - 1])) <= 4096
