@@ -278,6 +278,25 @@ class Table:
                 return s
         raise KeyError(f"snapshot {sid} not found (expired?)")
 
+    def snapshot_as_of(self, timestamp_ms: int) -> dict | None:
+        """Newest retained snapshot committed at or before `timestamp_ms` —
+        time-travel resolution (Iceberg's FOR TIMESTAMP AS OF; the analogue
+        of the reference's SCN-to-time mapping). None if the table had no
+        snapshot yet at that time; raises if history that old has been
+        expired (same contract as Iceberg: travel past the retention window
+        is an error, not a silent latest-read)."""
+        snaps = [
+            s for s in self.meta["snapshots"] if s["timestamp_ms"] <= timestamp_ms
+        ]
+        if snaps:
+            return max(snaps, key=lambda s: s["snapshot_id"])
+        if self.meta["snapshots"]:
+            raise KeyError(
+                f"no retained snapshot at or before {timestamp_ms} "
+                f"(oldest retained: {self.meta['snapshots'][0]['timestamp_ms']})"
+            )
+        return None
+
     def entries(self, snapshot_id: int | None = None) -> list[FileEntry]:
         snap = self.snapshot(snapshot_id)
         if snap is None:
@@ -301,6 +320,7 @@ class Table:
         with_file_seq: bool = False,
         with_input_file: bool = False,
         file_filter: set[str] | None = None,
+        as_of_ms: int | None = None,
     ) -> DataFrame:
         """Snapshot-pinned read with manifest-level pruning + delete application.
 
@@ -308,7 +328,17 @@ class Table:
         {==, <, <=, >, >=}: used for min/max file pruning AND re-applied as a
         DataFrame filter (so Catalyst pushes it into the parquet scan too —
         correctness never depends on pruning).
+
+        `as_of_ms` time-travels: the scan pins the newest snapshot committed
+        at or before that wall-clock ms (FOR TIMESTAMP AS OF).
         """
+        if as_of_ms is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or as_of_ms, not both")
+            snap = self.snapshot_as_of(as_of_ms)
+            if snap is None:
+                return self.spark.createDataFrame([], self._scan_schema(columns))
+            snapshot_id = snap["snapshot_id"]
         entries = self.entries(snapshot_id)
         data = [e for e in entries if e.content == DATA]
         dels = [e for e in entries if e.content == EQ_DELETES]
@@ -370,6 +400,59 @@ class Table:
             + (["_input_file"] if with_input_file else [])
         )
         return df.select(*keep, *extra)
+
+    def incremental_scan(
+        self,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Iceberg-style incremental APPEND scan: rows ADDED by append /
+        rowdelta commits in (`from_snapshot_id`, `to_snapshot_id`] — the feed
+        a downstream pipeline tails to process only what's new. Rewrite
+        snapshots (compact / cluster / manifest / purge) are skipped: they
+        move bytes, not logical rows, so their outputs never re-surface as
+        "new". Equality deletes committed in the window are NOT applied
+        (append-scan contract, same as Iceberg's incremental read); consumers
+        needing delete-aware increments tail the CDC feed instead.
+
+        A commit's added files are exactly the manifests it holds that its
+        parent didn't — append/rowdelta commits never rewrite manifests, so
+        the diff is precise."""
+        snaps = self.meta["snapshots"]
+        ids = [s["snapshot_id"] for s in snaps]
+        if from_snapshot_id not in ids:
+            raise KeyError(f"snapshot {from_snapshot_id} not found (expired?)")
+        if to_snapshot_id is None:
+            to_snapshot_id = self.current_snapshot_id
+        lo = ids.index(from_snapshot_id)
+        hi = ids.index(to_snapshot_id)  # raises on unknown
+        if hi < lo:
+            raise ValueError("to_snapshot_id precedes from_snapshot_id")
+        by_id = {s["snapshot_id"]: s for s in snaps}
+        added: list[FileEntry] = []
+        for s in snaps[lo + 1 : hi + 1]:
+            if s["operation"] not in ("append", "rowdelta"):
+                continue
+            parent = by_id.get(s["parent_id"])
+            parent_manifests = set(parent["manifests"]) if parent else set()
+            for m in s["manifests"]:
+                if m in parent_manifests:
+                    continue
+                added.extend(
+                    e
+                    for e in _read_manifest(self._abs(m))
+                    if e.content == DATA
+                )
+        if not added:
+            return self.spark.createDataFrame([], self._scan_schema(columns))
+        base = os.path.join(self.root, "data")
+        df = (
+            self.spark.read.schema(self.schema)
+            .option("basePath", base)
+            .parquet(*[self._abs(e.file_path) for e in added])
+        )
+        return df.select(*(columns or [f.name for f in self.schema.fields]))
 
     def _scan_schema(self, columns: list[str] | None) -> StructType:
         s = self.schema

@@ -58,7 +58,10 @@ def get_spark(
         # on the 400k profile) and stay memory-safe: a batch can never
         # exceed its task's split, which maxPartitionBytes caps at 32 MB.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("OLAKE_ARROW_BATCH", "16384"),
+        )
         # Keep scheduler chatter down in local mode.
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.ui.showConsoleProgress", "false")

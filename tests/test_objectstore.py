@@ -124,6 +124,24 @@ class TestObjectStoreFlow:
         assert local == dist and local
 
 
+class TestPromoteParallelism:
+    def test_latency_amortized_by_parallel_batch(self, spark, tmp_table_dir):
+        """With 50 ms of injected per-request latency, a many-file promote
+        must cost ~batch/parallelism, not files × latency — catching any
+        accidental return to a serial per-file loop as wall-clock."""
+        io = FakeObjectStoreFileIO(latency_s=0.05, parallelism=16)
+        t0 = __import__("time").perf_counter()
+        t = _mk_table(spark, os.path.join(tmp_table_dir, "lat"), io,
+                      n_files=40)
+        wall = __import__("time").perf_counter() - t0
+        n_files = len(data_files(t))
+        assert n_files >= 20
+        # serial floor would be ≥ n_files × 50 ms on renames alone; the
+        # parallel batch keeps total FileIO latency near (n/16 + O(1)) × 50ms.
+        # Generous bound: half the serial floor (the write itself dominates).
+        assert wall < 10 + n_files * 0.05 / 2, (wall, n_files)
+
+
 class TestMidPromoteFault:
     def test_fault_then_resume(self, spark, tmp_table_dir):
         """Kill the promote mid-batch (after copy, before delete — both names

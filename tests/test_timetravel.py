@@ -1,0 +1,97 @@
+"""Time-travel (FOR TIMESTAMP AS OF) + incremental append scan."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from olake_spark import datagen
+from olake_spark.icelite import PartitionField, PartitionSpec, Table
+from olake_spark.operators.compact import run_compaction
+from olake_spark.operators.merge import merge_into
+
+
+@pytest.fixture()
+def staged_table(spark, tmp_table_dir):
+    """Table with a history: append A → append B → merge (rowdelta) →
+    compaction; snapshot ids + wall-clock marks recorded between steps."""
+    t = Table.create(
+        spark,
+        os.path.join(tmp_table_dir, "tt"),
+        datagen.IMAGES_SCHEMA,
+        PartitionSpec((PartitionField("image_id", "bucket", 2),)),
+        identifier_fields=("image_id",),
+    )
+    marks = {}
+    df = datagen.gen_images_df(spark, 120)
+    t.append(df.filter(F.col("image_id") < "img-000000000060"),
+             max_records_per_file=10)
+    marks["after_a"] = (t.current_snapshot_id, int(time.time() * 1000))
+    time.sleep(0.01)
+    t.append(df.filter(F.col("image_id") >= "img-000000000060"),
+             max_records_per_file=10)
+    marks["after_b"] = (t.current_snapshot_id, int(time.time() * 1000))
+    time.sleep(0.01)
+    ch = (
+        df.filter(F.col("image_id") < "img-000000000010")
+        .withColumn("caption", F.lit("patched"))
+        .withColumn("_op_type", F.lit("u"))
+        .withColumn("_cdc_timestamp", F.lit(1))
+    )
+    merge_into(t, ch, keep_deletes=False)
+    marks["after_merge"] = (t.current_snapshot_id, int(time.time() * 1000))
+    run_compaction(t, "tt-c", fill_ratio=1.0, target_bytes=1 << 21)
+    marks["after_compact"] = (t.current_snapshot_id, int(time.time() * 1000))
+    return t, marks
+
+
+class TestTimeTravel:
+    def test_as_of_resolves_between_commits(self, spark, staged_table):
+        t, marks = staged_table
+        assert t.scan(as_of_ms=marks["after_a"][1]).count() == 60
+        assert t.scan(as_of_ms=marks["after_b"][1]).count() == 120
+        # after the merge the row COUNT is stable but captions changed
+        patched = (
+            t.scan(as_of_ms=marks["after_merge"][1])
+            .filter(F.col("caption") == "patched")
+            .count()
+        )
+        assert patched == 10
+        # pre-table-history travel raises (not a silent latest-read)
+        with pytest.raises(KeyError):
+            t.scan(as_of_ms=marks["after_a"][1] - 10_000_000)
+
+    def test_as_of_excludes_later_compaction(self, spark, staged_table):
+        t, marks = staged_table
+        a = t.scan(as_of_ms=marks["after_merge"][1]).select(
+            "image_id", "caption")
+        b = t.scan().select("image_id", "caption")  # post-compaction
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+class TestIncrementalScan:
+    def test_appends_between_snapshots(self, spark, staged_table):
+        t, marks = staged_table
+        inc = t.incremental_scan(marks["after_a"][0], marks["after_b"][0])
+        assert inc.count() == 60
+        assert inc.agg(F.min("image_id")).collect()[0][0] == "img-000000000060"
+
+    def test_rowdelta_adds_surface_and_rewrites_do_not(self, spark, staged_table):
+        t, marks = staged_table
+        # window covering merge + compaction: only the merge's 10 upserted
+        # rows are new; the compaction's rewritten files must NOT re-surface
+        inc = t.incremental_scan(marks["after_b"][0])
+        rows = inc.collect()
+        assert len(rows) == 10
+        assert all(r["caption"] == "patched" for r in rows)
+
+    def test_empty_window(self, spark, staged_table):
+        t, marks = staged_table
+        cur = t.current_snapshot_id
+        assert t.incremental_scan(cur).count() == 0
+
+    def test_unknown_snapshot_raises(self, spark, staged_table):
+        t, _ = staged_table
+        with pytest.raises(KeyError):
+            t.incremental_scan(999999)
