@@ -366,6 +366,25 @@ def _q_ann_lsh_topk(spark, sf):
     )
 
 
+def _q_dedup_clusters(spark, sf):
+    # near-dup cluster assignment: connected components (min-label hash-min
+    # propagation) over the MinHash+LSH pair graph; every document gets a
+    # cluster_id = smallest doc_id in its duplicate group (itself if unique).
+    # The oracle computes the identical labeling with a recursive CTE over
+    # the exact-Jaccard pair twin.
+    d = _tbl(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, "doc_id", "text", JACCARD_PPM, k=3)
+    cc = dedup.connected_components(pairs)
+    return (
+        d.select("doc_id")
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
 def _q_p8_json_struct(spark, sf):
     # P8: recursive JSON → typed struct (RecordConverter.java:199-303 parity).
     # A nested JSON document (struct + list + ms-epoch metadata timestamp) is
@@ -457,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_stats": _q_multimodal_decode_stats,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "p8_json_struct": _q_p8_json_struct,
+        "dedup_clusters": _q_dedup_clusters,
     }
 
 
@@ -567,6 +587,12 @@ FROM documents GROUP BY 1
         ),
         "dedup_minhash_lsh": dedup.jaccard_pairs_sql(
             "documents", "doc_id", "text", JACCARD_PPM, k=3
+        ),
+        "dedup_clusters": dedup.connected_components_sql(
+            dedup.jaccard_pairs_sql(
+                "documents", "doc_id", "text", JACCARD_PPM, k=3
+            ),
+            "documents", "doc_id",
         ),
         "dedup_embedding_cosine": f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -616,3 +616,84 @@ def embedding_near_dup_lsh(
         .filter(F.col("cos_ppm") >= threshold_ppm)
         .select("id_a", "id_b", "cos_ppm")
     )
+
+
+# ------------------------------------------------- near-dup cluster assignment
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 30
+) -> DataFrame:
+    """Minimum-label propagation (hash-min) over the dup-pair graph →
+    (node, cluster), cluster = smallest node id in the connected component.
+    The canonical post-step of every dedup operator: pairs say WHO
+    duplicates whom; components say which rows form one duplicate GROUP
+    (keep the min-id member, drop the rest).
+
+    Each round is one join + min-aggregate, both shuffling on the node id;
+    labels converge in ≤ graph-diameter rounds with a cheap one-row
+    convergence probe per round, and `localCheckpoint` cuts the iterative
+    lineage so round k never replans rounds 1..k-1. Near-dup components are
+    dense (diameter 2-4), so 2-5 rounds in practice at any corpus size.
+    (For adversarial chain-shaped graphs the alternating large-star /
+    small-star contraction of Kiveris et al., "Connected Components in
+    MapReduce and Beyond", drops worst-case rounds to O(log n); hash-min is
+    the right default for dedup-shaped graphs and stays deterministic.)"""
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["v"] == labels["node"]).select(
+            F.col("u").alias("node"), F.col("label")
+        )
+        new = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster"))
+
+
+def connected_components_sql(
+    pairs_sql: str, table: str, id_col: str
+) -> str:
+    """DuckDB oracle twin of :func:`connected_components` composed over any
+    pair-producing oracle (`pairs_sql`): transitive closure via a recursive
+    CTE, min reachable id per node, singletons labeled with their own id —
+    exactly the Spark output over all rows of `table`."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+),
+cc AS (SELECT u AS node, min(r) AS cluster FROM reach GROUP BY u)
+SELECT d.{id_col} AS doc_id, coalesce(cc.cluster, d.{id_col}) AS cluster_id
+FROM {table} d LEFT JOIN cc ON cc.node = d.{id_col}
+"""

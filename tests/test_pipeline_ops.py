@@ -242,3 +242,32 @@ class TestEmbeddingLshDedup:
         assert hits >= int(0.9 * nt), f"LSH dedup recall {hits}/{nt}"
         # every emitted pair really is above threshold (exact verify ran)
         assert all(r["cos_ppm"] >= 950_000 for r in got)
+
+
+class TestConnectedComponents:
+    def test_chain_star_and_singleton_components(self, spark):
+        from olake_spark.operators.dedup import connected_components
+
+        # chain 1-2-3-4 (diameter 3), star 10-{11,12,13}, isolated pair 20-21
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+            ["id_a", "id_b"],
+        )
+        got = {
+            r["node"]: r["cluster"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                       10: 10, 11: 10, 12: 10, 13: 10,
+                       20: 20, 21: 20}
+
+    def test_label_is_component_min_regardless_of_edge_direction(self, spark):
+        from olake_spark.operators.dedup import connected_components
+
+        # min id appears only as id_b: propagation must still find it
+        pairs = spark.createDataFrame([(5, 1), (5, 9)], ["id_a", "id_b"])
+        got = {
+            r["node"]: r["cluster"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == {1: 1, 5: 1, 9: 1}
