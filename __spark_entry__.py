@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from olake_spark import pipeline
+from olake_spark.functions import curate
 from olake_spark.functions import text as T
 from olake_spark.operators import ann, dedup
 
@@ -366,6 +367,44 @@ def _q_ann_lsh_topk(spark, sf):
     )
 
 
+def _q_curate_hash_sample(spark, sf):
+    # deterministic Bernoulli sample by content hash: the keep/drop decision
+    # is a pure function of the key (resumable, partitioning-independent)
+    from olake_spark.functions import curate
+
+    ev = _tbl(spark, sf, "events")
+    return curate.hash_sample(
+        ev.select("event_id", "event_type"), "event_id", 250_000
+    )
+
+
+def _q_curate_stratified_cap(spark, sf):
+    # per-(lang, source) quota with a deterministic hash-ordered draw — the
+    # corpus-mixing balancing cap
+    from olake_spark.functions import curate
+
+    d = _tbl(spark, sf, "documents")
+    return curate.stratified_cap(
+        d.select("doc_id", "lang", "source"), ["lang", "source"], "doc_id", 5
+    )
+
+
+def _q_text_scrub_pii(spark, sf):
+    # PII redaction over text with planted email/IP/phone, synthesized
+    # identically in both engines (same printf recipe as p8)
+    from olake_spark.functions import curate
+
+    ev = _tbl(spark, sf, "events")
+    uid = F.coalesce(F.col("user_id"), F.lit(-1))
+    planted = F.format_string(
+        "user %s mail u%s@example.com ip 10.0.%s.7 call 555-123-4567 end",
+        F.col("event_id"), uid, uid % 200,
+    )
+    return ev.select(
+        "event_id", curate.scrub_pii_col(planted).alias("scrubbed")
+    )
+
+
 def _q_dedup_clusters(spark, sf):
     # near-dup cluster assignment: connected components (min-label hash-min
     # propagation) over the MinHash+LSH pair graph; every document gets a
@@ -477,6 +516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "p8_json_struct": _q_p8_json_struct,
         "dedup_clusters": _q_dedup_clusters,
+        "curate_hash_sample": _q_curate_hash_sample,
+        "curate_stratified_cap": _q_curate_stratified_cap,
+        "text_scrub_pii": _q_text_scrub_pii,
     }
 
 
@@ -594,6 +636,22 @@ FROM documents GROUP BY 1
             ),
             "documents", "doc_id",
         ),
+        "curate_hash_sample": curate.hash_sample_sql(
+            "(SELECT event_id, event_type FROM events)", "event_id", 250_000
+        ),
+        "curate_stratified_cap": curate.stratified_cap_sql(
+            "(SELECT doc_id, lang, source FROM documents)",
+            ["lang", "source"], "doc_id", 5,
+        ),
+        "text_scrub_pii": f"""
+SELECT event_id,
+       {curate.scrub_pii_sql(
+           "printf('user %d mail u%d@example.com ip 10.0.%d.7 "
+           "call 555-123-4567 end', event_id, coalesce(user_id, -1), "
+           "coalesce(user_id, -1) % 200)"
+       )} AS scrubbed
+FROM events
+""",
         "dedup_embedding_cosine": f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {cos('a.embedding', 'b.embedding')} AS cos_ppm

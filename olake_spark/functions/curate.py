@@ -1,0 +1,115 @@
+"""Corpus-curation operators: deterministic sampling, stratified caps, PII
+scrubbing — the selection/cleaning layer a training-data pipeline runs
+between dedup and export.
+
+Everything here is pure Catalyst (no Python anywhere), deterministic given
+the input, and carries a DuckDB oracle twin built from the same expression
+fragments, like the rest of the pipeline layer. The sampling primitive is a
+content hash, not `rand()`: a row's keep/drop decision depends only on its
+key, so re-runs, retries, and different partitionings all select the SAME
+sample — the property that makes a 100 TB sampling job resumable and its
+output reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+
+def hash_bucket_col(key_col: str) -> F.Column:
+    """Uniform [0, 1e6) bucket from a 60-bit md5 prefix of the key — the
+    cross-engine-exact hash both Spark (`conv(hex,16,10)`) and DuckDB
+    (`CAST('0x'||hex AS BIGINT)`) compute identically."""
+    return (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % PPM
+    )
+
+
+def hash_bucket_sql(key_col: str) -> str:
+    return (
+        f"CAST(('0x' || substring(md5(CAST({key_col} AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % {PPM}"
+    )
+
+
+def hash_sample(df: DataFrame, key_col: str, rate_ppm: int) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff its key's hash bucket
+    < rate_ppm. One narrow filter — no shuffle, no RNG state, pushed to the
+    scan; the sampled set is a pure function of the keys."""
+    return df.filter(hash_bucket_col(key_col) < rate_ppm)
+
+
+def hash_sample_sql(table: str, key_col: str, rate_ppm: int) -> str:
+    return f"SELECT * FROM {table} WHERE {hash_bucket_sql(key_col)} < {rate_ppm}"
+
+
+def stratified_cap(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    quota: int,
+) -> DataFrame:
+    """At most `quota` rows per group, picked deterministically by the key's
+    hash bucket (an unbiased 'random' draw that every re-run repeats),
+    ties broken by the key itself. The window shuffles once on the group
+    columns — per-group state is a counter, so skewed groups cost sort time
+    but never memory. This is the per-language / per-source balancing cap a
+    corpus-mixing recipe needs."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        hash_bucket_col(key_col).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .drop("_rn")
+    )
+
+
+def stratified_cap_sql(
+    table: str, group_cols: list[str], key_col: str, quota: int
+) -> str:
+    groups = ", ".join(group_cols)
+    return f"""
+SELECT * EXCLUDE (_rn) FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {groups}
+    ORDER BY {hash_bucket_sql(key_col)} ASC, {key_col} ASC
+  ) AS _rn
+  FROM {table}
+)
+WHERE _rn <= {quota}
+"""
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround, explicit character classes.
+_PII_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def scrub_pii_col(text_col) -> F.Column:
+    """Redact emails, IPv4 addresses and US-shaped phone numbers with typed
+    placeholder tokens — rule order matters (emails first, so user@host
+    never half-matches as a phone). Pure regexp_replace chain: whole-stage
+    codegen, streams at scan speed. Accepts a column name or a Column."""
+    from pyspark.sql import Column
+
+    c = text_col if isinstance(text_col, Column) else F.col(text_col)
+    for pat, repl in _PII_RULES:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def scrub_pii_sql(text_col: str) -> str:
+    expr = text_col
+    for pat, repl in _PII_RULES:
+        sql_pat = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{repl}', 'g')"
+    return expr
