@@ -470,6 +470,19 @@ def _q_p8_json_struct(spark, sf):
     )
 
 
+def _q_ann_ivf_topk(spark, sf):
+    # IVF coarse-quantizer ANN (cells + posting lists + nprobe probes +
+    # exact re-rank). The by-id codebook makes the whole index a pure
+    # function of the table, so the oracle rebuilds it exactly; the k-means
+    # trainer (train_ivf_centroids_kmeans) is the production codebook and is
+    # covered by pytest recall instead.
+    emb = _tbl(spark, sf, "embeddings")
+    return ann.knn_ivf(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, n_cells=16, nprobe=4,
+    )
+
+
 def _q_multimodal_decode_stats(spark, sf):
     # gate projection = the SQL-expressible subset: decode_ok is provable
     # (every derived image decodes) and n_pixels must equal w*h from the
@@ -519,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_hash_sample": _q_curate_hash_sample,
         "curate_stratified_cap": _q_curate_stratified_cap,
         "text_scrub_pii": _q_text_scrub_pii,
+        "ann_ivf_topk": _q_ann_ivf_topk,
     }
 
 
@@ -664,6 +678,10 @@ WHERE {cos('a.embedding', 'b.embedding')} >= {COSINE_PPM}
         "ann_lsh_topk": ann.knn_lsh_sql(
             "embeddings", "vec_id < 10", "vec_id", cos("qv", "cv"),
             dim=64, k=5, n_planes=8, n_tables=4,
+        ),
+        "ann_ivf_topk": ann.knn_ivf_sql(
+            "embeddings", "vec_id < 10", "vec_id", cos("qv", "cv"),
+            k=5, n_cells=16, nprobe=4,
         ),
         "text_quality": f"""
 SELECT doc_id,

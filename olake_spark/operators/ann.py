@@ -317,3 +317,225 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_ppm
 FROM ranked WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------------------------ IVF
+
+
+def sqdist_expr(a: str, b: str) -> F.Column:
+    """Squared L2 distance as the same sequential double-precision left fold
+    cosine_ppm uses — bit-identical to the DuckDB twin, so distance RANKS
+    (and therefore IVF cell assignments) agree across engines exactly."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (p, q) -> "
+        f"(CAST(p AS DOUBLE) - CAST(q AS DOUBLE)) * "
+        f"(CAST(p AS DOUBLE) - CAST(q AS DOUBLE))), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _sqdist_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"[(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"FOR i IN range(1, len({a}) + 1)]), (acc, v) -> acc + v)"
+    )
+
+
+def ivf_centroids_by_id(
+    df: DataFrame, id_col: str, vec_col: str, n_cells: int
+) -> DataFrame:
+    """Deterministic IVF codebook: the first `n_cells` corpus vectors by id.
+    Structurally a real coarse quantizer (cells + posting lists + nprobe
+    search are identical), chosen so the WHOLE index is a pure function of
+    the data — which is what lets the DuckDB oracle rebuild it. Production
+    swaps in `train_ivf_centroids_kmeans` for better cell balance; every
+    downstream step is unchanged."""
+    # orderBy+limit plans as TakeOrderedAndProject — a distributed partial
+    # top-k, never a global single-task window — then the tiny result gets
+    # its dense 0..n_cells-1 ids locally
+    picked = (
+        df.select(F.col(id_col).alias("cent_src"), F.col(vec_col).alias("cv"))
+        .orderBy(F.col("cent_src").asc())
+        .limit(n_cells)
+        .collect()
+    )
+    return df.sparkSession.createDataFrame(
+        [(int(i), r["cv"]) for i, r in enumerate(picked)], ["cent_id", "cv"]
+    )
+
+
+def train_ivf_centroids_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    sample_rows: int = 65536,
+    iters: int = 10,
+    seed: int = 7,
+) -> DataFrame:
+    """Production codebook: Lloyd's k-means on a bounded driver-side sample
+    (the standard IVF training recipe — FAISS trains on a sample too). The
+    sample is O(sample_rows·dim) driver memory regardless of corpus size;
+    assignment of the full corpus stays distributed."""
+    n = df.count()
+    frac = min(1.0, sample_rows / max(1, n))
+    rows = (
+        df.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_rows)
+    ).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        for c in range(len(cents)):
+            m = lab == c
+            if m.any():
+                cents[c] = x[m].mean(axis=0)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(i), [float(v) for v in c]) for i, c in enumerate(cents)],
+        ["cent_id", "cv"],
+    )
+
+
+def assign_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    rank_limit: int = 1,
+    out_id: str = "id",
+) -> DataFrame:
+    """Nearest-centroid assignment (rank_limit=1) or nprobe probe list
+    (rank_limit=nprobe): broadcast the (small) codebook, fold-expression
+    squared distance, per-vector rank window. Window partitions on the
+    vector id, so the shuffle is corpus-sized and skew-free. The scale path
+    for very large codebooks is a numpy argmin pandas UDF (one matmul per
+    Arrow batch, same shape as lsh_bucket_udf); this relational path is
+    bit-deterministic and oracle-able."""
+    pairs = df.select(
+        F.col(id_col).alias(out_id), F.col(vec_col).alias("_v")
+    ).join(F.broadcast(centroids))
+    w = Window.partitionBy(out_id).orderBy(
+        sqdist_expr("_v", "cv").asc(), F.col("cent_id").asc()
+    )
+    return (
+        pairs.withColumn("_crn", F.row_number().over(w))
+        .filter(F.col("_crn") <= rank_limit)
+        .select(out_id, "_v", "cent_id")
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k via an IVF index: corpus vectors live in the posting
+    list of their nearest centroid; a query searches only its `nprobe`
+    nearest cells, then exact cosine re-ranks the candidates. Output schema
+    matches knn_bruteforce/knn_lsh. At 10^9-vector scale the posting-list
+    join shuffles on cell id (cells ≈ √n keeps both codebook broadcast and
+    cell size balanced); no pairwise work ever leaves the probed cells."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids_by_id(corpus, id_col, vec_col, n_cells)
+    )
+    cb = (
+        assign_cells(corpus, id_col, vec_col, cents, 1, out_id="neighbor_id")
+        .withColumnRenamed("_v", "cv")
+        .withColumnRenamed("cent_id", "c_cell")
+    )
+    qb = (
+        assign_cells(queries, id_col, vec_col, cents, nprobe, out_id="query_id")
+        .withColumnRenamed("_v", "qv")
+        .withColumnRenamed("cent_id", "q_cell")
+    )
+    scored = (
+        cb.join(
+            F.broadcast(qb),
+            (F.col("c_cell") == F.col("q_cell"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cos_ppm", cosine_ppm_expr("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long"), "cos_ppm")
+    )
+
+
+def knn_ivf_sql(
+    corpus: str,
+    queries_pred: str,
+    id_col: str,
+    cos_ppm: str,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """DuckDB oracle twin of :func:`knn_ivf` with the by-id codebook: the
+    oracle rebuilds the identical index (same centroids, same fold-exact
+    distance ranks, same probe lists) from the same table."""
+    return f"""
+WITH c AS (SELECT {id_col} AS id, embedding AS v FROM {corpus}),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY {id_col} ASC) - 1 AS BIGINT)
+           AS cent_id,
+         embedding AS cv
+  FROM {corpus} QUALIFY row_number() OVER (ORDER BY {id_col} ASC) <= {n_cells}
+),
+assign AS (
+  SELECT id, cent_id FROM (
+    SELECT c.id, cents.cent_id,
+           row_number() OVER (PARTITION BY c.id
+                              ORDER BY {_sqdist_sql('v', 'cv')} ASC,
+                                       cent_id ASC) AS rn
+    FROM c CROSS JOIN cents
+  ) WHERE rn = 1
+),
+q AS (SELECT {id_col} AS query_id, embedding AS qv FROM {corpus}
+      WHERE {queries_pred}),
+qprobe AS (
+  SELECT query_id, cent_id FROM (
+    SELECT q.query_id, cents.cent_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_sqdist_sql('qv', 'cv')} ASC,
+                                       cent_id ASC) AS rn
+    FROM q CROSS JOIN cents
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT qprobe.query_id, assign.id AS neighbor_id
+  FROM qprobe JOIN assign ON assign.cent_id = qprobe.cent_id
+  WHERE assign.id <> qprobe.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, {cos_ppm} AS cos_ppm
+  FROM cand
+  JOIN q ON q.query_id = cand.query_id
+  JOIN (SELECT id, v AS cv FROM c) cc ON cc.id = cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_ppm,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_ppm DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_ppm
+FROM ranked WHERE rank <= {k}
+"""

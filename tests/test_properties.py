@@ -161,3 +161,34 @@ def test_hash_kernel_memory_bounded_and_batch_independent():
     )
     for s, e in _plan_hash_chunks(lens, 4096):
         assert (e - s) == 1 or (e - s) * max(1, int(lens[e - 1])) <= 4096
+
+
+class TestAnnIvfRecall:
+    def test_knn_ivf_kmeans_recall_on_planted_neighbors(self, spark):
+        """IVF with the PRODUCTION k-means codebook must recover ≥85% of
+        planted near-twins at nprobe=4/16 cells (a twin's query lands in or
+        near its base vector's cell). The by-id codebook variant is exactly
+        oracled in the gate; this covers the trained path."""
+        from olake_spark.operators.ann import (knn_ivf,
+                                               train_ivf_centroids_kmeans)
+
+        rng = np.random.default_rng(7)
+        dim, n, nq = 16, 300, 50
+        base = rng.standard_normal((n, dim)).astype(np.float32)
+        q = base[:nq] + 0.03 * rng.standard_normal((nq, dim)).astype(np.float32)
+        corpus = spark.createDataFrame(
+            [(i, base[i].tolist()) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+        queries = spark.createDataFrame(
+            [(1000 + i, q[i].tolist()) for i in range(nq)],
+            "vec_id long, embedding array<float>",
+        )
+        cents = train_ivf_centroids_kmeans(
+            corpus, "vec_id", "embedding", n_cells=16
+        )
+        res = knn_ivf(corpus, queries, "vec_id", "embedding", k=1,
+                      nprobe=4, centroids=cents)
+        got = {r.query_id: r.neighbor_id for r in res.collect()}
+        hits = sum(1 for i in range(nq) if got.get(1000 + i) == i)
+        assert hits >= int(0.85 * nq), f"IVF recall {hits}/{nq} < 0.85"
