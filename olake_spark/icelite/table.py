@@ -853,6 +853,55 @@ class Table:
         self._commit(build)
         return self.schema
 
+    # ----------------------------------------------------------- named refs
+
+    def refs(self) -> dict[str, int]:
+        """Named snapshot refs (Iceberg tags): name → snapshot_id."""
+        return dict(self.meta.get("refs", {}))
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin a snapshot under a name (Iceberg's tag refs): tagged snapshots
+        survive expire_snapshots until the tag is dropped — the audit /
+        reproducibility anchor (`scan(tag=...)` reads it forever)."""
+
+        target = {"id": None}
+
+        def build(meta: dict) -> dict:
+            sid = (
+                snapshot_id
+                if snapshot_id is not None
+                else meta["current_snapshot_id"]
+            )
+            if sid is None or not any(
+                s["snapshot_id"] == sid for s in meta["snapshots"]
+            ):
+                raise KeyError(f"snapshot {sid} not found (expired?)")
+            new = dict(meta)
+            new["refs"] = {**meta.get("refs", {}), name: sid}
+            target["id"] = sid
+            return new
+
+        self._commit(build)
+        return target["id"]
+
+    def drop_tag(self, name: str) -> None:
+        def build(meta: dict) -> dict:
+            refs = dict(meta.get("refs", {}))
+            if name not in refs:
+                raise KeyError(f"no tag {name!r}")
+            del refs[name]
+            new = dict(meta)
+            new["refs"] = refs
+            return new
+
+        self._commit(build)
+
+    def scan_tag(self, name: str, **kwargs) -> DataFrame:
+        refs = self.refs()
+        if name not in refs:
+            raise KeyError(f"no tag {name!r}")
+        return self.scan(snapshot_id=refs[name], **kwargs)
+
     def rollback_to(self, snapshot_id: int) -> dict:
         """Point current back to an earlier (still-retained) snapshot —
         metadata-only undo of any maintenance commit; the abandoned files
@@ -876,14 +925,19 @@ class Table:
         return self._commit(build)
 
     def expire_snapshots(self, keep_last: int = 1, older_than_ms: int | None = None) -> dict:
-        """Drop old snapshots from metadata (current always kept). Data/delete/
-        manifest files become orphans, reaped by `remove_orphan_files`."""
+        """Drop old snapshots from metadata (current and TAGGED snapshots
+        always kept). Data/delete/manifest files become orphans, reaped by
+        `remove_orphan_files`."""
         expired = {"n": 0}
 
         def build(meta: dict) -> dict:
             snaps = meta["snapshots"]
             cur = meta["current_snapshot_id"]
-            keep_ids = {s["snapshot_id"] for s in snaps[-keep_last:]} | {cur}
+            keep_ids = (
+                {s["snapshot_id"] for s in snaps[-keep_last:]}
+                | {cur}
+                | set(meta.get("refs", {}).values())
+            )
             kept = [
                 s for s in snaps
                 if s["snapshot_id"] in keep_ids

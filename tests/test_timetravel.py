@@ -95,3 +95,33 @@ class TestIncrementalScan:
         t, _ = staged_table
         with pytest.raises(KeyError):
             t.incremental_scan(999999)
+
+
+class TestTags:
+    def test_tag_pins_through_expiry(self, spark, staged_table):
+        """A tagged snapshot and its files survive expire+reap; dropping the
+        tag releases them; scan_tag reads the pinned state."""
+        t, marks = staged_table
+        t.create_tag("pre-compact", marks["after_merge"][0])
+        pinned = t.scan_tag("pre-compact").select("image_id", "caption")
+        n_pinned = pinned.count()
+        assert n_pinned == 120
+
+        t.expire_snapshots(keep_last=1)
+        t.remove_orphan_files(grace_seconds=0)
+        # tag still resolvable AND its data files still on disk
+        assert t.scan_tag("pre-compact").count() == n_pinned
+        assert t.refs() == {"pre-compact": marks["after_merge"][0]}
+
+        t.drop_tag("pre-compact")
+        t.expire_snapshots(keep_last=1)
+        got = t.remove_orphan_files(grace_seconds=0)
+        assert got  # the released snapshot's files are now reaped
+        with pytest.raises(KeyError):
+            t.scan_tag("pre-compact")
+        assert t.scan().count() == 120  # current unharmed
+
+    def test_tag_unknown_snapshot_raises(self, spark, staged_table):
+        t, _ = staged_table
+        with pytest.raises(KeyError):
+            t.create_tag("bad", 424242)
