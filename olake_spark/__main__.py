@@ -85,6 +85,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--verify", action="store_true")
     p.add_argument("--keep-last", type=int, default=3)
     p.add_argument("--grace-seconds", type=float, default=3 * 24 * 3600)
+    p = sub.add_parser("curate")
+    p.add_argument("--input", required=True, help="parquet path to curate")
+    p.add_argument("--output", required=True, help="parquet output path")
+    p.add_argument("--sample-key", default=None,
+                   help="column for deterministic hash sampling")
+    p.add_argument("--sample-ppm", type=int, default=None,
+                   help="keep rate in ppm (e.g. 250000 = 25%%)")
+    p.add_argument("--cap-by", default=None,
+                   help="comma list of group columns for a per-group quota")
+    p.add_argument("--cap-key", default=None,
+                   help="key column for the deterministic quota draw")
+    p.add_argument("--cap-quota", type=int, default=None)
+    p.add_argument("--scrub", default=None,
+                   help="comma list of text columns to PII-scrub in place")
     sub.add_parser("bench")
     args = ap.parse_args(argv)
 
@@ -158,6 +172,32 @@ def main(argv: list[str] | None = None) -> int:
         out["snapshot_id"] = table.current_snapshot_id
         out["total_records"] = table.total_records()
         print(json.dumps(out))
+        return 0
+
+    if args.verb == "curate":
+        # corpus selection/cleaning: deterministic sample → stratified cap →
+        # PII scrub, all pure Catalyst (functions/curate.py); deterministic
+        # given the input, so re-runs produce byte-identical selections
+        from pyspark.sql import functions as F
+
+        from olake_spark.functions import curate
+
+        df = spark.read.parquet(args.input)
+        stats = {"rows_in": df.count()}
+        if args.sample_key and args.sample_ppm is not None:
+            df = curate.hash_sample(df, args.sample_key, args.sample_ppm)
+        if args.cap_by and args.cap_quota is not None:
+            df = curate.stratified_cap(
+                df, [c for c in args.cap_by.split(",") if c],
+                args.cap_key or args.cap_by.split(",")[0], args.cap_quota,
+            )
+        for col in (args.scrub or "").split(","):
+            col = col.strip()
+            if col:
+                df = df.withColumn(col, curate.scrub_pii_col(F.col(col)))
+        df.write.mode("overwrite").parquet(args.output)
+        stats["rows_out"] = spark.read.parquet(args.output).count()
+        print(json.dumps(stats))
         return 0
 
     # maintain
