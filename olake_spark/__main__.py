@@ -187,9 +187,16 @@ def main(argv: list[str] | None = None) -> int:
         if args.sample_key and args.sample_ppm is not None:
             df = curate.hash_sample(df, args.sample_key, args.sample_ppm)
         if args.cap_by and args.cap_quota is not None:
+            if not args.cap_key:
+                # the draw key makes the per-group pick deterministic; a
+                # group column would be constant inside its window and turn
+                # the quota into an arbitrary task-order selection
+                print("--cap-by requires --cap-key (a per-row unique column "
+                      "for the deterministic draw)", file=sys.stderr)
+                return 2
             df = curate.stratified_cap(
                 df, [c for c in args.cap_by.split(",") if c],
-                args.cap_key or args.cap_by.split(",")[0], args.cap_quota,
+                args.cap_key, args.cap_quota,
             )
         for col in (args.scrub or "").split(","):
             col = col.strip()

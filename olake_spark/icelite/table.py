@@ -418,23 +418,50 @@ class Table:
 
         A commit's added files are exactly the manifests it holds that its
         parent didn't — append/rowdelta commits never rewrite manifests, so
-        the diff is precise."""
+        the diff is precise. The window is the PARENT CHAIN from `to` back to
+        `from` (never list positions): rollback side-branches are excluded by
+        construction, and a chain broken by snapshot expiry — or a `from`
+        that is not an ancestor of `to` — raises instead of returning rows
+        that were never "new" in that lineage (Iceberg's incremental read
+        has the same contract)."""
         snaps = self.meta["snapshots"]
-        ids = [s["snapshot_id"] for s in snaps]
-        if from_snapshot_id not in ids:
+        by_id = {s["snapshot_id"]: s for s in snaps}
+        if from_snapshot_id not in by_id:
             raise KeyError(f"snapshot {from_snapshot_id} not found (expired?)")
         if to_snapshot_id is None:
             to_snapshot_id = self.current_snapshot_id
-        lo = ids.index(from_snapshot_id)
-        hi = ids.index(to_snapshot_id)  # raises on unknown
-        if hi < lo:
-            raise ValueError("to_snapshot_id precedes from_snapshot_id")
-        by_id = {s["snapshot_id"]: s for s in snaps}
+        if to_snapshot_id not in by_id:
+            raise KeyError(f"snapshot {to_snapshot_id} not found (expired?)")
+        chain: list[dict] = []  # to → … → child-of-from, walked backwards
+        cur = by_id[to_snapshot_id]
+        while cur["snapshot_id"] != from_snapshot_id:
+            chain.append(cur)
+            # a rollback logically re-parents history onto its target: the
+            # abandoned branch between target and the rollback must never
+            # surface in the incremental feed (its rows were un-committed)
+            pid = (
+                cur["summary"].get("rolled-back-to")
+                if cur["operation"] == "rollback"
+                else cur["parent_id"]
+            )
+            if pid is None:
+                raise ValueError(
+                    f"snapshot {from_snapshot_id} is not an ancestor of "
+                    f"{to_snapshot_id}"
+                )
+            nxt = by_id.get(pid)
+            if nxt is None:
+                raise KeyError(
+                    f"incremental history broken: parent snapshot {pid} "
+                    f"expired — widen retention or tag snapshots to keep "
+                    f"the chain"
+                )
+            cur = nxt
         added: list[FileEntry] = []
-        for s in snaps[lo + 1 : hi + 1]:
+        for s in reversed(chain):
             if s["operation"] not in ("append", "rowdelta"):
                 continue
-            parent = by_id.get(s["parent_id"])
+            parent = by_id[s["parent_id"]] if s["parent_id"] is not None else None
             parent_manifests = set(parent["manifests"]) if parent else set()
             for m in s["manifests"]:
                 if m in parent_manifests:

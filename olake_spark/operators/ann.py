@@ -368,7 +368,6 @@ def ivf_centroids_by_id(
 
 def train_ivf_centroids_kmeans(
     df: DataFrame,
-    id_col: str,
     vec_col: str,
     n_cells: int,
     sample_rows: int = 65536,

@@ -289,13 +289,20 @@ def _run_bulk(
         except CommitConflict as ce:
             # earlier groups are committed (and logged); this group and every
             # later one are not. Delete their already-written output files so
-            # the abort leaves zero orphans, then propagate — run_compaction
-            # re-plans from fresh metadata and redoes the remaining bins. The
-            # committed groups' counts ride on the exception so the caller's
-            # summary stays accurate.
-            for i in range(g, len(todo)):
-                for e in per_bin.get(i, []):
-                    table.io.remove(table._abs(e.file_path))
+            # the abort leaves zero orphans (ONE batched FileIO call, same
+            # O(1)-driver-calls contract as the promote), then propagate —
+            # run_compaction re-plans from fresh metadata and redoes the
+            # remaining bins. The committed groups' counts ride on the
+            # exception so the caller's summary stays accurate.
+            victims = [
+                table._abs(e.file_path)
+                for i in range(g, len(todo))
+                for e in per_bin.get(i, [])
+            ]
+            try:
+                table.io.remove_many(victims)
+            except OSError:
+                pass  # best effort; the reaper collects stragglers
             ce.partial = (executed, rows_out, bytes_out)
             raise
         executed += len(group)
@@ -433,15 +440,28 @@ def run_compaction(
                 if attempt == 2:
                     raise
                 table.refresh()
+                # re-plan against the post-conflict state: fresh pin + delete
+                # set, the caller's max_bins cap re-applied, lineage log
+                # re-primed (planned rows + the snapshot the redo reads)
                 pin_snapshot = table.current_snapshot_id
+                snap_before = pin_snapshot
                 pinned_dels = {
                     e.file_path
                     for e in table.entries(pin_snapshot)
                     if e.content != DATA
                 }
                 bins = plan_compaction(table, target_bytes, fill_ratio)
+                if max_bins:
+                    bins = bins[:max_bins]
                 done = log.done_chunk_ids(job_id) if log is not None else set()
                 todo = [b for b in bins if b.chunk_id not in done]
+                if log is not None and todo:
+                    log.log_planned(
+                        job_id, "compact",
+                        [{"chunk_id": b.chunk_id, "partition": b.partition_json,
+                          "rows": b.total_rows, "bytes_in": b.total_bytes}
+                         for b in todo],
+                    )
                 if not todo:
                     res = {"bins_planned": 0, "bins_executed": 0,
                            "rows_rewritten": 0, "bytes_out": 0, "mode": "bulk"}

@@ -651,6 +651,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         prop = edges.join(labels, edges["v"] == labels["node"]).select(
             F.col("u").alias("node"), F.col("label")
@@ -670,7 +671,16 @@ def connected_components(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silently returning partial labels would split one duplicate group
+        # into several clusters — fail loudly; callers with genuinely
+        # long-diameter graphs raise max_iter (rounds needed ≈ diameter)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(graph diameter exceeds max_iter) — raise max_iter"
+        )
     return labels.select("node", F.col("label").alias("cluster"))
 
 

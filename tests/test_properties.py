@@ -184,9 +184,7 @@ class TestAnnIvfRecall:
             [(1000 + i, q[i].tolist()) for i in range(nq)],
             "vec_id long, embedding array<float>",
         )
-        cents = train_ivf_centroids_kmeans(
-            corpus, "vec_id", "embedding", n_cells=16
-        )
+        cents = train_ivf_centroids_kmeans(corpus, "embedding", n_cells=16)
         res = knn_ivf(corpus, queries, "vec_id", "embedding", k=1,
                       nprobe=4, centroids=cents)
         got = {r.query_id: r.neighbor_id for r in res.collect()}

@@ -125,3 +125,43 @@ class TestTags:
         t, _ = staged_table
         with pytest.raises(KeyError):
             t.create_tag("bad", 424242)
+
+
+class TestIncrementalLineage:
+    """Round-3 review findings: the incremental window is the PARENT CHAIN,
+    never list positions — rollback branches are excluded, expiry gaps and
+    non-ancestors raise."""
+
+    def _mk(self, spark, root):
+        t = Table.create(spark, root, datagen.IMAGES_SCHEMA,
+                         identifier_fields=("image_id",))
+        df = datagen.gen_images_df(spark, 90)
+        t.append(df.filter(F.col("image_id") < "img-000000000030"))
+        s1 = t.current_snapshot_id
+        t.append(df.filter((F.col("image_id") >= "img-000000000030")
+                           & (F.col("image_id") < "img-000000000060")))
+        s2 = t.current_snapshot_id
+        return t, df, s1, s2
+
+    def test_rollback_branch_excluded(self, spark, tmp_table_dir):
+        t, df, s1, s2 = self._mk(spark, os.path.join(tmp_table_dir, "rb"))
+        t.rollback_to(s1)
+        t.append(df.filter(F.col("image_id") >= "img-000000000060"))
+        inc = t.incremental_scan(s1)
+        ids = sorted(r["image_id"] for r in inc.select("image_id").collect())
+        # only the post-rollback append; the abandoned s2 rows never surface
+        assert len(ids) == 30 and ids[0] == "img-000000000060"
+        # and the abandoned tip is NOT an ancestor of current
+        with pytest.raises(ValueError, match="not an ancestor"):
+            t.incremental_scan(s2)
+
+    def test_expired_gap_raises(self, spark, tmp_table_dir):
+        t, df, s1, s2 = self._mk(spark, os.path.join(tmp_table_dir, "gap"))
+        t.create_tag("keep-first", s1)
+        t.append(df.filter(F.col("image_id") >= "img-000000000060"))
+        # expire drops s2 (the middle link) while the tag keeps s1
+        t.expire_snapshots(keep_last=1)
+        assert any(s["snapshot_id"] == s1 for s in t.snapshots())
+        assert not any(s["snapshot_id"] == s2 for s in t.snapshots())
+        with pytest.raises(KeyError, match="history broken"):
+            t.incremental_scan(s1)
