@@ -367,6 +367,17 @@ def _q_ann_lsh_topk(spark, sf):
     )
 
 
+def _q_dedup_keep_best(spark, sf):
+    # the full dedup story end-to-end: pairs → connected components → one
+    # survivor per duplicate cluster, picked by quality score (ties → min id)
+    d = _tbl(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, "doc_id", "text", JACCARD_PPM, k=3)
+    cc = dedup.connected_components(pairs)
+    return dedup.keep_best_per_cluster(
+        d, cc, "doc_id", T.quality_score_ppm_col("text")
+    ).select("doc_id", "cluster_id", "score_ppm", "is_kept")
+
+
 def _q_curate_hash_sample(spark, sf):
     # deterministic Bernoulli sample by content hash: the keep/drop decision
     # is a pure function of the key (resumable, partitioning-independent)
@@ -533,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_stratified_cap": _q_curate_stratified_cap,
         "text_scrub_pii": _q_text_scrub_pii,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "dedup_keep_best": _q_dedup_keep_best,
     }
 
 
@@ -682,6 +694,15 @@ WHERE {cos('a.embedding', 'b.embedding')} >= {COSINE_PPM}
         "ann_ivf_topk": ann.knn_ivf_sql(
             "embeddings", "vec_id < 10", "vec_id", cos("qv", "cv"),
             k=5, n_cells=16, nprobe=4,
+        ),
+        "dedup_keep_best": dedup.keep_best_per_cluster_sql(
+            dedup.connected_components_sql(
+                dedup.jaccard_pairs_sql(
+                    "documents", "doc_id", "text", JACCARD_PPM, k=3
+                ),
+                "documents", "doc_id",
+            ),
+            "documents", "doc_id", T.quality_score_ppm_sql("d.text"),
         ),
         "text_quality": f"""
 SELECT doc_id,

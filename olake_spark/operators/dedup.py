@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
@@ -706,4 +706,53 @@ reach(u, r) AS (
 cc AS (SELECT u AS node, min(r) AS cluster FROM reach GROUP BY u)
 SELECT d.{id_col} AS doc_id, coalesce(cc.cluster, d.{id_col}) AS cluster_id
 FROM {table} d LEFT JOIN cc ON cc.node = d.{id_col}
+"""
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    score: F.Column,
+) -> DataFrame:
+    """The dedup SURVIVOR selection: given (node, cluster) labels, keep
+    exactly one row per duplicate cluster — the highest `score`, ties broken
+    by smallest id (deterministic). Rows absent from `clusters` are their
+    own singleton cluster. One shuffle on the cluster id; the window's
+    per-group state is a single counter. Output: (id, cluster_id, score_ppm,
+    is_kept) for every input row, so callers can either filter the keepers
+    or audit what was dropped."""
+    labeled = (
+        df.select(F.col(id_col), score.alias("score_ppm"))
+        .join(
+            clusters.withColumnRenamed("node", id_col), id_col, "left"
+        )
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("cluster"), F.col(id_col))
+        )
+        .drop("cluster")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("score_ppm").desc(), F.col(id_col).asc()
+    )
+    return labeled.withColumn(
+        "is_kept", (F.row_number().over(w) == 1)
+    )
+
+
+def keep_best_per_cluster_sql(
+    clusters_sql: str, table: str, id_col: str, score_sql: str
+) -> str:
+    """DuckDB twin of :func:`keep_best_per_cluster` composed over the
+    connected-components oracle (`clusters_sql` yields doc_id/cluster_id)."""
+    return f"""
+WITH cc AS ({clusters_sql})
+SELECT {id_col} AS doc_id, cluster_id, score_ppm,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY score_ppm DESC, {id_col} ASC) = 1
+         AS is_kept
+FROM (
+  SELECT d.{id_col}, cc.cluster_id, {score_sql} AS score_ppm
+  FROM {table} d JOIN cc ON cc.doc_id = d.{id_col}
+)
 """
