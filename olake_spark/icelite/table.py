@@ -696,6 +696,7 @@ class Table:
         extra_summary: dict | None = None,
         seq_used: int | None = None,
         known_delete_paths: set[str] | None = None,
+        make_current: bool = True,
     ) -> dict:
         """`known_delete_paths`: when set, the commit validates that no
         equality-delete file beyond that set exists in the fresh base — the
@@ -755,7 +756,8 @@ class Table:
             new = dict(meta)
             new["last_sequence_number"] = max(seq, meta["last_sequence_number"])
             new["last_snapshot_id"] = snap_id
-            new["current_snapshot_id"] = snap_id
+            if make_current:
+                new["current_snapshot_id"] = snap_id
             new["snapshots"] = meta["snapshots"] + [
                 self._snapshot_dict(meta, snap_id, seq, op, manifests, summary)
             ]
@@ -785,6 +787,74 @@ class Table:
         if data_df is not None:
             entries += self._stage_write(data_df, seq)
         return self._commit_snapshot("rowdelta", entries, seq_used=seq)
+
+    def stage_append(
+        self, df: DataFrame, max_records_per_file: int | None = None,
+        sort_within_by: list[str] | None = None,
+    ) -> dict:
+        """Write-audit-publish step 1: commit the append as a snapshot that
+        is NOT made current — readers keep seeing the published state while
+        auditors scan the staged snapshot by id
+        (`scan(snapshot_id=staged["snapshot_id"])`). Step 2 is
+        `publish_snapshot` (atomic flip) or `drop_snapshot` (reject; files
+        become orphans). Publish or drop promptly: a staged snapshot is
+        retained like any other and ages out of `expire_snapshots`' keep-last
+        window."""
+        self.refresh()
+        seq = self.meta["last_sequence_number"] + 1
+        entries = self._stage_write(df, seq, max_records_per_file, sort_within_by)
+        return self._commit_snapshot(
+            "stage-append", entries, seq_used=seq, make_current=False,
+            extra_summary={"staged": True},
+        )
+
+    def publish_snapshot(self, snapshot_id: int) -> dict:
+        """WAP step 2: atomically make a staged snapshot current. Conflicts
+        (rather than silently dropping concurrent work) if the table moved
+        past the staged snapshot's parent since staging — the staged manifest
+        list was derived from that parent, so publishing over a newer current
+        would erase the interleaved commits. Linear histories publish clean;
+        the general interleaved case is Iceberg's cherry-pick, out of scope."""
+
+        def build(meta: dict) -> dict:
+            snap = next(
+                (s for s in meta["snapshots"] if s["snapshot_id"] == snapshot_id),
+                None,
+            )
+            if snap is None:
+                raise KeyError(f"snapshot {snapshot_id} not found (expired?)")
+            if meta["current_snapshot_id"] != snap["parent_id"]:
+                raise CommitConflict(
+                    f"cannot publish {snapshot_id}: table moved from its "
+                    f"parent {snap['parent_id']} to "
+                    f"{meta['current_snapshot_id']} since staging"
+                )
+            new = dict(meta)
+            new["current_snapshot_id"] = snapshot_id
+            return new
+
+        return self._commit(build)
+
+    def drop_snapshot(self, snapshot_id: int) -> None:
+        """Reject a staged (non-current, untagged) snapshot: remove it from
+        metadata; its files become orphans for the reaper."""
+
+        def build(meta: dict) -> dict:
+            if snapshot_id == meta["current_snapshot_id"]:
+                raise ValueError("cannot drop the current snapshot")
+            if snapshot_id in meta.get("refs", {}).values():
+                raise ValueError("cannot drop a tagged snapshot")
+            if not any(
+                s["snapshot_id"] == snapshot_id for s in meta["snapshots"]
+            ):
+                raise KeyError(f"snapshot {snapshot_id} not found")
+            new = dict(meta)
+            new["snapshots"] = [
+                s for s in meta["snapshots"] if s["snapshot_id"] != snapshot_id
+            ]
+            return new
+
+        self._commit(build)
 
     def rewrite_files(
         self, removed_paths: Iterable[str], added: list[FileEntry],

@@ -165,3 +165,48 @@ class TestIncrementalLineage:
         assert not any(s["snapshot_id"] == s2 for s in t.snapshots())
         with pytest.raises(KeyError, match="history broken"):
             t.incremental_scan(s1)
+
+
+class TestWriteAuditPublish:
+    def test_stage_audit_publish(self, spark, tmp_table_dir):
+        """WAP: readers see nothing until publish; the auditor scans the
+        staged snapshot by id; publish is an atomic current flip."""
+        t = Table.create(spark, os.path.join(tmp_table_dir, "wap"),
+                         datagen.IMAGES_SCHEMA, identifier_fields=("image_id",))
+        df = datagen.gen_images_df(spark, 60)
+        t.append(df.filter(F.col("image_id") < "img-000000000040"))
+        staged = t.stage_append(df.filter(F.col("image_id") >= "img-000000000040"))
+        sid = staged["snapshot_id"]
+        assert t.scan().count() == 40  # readers unaffected
+        # auditor: staged snapshot = published + staged rows
+        assert t.scan(snapshot_id=sid).count() == 60
+        t.publish_snapshot(sid)
+        assert t.scan().count() == 60
+
+    def test_publish_conflicts_when_table_moved(self, spark, tmp_table_dir):
+        from olake_spark.icelite.table import CommitConflict
+
+        t = Table.create(spark, os.path.join(tmp_table_dir, "wapc"),
+                         datagen.IMAGES_SCHEMA, identifier_fields=("image_id",))
+        df = datagen.gen_images_df(spark, 60)
+        t.append(df.filter(F.col("image_id") < "img-000000000020"))
+        staged = t.stage_append(
+            df.filter((F.col("image_id") >= "img-000000000020")
+                      & (F.col("image_id") < "img-000000000040")))
+        # concurrent append moves the table past the staged parent
+        t.append(df.filter(F.col("image_id") >= "img-000000000040"))
+        with pytest.raises(CommitConflict, match="cannot publish"):
+            t.publish_snapshot(staged["snapshot_id"])
+
+    def test_drop_staged_releases_files(self, spark, tmp_table_dir):
+        t = Table.create(spark, os.path.join(tmp_table_dir, "wapd"),
+                         datagen.IMAGES_SCHEMA, identifier_fields=("image_id",))
+        df = datagen.gen_images_df(spark, 40)
+        t.append(df.filter(F.col("image_id") < "img-000000000020"))
+        staged = t.stage_append(df.filter(F.col("image_id") >= "img-000000000020"))
+        t.drop_snapshot(staged["snapshot_id"])
+        got = t.remove_orphan_files(grace_seconds=0)
+        assert got  # the rejected snapshot's data files were reaped
+        assert t.scan().count() == 20
+        with pytest.raises(ValueError):
+            t.drop_snapshot(t.current_snapshot_id)
