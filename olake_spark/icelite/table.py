@@ -278,22 +278,46 @@ class Table:
                 return s
         raise KeyError(f"snapshot {sid} not found (expired?)")
 
+    @staticmethod
+    def _ancestor_ids(meta: dict) -> set[int]:
+        """Ids of the current snapshot's ancestor chain (rollbacks jump to
+        their target, so abandoned branches are excluded); tolerant of a
+        chain broken by expiry — returns what is provably reachable."""
+        by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+        out: set[int] = set()
+        cur = by_id.get(meta["current_snapshot_id"])
+        while cur is not None and cur["snapshot_id"] not in out:
+            out.add(cur["snapshot_id"])
+            pid = (
+                cur["summary"].get("rolled-back-to")
+                if cur["operation"] == "rollback"
+                else cur["parent_id"]
+            )
+            cur = by_id.get(pid) if pid is not None else None
+        return out
+
     def snapshot_as_of(self, timestamp_ms: int) -> dict | None:
         """Newest retained snapshot committed at or before `timestamp_ms` —
         time-travel resolution (Iceberg's FOR TIMESTAMP AS OF; the analogue
         of the reference's SCN-to-time mapping). None if the table had no
         snapshot yet at that time; raises if history that old has been
         expired (same contract as Iceberg: travel past the retention window
-        is an error, not a silent latest-read)."""
-        snaps = [
-            s for s in self.meta["snapshots"] if s["timestamp_ms"] <= timestamp_ms
+        is an error, not a silent latest-read). UNPUBLISHED staged snapshots
+        (stage-append outside the current lineage) are never resolved —
+        time-travel readers see only audited, published state."""
+        ancestors = self._ancestor_ids(self.meta)
+        candidates = [
+            s
+            for s in self.meta["snapshots"]
+            if s["operation"] != "stage-append" or s["snapshot_id"] in ancestors
         ]
+        snaps = [s for s in candidates if s["timestamp_ms"] <= timestamp_ms]
         if snaps:
             return max(snaps, key=lambda s: s["snapshot_id"])
-        if self.meta["snapshots"]:
+        if candidates:
             raise KeyError(
                 f"no retained snapshot at or before {timestamp_ms} "
-                f"(oldest retained: {self.meta['snapshots'][0]['timestamp_ms']})"
+                f"(oldest retained: {candidates[0]['timestamp_ms']})"
             )
         return None
 
@@ -459,7 +483,11 @@ class Table:
             cur = nxt
         added: list[FileEntry] = []
         for s in reversed(chain):
-            if s["operation"] not in ("append", "rowdelta"):
+            # stage-append counts once PUBLISHED: a staged snapshot reaches
+            # the parent chain of `to` only through publish, so its rows are
+            # genuine adds here — excluding it would silently drop every
+            # WAP-ingested row from the incremental feed
+            if s["operation"] not in ("append", "rowdelta", "stage-append"):
                 continue
             parent = by_id[s["parent_id"]] if s["parent_id"] is not None else None
             parent_manifests = set(parent["manifests"]) if parent else set()
@@ -833,17 +861,28 @@ class Table:
             new["current_snapshot_id"] = snapshot_id
             return new
 
-        return self._commit(build)
+        self._commit(build)
+        # _commit returns the LAST snapshot in the list, which need not be
+        # the one just published (another stage may be newer) — return the
+        # published snapshot itself
+        return self.snapshot(snapshot_id)
 
     def drop_snapshot(self, snapshot_id: int) -> None:
-        """Reject a staged (non-current, untagged) snapshot: remove it from
-        metadata; its files become orphans for the reaper."""
+        """Reject a staged (non-current, untagged, non-ancestor) snapshot:
+        remove it from metadata; its files become orphans for the reaper.
+        Dropping anything on the current lineage is refused — it would break
+        incremental/as-of history irreversibly."""
 
         def build(meta: dict) -> dict:
             if snapshot_id == meta["current_snapshot_id"]:
                 raise ValueError("cannot drop the current snapshot")
             if snapshot_id in meta.get("refs", {}).values():
                 raise ValueError("cannot drop a tagged snapshot")
+            if snapshot_id in self._ancestor_ids(meta):
+                raise ValueError(
+                    "cannot drop an ancestor of the current snapshot "
+                    "(published lineage); use expire_snapshots for retention"
+                )
             if not any(
                 s["snapshot_id"] == snapshot_id for s in meta["snapshots"]
             ):

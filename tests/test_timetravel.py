@@ -210,3 +210,52 @@ class TestWriteAuditPublish:
         assert t.scan().count() == 20
         with pytest.raises(ValueError):
             t.drop_snapshot(t.current_snapshot_id)
+
+
+class TestWapLineage:
+    """Round-3 review regressions: staged snapshots must be invisible to
+    time-travel, visible to incremental once published, publish must return
+    the published dict, and the published lineage must be undroppable."""
+
+    def _base(self, spark, root):
+        t = Table.create(spark, root, datagen.IMAGES_SCHEMA,
+                         identifier_fields=("image_id",))
+        df = datagen.gen_images_df(spark, 60)
+        t.append(df.filter(F.col("image_id") < "img-000000000040"))
+        return t, df
+
+    def test_published_stage_surfaces_in_incremental(self, spark, tmp_table_dir):
+        t, df = self._base(spark, os.path.join(tmp_table_dir, "wl1"))
+        s1 = t.current_snapshot_id
+        staged = t.stage_append(df.filter(F.col("image_id") >= "img-000000000040"))
+        t.publish_snapshot(staged["snapshot_id"])
+        inc = t.incremental_scan(s1)
+        assert inc.count() == 20  # WAP rows are genuine adds once published
+
+    def test_staged_invisible_to_as_of(self, spark, tmp_table_dir):
+        t, df = self._base(spark, os.path.join(tmp_table_dir, "wl2"))
+        t.stage_append(df.filter(F.col("image_id") >= "img-000000000040"))
+        now_ms = int(time.time() * 1000) + 1000
+        assert t.scan(as_of_ms=now_ms).count() == 40  # published state only
+        # after publish, as_of resolves to it
+        staged2 = t.stage_append(
+            df.filter(F.col("image_id") >= "img-000000000040"))
+        # (re-stage: the first staged snapshot's parent is still current)
+        t.publish_snapshot(staged2["snapshot_id"])
+        assert t.scan(as_of_ms=int(time.time() * 1000) + 1000).count() == 60
+
+    def test_publish_returns_published_dict(self, spark, tmp_table_dir):
+        t, df = self._base(spark, os.path.join(tmp_table_dir, "wl3"))
+        s1 = t.stage_append(df.filter(
+            (F.col("image_id") >= "img-000000000040")
+            & (F.col("image_id") < "img-000000000050")))
+        t.stage_append(df.filter(F.col("image_id") >= "img-000000000050"))
+        out = t.publish_snapshot(s1["snapshot_id"])
+        assert out["snapshot_id"] == s1["snapshot_id"]
+
+    def test_cannot_drop_published_lineage(self, spark, tmp_table_dir):
+        t, df = self._base(spark, os.path.join(tmp_table_dir, "wl4"))
+        parent = t.current_snapshot_id
+        t.append(df.filter(F.col("image_id") >= "img-000000000040"))
+        with pytest.raises(ValueError, match="ancestor"):
+            t.drop_snapshot(parent)
