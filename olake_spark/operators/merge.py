@@ -83,6 +83,7 @@ def merge_into(
     job_id: str | None = None,
     log: MaintenanceLog | None = None,
     allow_partial: bool | set[str] | list[str] | tuple[str, ...] = False,
+    evolve: bool = False,
 ) -> dict:
     """Apply a CDC change batch to the table in one atomic snapshot.
 
@@ -112,6 +113,30 @@ def merge_into(
     missing_keys = [k for k in keys if k not in changes.columns]
     if missing_keys:
         raise ValueError(f"change batch lacks identifier fields {missing_keys}")
+    # `evolve`: the reference's schema-drift handling — a batch carrying NEW
+    # columns union-by-names them into the table before the write
+    # (updateSchema().unionByNameWith, IcebergTableOperator.java:153-166);
+    # a type conflict goes through the promotion lattice (legal in-place
+    # widenings only). Without evolve, unknown batch columns are dropped by
+    # the projection below (the pre-round-3 contract).
+    if evolve:
+        from pyspark.sql.types import StructField, StructType
+
+        known = set(table_cols) | set(META_COLS)
+        extra = [
+            StructField(f.name, f.dataType, True)
+            for f in changes.schema.fields
+            if f.name not in known
+        ]
+        conflicts = [
+            f
+            for f in changes.schema.fields
+            if f.name in table_cols
+            and f.dataType != table.schema[f.name].dataType
+        ]
+        if extra or conflicts:
+            table.evolve_schema(StructType(extra + conflicts))
+            table_cols = [f.name for f in table.schema.fields]
     # merge is delete-before-insert (full-row replacement): a batch missing a
     # data column would overwrite that column with NULL table-wide. That must
     # be a loud error on upstream schema drift, and a deliberate choice when

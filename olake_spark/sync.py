@@ -283,12 +283,17 @@ def apply_cdc_stream(
     streams: list[str] | set[str] | None = None,
     stream_col: str = "_stream",
     exclude: list[str] | set[str] | None = None,
+    evolve: bool = False,
 ) -> None:
     """Drain a bounded change-feed stream, applying each micro-batch with
     MERGE INTO. availableNow ≙ 'consume up to the position captured at
     start, then stop' (waljs.go:172-179); the checkpoint dir is the resume
     cursor. `streams` keeps only events of the selected tables (P4);
-    `exclude` drops the listed columns before the write (P7)."""
+    `exclude` drops the listed columns before the write (P7); `evolve=True`
+    union-by-names NEW batch columns into the table schema before applying
+    (the reference's updateSchema drift handling — its sink always evolves;
+    here it is opt-in so unexpected upstream drift fails loudly by
+    default)."""
     from olake_spark.functions.reformat import cdc_stream_filter, exclude_columns
     from olake_spark.operators.merge import merge_into
 
@@ -305,6 +310,7 @@ def apply_cdc_stream(
         merge_into(
             table, b, keep_deletes=keep_deletes,
             allow_partial=set(exclude) if exclude else False,
+            evolve=evolve,
         )
 
     q = (

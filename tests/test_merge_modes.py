@@ -100,3 +100,59 @@ class TestPartialBatchGuard:
         merge_into(t, changes, allow_partial=True)  # deliberate → null-fill
         touched = t.scan().filter(F.col("caption").isNull())
         assert touched.count() > 0
+
+
+class TestSchemaDriftEvolution:
+    """The reference's updateSchema drift handling (union-by-name +
+    promotion lattice on conflict) through the merge path."""
+
+    def test_new_column_evolves_and_lands(self, spark, tmp_table_dir):
+        import os
+
+        from olake_spark import datagen
+        from olake_spark.icelite import Table
+
+        t = Table.create(spark, os.path.join(tmp_table_dir, "ev"),
+                         datagen.IMAGES_SCHEMA, identifier_fields=("image_id",))
+        df = datagen.gen_images_df(spark, 40)
+        t.append(df)
+        ch = (
+            df.limit(10)
+            .withColumn("_op_type", F.lit("u"))
+            .withColumn("_cdc_timestamp", F.lit(1))
+            .withColumn("license", F.lit("cc-by"))  # upstream added a column
+        )
+        # default: unknown column silently dropped (projection contract)
+        merge_into(t, ch, keep_deletes=False)
+        assert "license" not in [f.name for f in t.schema.fields]
+        # evolve: column joins the schema; old rows read NULL, new rows carry it
+        merge_into(t, ch, keep_deletes=False, evolve=True)
+        assert t.schema["license"].dataType.typeName() == "string"
+        got = t.scan().select("image_id", "license")
+        assert got.filter(F.col("license") == "cc-by").count() == 10
+        assert got.filter(F.col("license").isNull()).count() == 30
+
+    def test_type_conflict_promotes_via_lattice(self, spark, tmp_table_dir):
+        import os
+
+        from olake_spark.icelite import Table
+        from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                       StructType)
+
+        schema = StructType([
+            StructField("k", StringType(), False),
+            StructField("n", IntegerType(), True),
+            StructField("_op_type", StringType(), True),
+            StructField("_cdc_timestamp", IntegerType(), True),
+        ])
+        t = Table.create(spark, os.path.join(tmp_table_dir, "evt"), schema,
+                         identifier_fields=("k",))
+        t.append(spark.createDataFrame([("a", 1, "r", 0)], schema=schema))
+        ch = spark.createDataFrame(
+            [("b", 2 ** 40, "c", 1)], "k string, n long, _op_type string, "
+            "_cdc_timestamp int",
+        )
+        merge_into(t, ch, evolve=True)
+        assert t.schema["n"].dataType.typeName() == "long"  # int32 → int64
+        rows = {r["k"]: r["n"] for r in t.scan().collect()}
+        assert rows == {"a": 1, "b": 2 ** 40}

@@ -190,3 +190,33 @@ class TestAnnIvfRecall:
         got = {r.query_id: r.neighbor_id for r in res.collect()}
         hits = sum(1 for i in range(nq) if got.get(1000 + i) == i)
         assert hits >= int(0.85 * nq), f"IVF recall {hits}/{nq} < 0.85"
+
+
+class TestCurateProperties:
+    def test_hash_sample_rate_and_determinism(self, spark):
+        from olake_spark.functions import curate
+
+        ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        n = ev.count()
+        a = curate.hash_sample(ev, "event_id", 250_000)
+        b = curate.hash_sample(ev.repartition(7), "event_id", 250_000)
+        ka = {r[0] for r in a.select("event_id").collect()}
+        kb = {r[0] for r in b.select("event_id").collect()}
+        assert ka == kb  # partitioning-independent selection
+        assert abs(len(ka) / n - 0.25) < 0.02  # unbiased rate
+        # monotone: a lower rate selects a SUBSET (bucket threshold property)
+        kc = {r[0] for r in curate.hash_sample(ev, "event_id", 100_000)
+              .select("event_id").collect()}
+        assert kc <= ka
+
+    def test_stratified_cap_quota_and_determinism(self, spark):
+        from olake_spark.functions import curate
+
+        d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        capped = curate.stratified_cap(d, ["lang", "source"], "doc_id", 4)
+        sizes = capped.groupBy("lang", "source").count().collect()
+        assert all(r["count"] <= 4 for r in sizes)
+        again = curate.stratified_cap(d.repartition(5), ["lang", "source"],
+                                      "doc_id", 4)
+        assert {r[0] for r in capped.select("doc_id").collect()} == \
+               {r[0] for r in again.select("doc_id").collect()}
