@@ -490,7 +490,7 @@ def _q_ann_ivf_topk(spark, sf):
     emb = _tbl(spark, sf, "embeddings")
     return ann.knn_ivf(
         emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
-        k=5, n_cells=16, nprobe=4,
+        k=5, n_cells=16, nprobe=4, exact_assign=True,
     )
 
 

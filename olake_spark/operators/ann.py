@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, IntegerType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 from olake_spark.operators.dedup import cosine_ppm_expr
 
@@ -407,24 +407,59 @@ def assign_cells(
     centroids: DataFrame,
     rank_limit: int = 1,
     out_id: str = "id",
+    exact: bool = True,
 ) -> DataFrame:
     """Nearest-centroid assignment (rank_limit=1) or nprobe probe list
-    (rank_limit=nprobe): broadcast the (small) codebook, fold-expression
-    squared distance, per-vector rank window. Window partitions on the
-    vector id, so the shuffle is corpus-sized and skew-free. The scale path
-    for very large codebooks is a numpy argmin pandas UDF (one matmul per
-    Arrow batch, same shape as lsh_bucket_udf); this relational path is
-    bit-deterministic and oracle-able."""
-    pairs = df.select(
-        F.col(id_col).alias(out_id), F.col(vec_col).alias("_v")
-    ).join(F.broadcast(centroids))
-    w = Window.partitionBy(out_id).orderBy(
-        sqdist_expr("_v", "cv").asc(), F.col("cent_id").asc()
-    )
+    (rank_limit=nprobe). Two paths, the LSH dual-path pattern:
+
+    - **exact=True**: broadcast codebook cross join + fold-expression squared
+      distance + per-vector rank window. Bit-deterministic (= the DuckDB
+      oracle twin), but materializes |df|×|codebook| rows through the window
+      — right for verification and small codebooks only.
+    - **exact=False** (production): one numpy distance computation per Arrow
+      batch against the collected codebook matrix (‖x‖²−2x·Cᵀ+‖C‖² via a
+      single BLAS matmul), `argpartition` top-rank_limit per vector — ZERO
+      extra rows, no shuffle, O(batch × cells) FLOPs inside the task. Right
+      for √n-sized codebooks (10^9 vectors → ~3×10⁴ cells ≈ a few MB
+      broadcast)."""
+    if exact:
+        pairs = df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias("_v")
+        ).join(F.broadcast(centroids))
+        w = Window.partitionBy(out_id).orderBy(
+            sqdist_expr("_v", "cv").asc(), F.col("cent_id").asc()
+        )
+        return (
+            pairs.withColumn("_crn", F.row_number().over(w))
+            .filter(F.col("_crn") <= rank_limit)
+            .select(out_id, "_v", "cent_id")
+        )
+
+    rows = centroids.orderBy("cent_id").collect()
+    cent_ids = np.array([r["cent_id"] for r in rows], dtype=np.int64)
+    cmat = np.array([r["cv"] for r in rows], dtype=np.float64)  # (C, dim)
+    cnorm = (cmat * cmat).sum(axis=1)  # (C,)
+    limit = min(rank_limit, len(cent_ids))
+
+    def nearest(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        d = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ cmat.T) + cnorm[None, :]
+        if limit == 1:
+            picks = d.argmin(axis=1)[:, None]
+        else:
+            part = np.argpartition(d, limit - 1, axis=1)[:, :limit]
+            order = np.take_along_axis(d, part, axis=1).argsort(axis=1)
+            picks = np.take_along_axis(part, order, axis=1)
+        return pd.Series(list(cent_ids[picks]))
+
+    nearest_udf = pandas_udf(nearest, ArrayType(LongType()))
     return (
-        pairs.withColumn("_crn", F.row_number().over(w))
-        .filter(F.col("_crn") <= rank_limit)
-        .select(out_id, "_v", "cent_id")
+        df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias("_v"),
+            nearest_udf(F.col(vec_col)).alias("_cells"),
+        )
+        .select(out_id, "_v", F.explode("_cells").alias("cent_id"))
     )
 
 
@@ -437,6 +472,7 @@ def knn_ivf(
     n_cells: int = 16,
     nprobe: int = 4,
     centroids: DataFrame | None = None,
+    exact_assign: bool = False,
 ) -> DataFrame:
     """Approximate top-k via an IVF index: corpus vectors live in the posting
     list of their nearest centroid; a query searches only its `nprobe`
@@ -450,12 +486,14 @@ def knn_ivf(
         else ivf_centroids_by_id(corpus, id_col, vec_col, n_cells)
     )
     cb = (
-        assign_cells(corpus, id_col, vec_col, cents, 1, out_id="neighbor_id")
+        assign_cells(corpus, id_col, vec_col, cents, 1,
+                     out_id="neighbor_id", exact=exact_assign)
         .withColumnRenamed("_v", "cv")
         .withColumnRenamed("cent_id", "c_cell")
     )
     qb = (
-        assign_cells(queries, id_col, vec_col, cents, nprobe, out_id="query_id")
+        assign_cells(queries, id_col, vec_col, cents, nprobe,
+                     out_id="query_id", exact=exact_assign)
         .withColumnRenamed("_v", "qv")
         .withColumnRenamed("cent_id", "q_cell")
     )
