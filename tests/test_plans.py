@@ -128,3 +128,26 @@ class TestOperatorPlans:
             plan = plan_of(df)
             assert "Window" not in plan
             assert "Exchange" not in plan  # routing is narrow: no shuffle
+
+    def test_ivf_production_plan_no_cartesian(self, spark):
+        """knn_ivf's production path (numpy assign): no CartesianProduct
+        anywhere — assignment is a narrow Arrow UDF, the posting-list probe
+        join hash-joins on the cell id."""
+        from olake_spark.operators.ann import knn_ivf
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        df = knn_ivf(emb, emb.filter(F.col("vec_id") < 3), "vec_id",
+                     "embedding", k=3, n_cells=8, nprobe=2)
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+
+    def test_connected_components_rounds_are_hash_joins(self, spark):
+        """Each hash-min round is a plain equi-join + hash aggregate —
+        no cartesian, no broadcast of the (corpus-sized) label side."""
+        from olake_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(0, 20, 2)], ["id_a", "id_b"]
+        )
+        plan = plan_of(connected_components(pairs))
+        assert "CartesianProduct" not in plan
