@@ -1,0 +1,139 @@
+"""End-to-end tour of olake_spark: every major capability in one runnable
+script (~2 min on local[4]).
+
+    PYTHONPATH=/root/repo python examples/pipeline_tour.py [workdir]
+
+Walks the full lifecycle a reference (OLake) user needs, Spark-first:
+table create → chunked resumable backfill → CDC merge (with schema drift) →
+write-audit-publish → bin-packing compaction → Hilbert clustering → manifest
+rewrite → time travel / incremental scan / tags → snapshot expiry + orphan
+reap — then the training-data layer: dedup (pairs → clusters → survivors),
+ANN (brute force / LSH / IVF), text quality + PII scrub, deterministic
+curation. Prints one JSON line per step."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+
+def step(name: str, **kv) -> None:
+    print(json.dumps({"step": name, **kv}))
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import functions as F
+
+    from olake_spark import datagen
+    from olake_spark.checkpoint import MaintenanceLog
+    from olake_spark.functions import curate
+    from olake_spark.functions import text as T
+    from olake_spark.icelite import PartitionField, PartitionSpec, Table
+    from olake_spark.operators import ann, dedup
+    from olake_spark.operators.cluster import run_cluster_rewrite
+    from olake_spark.operators.compact import run_compaction
+    from olake_spark.operators.manifests import rewrite_manifests
+    from olake_spark.operators.merge import merge_into
+    from olake_spark.session import get_spark
+    from olake_spark.sync import backfill
+
+    wd = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="olake-tour-")
+    spark = get_spark("olake-tour", master="local[4]", shuffle_partitions=4)
+    try:
+        # -- 1. table + chunked resumable backfill ------------------------
+        src = datagen.gen_images_df(spark, 600)
+        t = Table.create(
+            spark, os.path.join(wd, "images"), datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("image_id", "bucket", 4),)),
+            identifier_fields=("image_id",),
+        )
+        log = MaintenanceLog(spark, os.path.join(wd, "_mlog"))
+        res = backfill(t, src, key_col="phash", job_id="tour", log=log,
+                       n_chunks=8)
+        step("backfill", **{k: res[k] for k in ("chunks_executed", "rows_written")})
+        res = backfill(t, src, key_col="phash", job_id="tour", log=log,
+                       n_chunks=8)  # resume: everything already done
+        step("backfill_resume", skipped=res["chunks_skipped"])
+
+        # -- 2. CDC merge, including upstream schema drift ----------------
+        ch = (
+            src.limit(50)
+            .withColumn("caption", F.concat(F.col("caption"), F.lit(" v2")))
+            .withColumn("_op_type", F.lit("u"))
+            .withColumn("_cdc_timestamp", F.lit(1))
+            .withColumn("license", F.lit("cc-by"))  # new upstream column
+        )
+        merge_into(t, ch, keep_deletes=False, evolve=True)
+        step("merge_cdc_evolved",
+             license_col="license" in [f.name for f in t.schema.fields])
+
+        # -- 3. write-audit-publish ---------------------------------------
+        staged = t.stage_append(
+            datagen.gen_images_df(spark, 650).filter(
+                F.col("image_id") >= "img-000000000600"
+            )
+        )
+        audit_rows = t.scan(snapshot_id=staged["snapshot_id"]).count()
+        t.publish_snapshot(staged["snapshot_id"])
+        step("write_audit_publish", audited_rows=audit_rows,
+             published=t.scan().count())
+
+        # -- 4. maintenance: compact → cluster → manifests ----------------
+        pre_tag = t.create_tag("pre-maintenance")
+        c = run_compaction(t, "tour", log=log, fill_ratio=1.0,
+                           target_bytes=1 << 21, verify=True)
+        z = run_cluster_rewrite(t, "tour", curve="hilbert",
+                                target_bytes=1 << 21, log=log)
+        m = rewrite_manifests(t, audit=True)
+        step("maintenance", bins=c["bins_executed"],
+             clustered_rows=z["rows"], manifests=m["manifests_after"])
+
+        # -- 5. time travel / incremental / tags --------------------------
+        assert t.scan_tag("pre-maintenance").count() == t.scan().count()
+        inc = t.incremental_scan(staged["snapshot_id"])
+        step("history", tag_rows=t.scan_tag("pre-maintenance").count(),
+             incremental_since_publish=inc.count(),
+             snapshot_as_of_now=t.snapshot_as_of(
+                 t.snapshot()["timestamp_ms"])["snapshot_id"])
+
+        # -- 6. retention -------------------------------------------------
+        t.drop_tag("pre-maintenance")
+        t.expire_snapshots(keep_last=1)
+        orphans = t.remove_orphan_files(grace_seconds=0)
+        step("expire_reap", orphans=len(orphans), rows=t.scan().count())
+
+        # -- 7. training-data layer over documents ------------------------
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", 500_000, k=3)
+        cc = dedup.connected_components(pairs)
+        best = dedup.keep_best_per_cluster(
+            docs, cc, "doc_id", T.quality_score_ppm_col("text")
+        )
+        step("dedup", dup_pairs=pairs.count(),
+             survivors=best.filter("is_kept").count(), corpus=docs.count())
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 3)
+        bf = ann.knn_bruteforce(emb, q, "vec_id", "embedding", k=3)
+        ivf = ann.knn_ivf(emb, q, "vec_id", "embedding", k=3, n_cells=16,
+                          nprobe=4)
+        step("ann", bruteforce_rows=bf.count(), ivf_rows=ivf.count())
+
+        sampled = curate.hash_sample(docs, "doc_id", 500_000)
+        capped = curate.stratified_cap(sampled, ["lang"], "doc_id", 50)
+        scrubbed = capped.withColumn(
+            "text", curate.scrub_pii_col("text"))
+        step("curate", sampled=sampled.count(), final=scrubbed.count())
+        step("done", warehouse=wd)
+    finally:
+        spark.stop()
+        if len(sys.argv) <= 1:
+            shutil.rmtree(wd, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
