@@ -111,6 +111,13 @@ def _q_cdc_stream_apply(spark, sf):
     return pipeline.cdc_stream_roundtrip(spark, sf)
 
 
+def _q_delete_where_scan(spark, sf):
+    # Iceberg v2 merge-on-read DELETE: positional-delete marks via the
+    # parquet _metadata.(file_path,row_index) columns, applied as an
+    # anti-join, folded in by compaction, purged when dead
+    return pipeline.delete_where_roundtrip(spark, sf)
+
+
 def _q_s4_timestamp_chunks(spark, sf):
     # ObjectID-timestamp windowed chunking (S4): hour buckets over events
     e = _tbl(spark, sf, "events")
@@ -518,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_backfill_chunked": _q_sync_backfill_chunked,
         "sync_backfill_composite": _q_sync_backfill_composite,
         "cdc_stream_apply": _q_cdc_stream_apply,
+        "delete_where_scan": _q_delete_where_scan,
         "s7_ordered_chunk_walk": _q_s7_ordered_chunk_walk,
         "p3_type_coercion": _q_p3_type_coercion,
         "p5_cdc_envelope": _q_p5_cdc_envelope,
@@ -564,6 +572,8 @@ def oracle_sql() -> dict[str, str]:
         "sync_backfill_composite": pipeline.roundtrip_oracle_sql(False),
         # bounded streaming CDC apply ends in the same state as batch MERGE
         "cdc_stream_apply": pipeline.roundtrip_oracle_sql(True),
+        # merge-on-read positional deletes, folded by compaction
+        "delete_where_scan": pipeline.delete_where_oracle_sql(),
         "s2_range_chunk_bounds": """
 SELECT chunk, min(o_orderkey) AS chunk_min, max(o_orderkey) AS chunk_max,
        CAST(count(*) AS BIGINT) AS n_rows

@@ -48,6 +48,7 @@ from olake_spark.icelite.spec import PartitionSpec
 from olake_spark.icelite.stats import collect_file_stats
 
 DATA = 0
+POS_DELETES = 1  # Iceberg v2 positional deletes: rows of (file_path, pos)
 EQ_DELETES = 2
 
 # broadcast the aggregated delete-key side of the scan anti-join when it is
@@ -343,6 +344,7 @@ class Table:
         with_partition_cols: bool = False,
         with_file_seq: bool = False,
         with_input_file: bool = False,
+        with_pos: bool = False,
         file_filter: set[str] | None = None,
         as_of_ms: int | None = None,
     ) -> DataFrame:
@@ -366,6 +368,7 @@ class Table:
         entries = self.entries(snapshot_id)
         data = [e for e in entries if e.content == DATA]
         dels = [e for e in entries if e.content == EQ_DELETES]
+        pos_dels = [e for e in entries if e.content == POS_DELETES]
         if file_filter is not None:
             data = [e for e in data if e.file_path in file_filter]
             # deletes newer than every selected file still apply (kept in full)
@@ -380,15 +383,35 @@ class Table:
         # when many concurrent maintenance chunks each open a scan)
         reader = self.spark.read.schema(self.schema)
 
+        need_pos = bool(pos_dels) or with_pos
+        # byte offset of the path component after "<abs root>/" — positional
+        # strip, no regex-escaping of the root path needed
+        _rel_start = len(os.path.abspath(self.root)) + 2
+
         def _tag_file(d: DataFrame) -> DataFrame:
             # evaluated at the scan, before any join/union, where
-            # input_file_name() is guaranteed to resolve
-            if not with_input_file:
-                return d
-            return d.withColumn(
-                "_input_file",
-                F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
-            )
+            # input_file_name() / _metadata are guaranteed to resolve
+            if with_input_file:
+                d = d.withColumn(
+                    "_input_file",
+                    F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+                )
+            if need_pos:
+                # parquet hidden metadata columns: stable row identity
+                # (file, row-ordinal) with zero read amplification — the
+                # Spark-native stand-in for Iceberg's file_path/pos virtual
+                # columns that positional deletes key on
+                d = d.withColumn(
+                    "_file_path",
+                    F.substring(
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"), "^file:/+", "/"
+                        ),
+                        _rel_start,
+                        1 << 30,
+                    ),
+                ).withColumn("_pos", F.col("_metadata.row_index"))
+            return d
 
         if not need_seq:
             df = _tag_file(
@@ -415,6 +438,8 @@ class Table:
             if dels:
                 df = self._apply_deletes(df, dels)
 
+        if pos_dels:
+            df = self._apply_pos_deletes(df, pos_dels, data)
         if predicates:
             df = df.filter(_pred_expr(predicates))
         keep = columns or [f.name for f in self.schema.fields]
@@ -422,6 +447,7 @@ class Table:
             (self.spec.names if with_partition_cols else [])
             + (["_seq"] if with_file_seq else [])
             + (["_input_file"] if with_input_file else [])
+            + (["_file_path", "_pos"] if with_pos else [])
         )
         return df.select(*keep, *extra)
 
@@ -527,6 +553,40 @@ class Table:
         return joined.filter(
             F.col("_max_del_seq").isNull() | (F.col("_max_del_seq") <= F.col("_seq"))
         ).drop("_max_del_seq")
+
+    def _apply_pos_deletes(
+        self, df: DataFrame, pos_dels: list[FileEntry], data: list[FileEntry]
+    ) -> DataFrame:
+        """Anti-join rows against positional-delete files (content=1).
+
+        Pos-deletes reference exact (file_path, pos) pairs and data file
+        names are uuid-unique (never reused after a rewrite), so a plain
+        anti-join is exact — no sequence-number comparison is needed: a
+        delete against a since-rewritten file simply matches nothing.
+        Delete files whose [min,max] file_path range misses every selected
+        data file are pruned before any read."""
+        import bisect
+
+        sel = sorted(e.file_path for e in data)
+        live: list[FileEntry] = []
+        for e in pos_dels:
+            lo, hi = e.mins.get("file_path"), e.maxs.get("file_path")
+            if lo is None or hi is None:
+                live.append(e)  # no stats → conservatively keep
+                continue
+            i = bisect.bisect_left(sel, lo)
+            if i < len(sel) and sel[i] <= hi:
+                live.append(e)
+        if not live:
+            return df
+        pdel = self.spark.read.parquet(
+            *[self._abs(e.file_path) for e in live]
+        ).select(
+            F.col("file_path").alias("_file_path"), F.col("pos").alias("_pos")
+        )
+        if sum(e.record_count for e in live) <= BROADCAST_DELETE_ROWS:
+            pdel = F.broadcast(pdel)
+        return df.join(pdel, ["_file_path", "_pos"], "left_anti")
 
     # --------------------------------------------------------------- writes
 
@@ -643,6 +703,26 @@ class Table:
         keys_df.select(*self.identifier_fields).withColumn(
             "_delete_seq", F.lit(seq)
         ).write.mode("overwrite").parquet(stage)
+        return self._publish_delete_stage(stage, seq, EQ_DELETES)
+
+    def _write_pos_delete_files(self, hits: DataFrame, seq: int) -> list[FileEntry]:
+        """Positional-delete files: rows of (file_path, pos), sorted within
+        each file by that pair (Iceberg's required pos-delete sort order —
+        makes the scan-side merge streamable) and shuffled by file_path so
+        deletes against one data file land together."""
+        stage = os.path.join(self.root, "deletes", f".stage-{uuid.uuid4().hex}")
+        (
+            hits.select("file_path", "pos")
+            .repartition(F.col("file_path"))
+            .sortWithinPartitions("file_path", "pos")
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        return self._publish_delete_stage(stage, seq, POS_DELETES)
+
+    def _publish_delete_stage(
+        self, stage: str, seq: int, content: int
+    ) -> list[FileEntry]:
         pairs = [
             (
                 os.path.join(stage, name),
@@ -665,7 +745,7 @@ class Table:
                 continue
             entries.append(
                 FileEntry(
-                    EQ_DELETES, os.path.relpath(dest, self.root), {}, seq,
+                    content, os.path.relpath(dest, self.root), {}, seq,
                     st["record_count"], st["file_size_bytes"],
                     st["mins"], st["maxs"], st["null_counts"],
                 )
@@ -725,14 +805,21 @@ class Table:
         seq_used: int | None = None,
         known_delete_paths: set[str] | None = None,
         make_current: bool = True,
+        require_live_paths: set[str] | None = None,
     ) -> dict:
         """`known_delete_paths`: when set, the commit validates that no
-        equality-delete file beyond that set exists in the fresh base — the
-        validateNoNewDeleteFiles guard a rewrite needs: rows it re-writes get
-        a NEW sequence number, so a delete committed concurrently (which only
-        kills strictly-older files) would silently resurrect them. On
-        violation the commit raises CommitConflict; the caller re-plans from
-        fresh metadata (re-running the bin re-reads the post-delete state)."""
+        delete file (equality OR positional) beyond that set exists in the
+        fresh base — the validateNoNewDeleteFiles guard a rewrite needs:
+        rows it re-writes get a NEW sequence number / file path, so a delete
+        committed concurrently (which kills strictly-older files, or exact
+        old paths) would silently resurrect them. On violation the commit
+        raises CommitConflict; the caller re-plans from fresh metadata
+        (re-running the bin re-reads the post-delete state).
+
+        `require_live_paths`: the mirror-image guard for a positional-delete
+        commit — every data file it references must still be live in the
+        fresh base, else the marked rows were concurrently rewritten into
+        new paths the delete doesn't match (validateDataFilesExist)."""
         removed_paths = removed_paths or set()
 
         def build(meta: dict) -> dict:
@@ -748,13 +835,26 @@ class Table:
                     e.file_path
                     for m in manifests
                     for e in _read_manifest(self._abs(m))
-                    if e.content == EQ_DELETES
+                    if e.content != DATA
                 }
                 new_dels = live_dels - known_delete_paths
                 if new_dels:
                     raise CommitConflict(
-                        f"concurrent equality-delete commit(s) {sorted(new_dels)[:3]} "
+                        f"concurrent delete commit(s) {sorted(new_dels)[:3]} "
                         f"would be invalidated by this rewrite — re-run it"
+                    )
+            if require_live_paths:
+                live_data = {
+                    e.file_path
+                    for m in manifests
+                    for e in _read_manifest(self._abs(m))
+                    if e.content == DATA
+                }
+                gone = require_live_paths - live_data
+                if gone:
+                    raise CommitConflict(
+                        f"data files referenced by this positional delete were "
+                        f"rewritten concurrently: {sorted(gone)[:3]} — re-run it"
                     )
             if removed_paths:
                 live = set()
@@ -815,6 +915,73 @@ class Table:
         if data_df is not None:
             entries += self._stage_write(data_df, seq)
         return self._commit_snapshot("rowdelta", entries, seq_used=seq)
+
+    def delete_where(self, condition, retries: int = 5) -> dict:
+        """Merge-on-read DELETE: mark rows matching `condition` deleted by
+        writing positional-delete files (content=1) — no data file is
+        rewritten. The Spark-first rendition of Iceberg v2 positional
+        deletes: row identity comes from the parquet reader's hidden
+        `_metadata.file_path` / `_metadata.row_index` columns, so marking
+        costs one predicate scan + one small (file_path, pos) write instead
+        of rewriting every touched data file. Scans apply the marks as a
+        broadcast anti-join; the next compaction of a touched file folds the
+        deletes in physically and `purge_dead_deletes` drops the dead files.
+
+        `condition` is a SQL string or Column over the table schema. The
+        commit validates that every referenced data file is still live
+        (validateDataFilesExist) — on conflict with a concurrent rewrite it
+        retries from fresh state, re-scanning so marks land on the new files.
+        """
+        cond = condition if isinstance(condition, str) else condition
+        last: Exception | None = None
+        for _ in range(retries):
+            self.refresh()
+            pinned = self.current_snapshot_id
+            if not any(e.content == DATA for e in self.entries(pinned)):
+                return {"rows_deleted": 0, "delete_files": 0}
+            hits = (
+                self.scan(snapshot_id=pinned, with_pos=True)
+                .filter(cond)
+                .select(
+                    F.col("_file_path").alias("file_path"),
+                    F.col("_pos").alias("pos"),
+                )
+            )
+            seq, _ = self._next_ids(self.meta)
+            added = self._write_pos_delete_files(hits, seq)
+            n = sum(e.record_count for e in added)
+            if n == 0:
+                return {"rows_deleted": 0, "delete_files": 0}
+            # distinct referenced paths, computed distributedly over the
+            # just-written delete files: collect size is bounded by the data
+            # FILE count, never the deleted ROW count
+            refd = {
+                r[0]
+                for r in self.spark.read.parquet(
+                    *[self._abs(e.file_path) for e in added]
+                )
+                .select("file_path")
+                .distinct()
+                .collect()
+            }
+            try:
+                snap = self._commit_snapshot(
+                    "delete", added,
+                    extra_summary={"deleted-rows": n},
+                    seq_used=seq,
+                    require_live_paths=refd,
+                )
+                return {
+                    "rows_deleted": n,
+                    "delete_files": len(added),
+                    "snapshot_id": snap["snapshot_id"],
+                }
+            except CommitConflict as ce:
+                # the marks reference rewritten (dead) paths: discard and
+                # re-scan against the table as it is now
+                self.io.remove_many([self._abs(e.file_path) for e in added])
+                last = ce
+        raise last  # type: ignore[misc]
 
     def stage_append(
         self, df: DataFrame, max_records_per_file: int | None = None,

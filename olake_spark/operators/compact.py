@@ -27,24 +27,54 @@ import math
 from dataclasses import dataclass, field
 
 from olake_spark.checkpoint import MaintenanceLog
-from olake_spark.icelite.table import (DATA, EQ_DELETES, CommitConflict,
-                                       FileEntry, Table)
+from olake_spark.icelite.table import (DATA, EQ_DELETES, POS_DELETES,
+                                       CommitConflict, FileEntry, Table)
 
 DEFAULT_TARGET = 512 * 1024 * 1024
 
 
 def purge_dead_deletes(table: Table) -> int:
-    """Drop equality-delete files that no longer apply to any live data file.
+    """Drop delete files that no longer apply to any live data file.
 
-    A delete at sequence d kills rows only in data files with seq < d; once
-    compaction has rewritten every older file (rewrites get fresh, higher
-    seqs), the delete is dead weight — removing it takes the reconciliation
-    join out of every future scan. Metadata-only commit."""
+    Equality deletes: a delete at sequence d kills rows only in data files
+    with seq < d; once compaction has rewritten every older file (rewrites
+    get fresh, higher seqs), the delete is dead weight — removing it takes
+    the reconciliation join out of every future scan.
+
+    Positional deletes: dead once none of the exact data file paths they
+    reference are live (rewrites mint new uuid paths). The per-file
+    [min,max] file_path stats decide most cases without a read; only
+    range-overlapping candidates get their referenced-path set read (small
+    files, dictionary-encoded path column). Metadata-only commit."""
+    import bisect
+
+    import pyarrow.parquet as _pq
+
     table.refresh()
     entries = table.entries()
     data_seqs = [e.seq for e in entries if e.content == DATA]
     min_seq = min(data_seqs) if data_seqs else float("inf")
     dead = [e for e in entries if e.content == EQ_DELETES and e.seq <= min_seq]
+    live_paths = sorted(e.file_path for e in entries if e.content == DATA)
+    live_set = set(live_paths)
+    for e in entries:
+        if e.content != POS_DELETES:
+            continue
+        lo, hi = e.mins.get("file_path"), e.maxs.get("file_path")
+        if live_paths and lo is not None and hi is not None:
+            i = bisect.bisect_left(live_paths, lo)
+            if i < len(live_paths) and live_paths[i] <= hi:
+                # range overlap — exact check on the referenced set
+                refd = set(
+                    _pq.read_table(
+                        table._abs(e.file_path), columns=["file_path"]
+                    )
+                    .column("file_path")
+                    .to_pylist()
+                )
+                if not refd.isdisjoint(live_set):
+                    continue
+        dead.append(e)
     if dead:
         table.rewrite_files(
             {e.file_path for e in dead}, [], op="purge-deletes",

@@ -241,6 +241,46 @@ def roundtrip_oracle_sql(with_merge: bool) -> str:
     return _expected_post_merge_sql() if with_merge else derive_images_sql()
 
 
+# one predicate text, two engines: delete_where evaluates these in Spark SQL,
+# the oracle negates the SAME strings in DuckDB — they use only derived
+# columns and operators both dialects compute identically (integer % keeps
+# the dividend's sign in both)
+DELETE_PREDS = ("phash % 7 = 0", "w = 16 AND fmt = 'png'")
+
+
+def delete_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE roundtrip (Iceberg v2 positional deletes): two
+    OVERLAPPING predicate deletes mark rows via (file_path, pos) delete
+    files — no data file rewritten, the second delete must not re-mark rows
+    the first already killed — then compaction folds the marks in physically
+    and purges the dead delete files. The final plain scan (no anti-join
+    left) must equal the derivation minus both predicates."""
+    tmp = tempfile.mkdtemp(prefix="olake-mor-")
+    try:
+        t = Table.create(
+            spark,
+            os.path.join(tmp, "images"),
+            datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("image_id", "bucket", 4),)),
+            identifier_fields=("image_id",),
+        )
+        t.append(images_from_documents(spark, sf_dir))
+        t.delete_where(DELETE_PREDS[0])
+        # union of both predicates: overlap with the first is a no-op
+        t.delete_where(f"({DELETE_PREDS[0]}) OR ({DELETE_PREDS[1]})")
+        run_compaction(t, "mor-compact", fill_ratio=1.0)
+        return _materialize(t.scan(columns=SCAN_COLS))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def delete_where_oracle_sql() -> str:
+    survive = " AND ".join(f"NOT ({p})" for p in DELETE_PREDS)
+    return (
+        f"SELECT * FROM ({derive_images_sql()}) WHERE {survive}"
+    )
+
+
 def backfill_roundtrip(
     spark: SparkSession,
     sf_dir: str,

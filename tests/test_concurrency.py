@@ -84,7 +84,7 @@ class TestRewriteDeleteConflict:
         # concurrent merge lands a delete between pin and commit
         t.row_delta(None, spark.createDataFrame([("img-000000000001",)],
                                                 ["image_id"]))
-        with pytest.raises(CommitConflict, match="equality-delete"):
+        with pytest.raises(CommitConflict, match="concurrent delete commit"):
             t.rewrite_files({victim}, [], known_delete_paths=pin_dels)
         # without the guard the same commit goes through (legacy behavior)
         t.rewrite_files({victim}, [])

@@ -1,0 +1,179 @@
+"""Positional-delete (Iceberg v2 merge-on-read DELETE) tests.
+
+Reference parity: OLake's Iceberg sink commits equality deletes for CDC
+upserts (iceberg_utils.go:180) but the Iceberg v2 spec it writes against
+also defines positional deletes (content=1, rows of (file_path, pos));
+`Table.delete_where` is the Spark-first rendition — row identity from the
+parquet reader's hidden `_metadata.file_path` / `_metadata.row_index`
+columns, marks applied as an anti-join at scan time, folded in physically
+by the next compaction and reaped by purge_dead_deletes.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from olake_spark import datagen
+from olake_spark.icelite import PartitionField, PartitionSpec, Table
+from olake_spark.icelite.table import DATA, EQ_DELETES, POS_DELETES, CommitConflict
+from olake_spark.operators.compact import purge_dead_deletes, run_compaction
+
+N = 240
+
+
+@pytest.fixture()
+def images_table(spark, tmp_table_dir):
+    t = Table.create(
+        spark,
+        os.path.join(tmp_table_dir, "images"),
+        datagen.IMAGES_SCHEMA,
+        PartitionSpec((PartitionField("image_id", "bucket", 4),)),
+        identifier_fields=("image_id",),
+    )
+    t.append(datagen.gen_images_df(spark, N))
+    return t
+
+
+NUM = "cast(substring(image_id, 5, 12) as bigint)"  # image_id = 'img-%012d'
+
+
+def _ids(t, **scan_kw):
+    return {
+        int(r[0][4:])
+        for r in t.scan(columns=["image_id"], **scan_kw).collect()
+    }
+
+
+class TestDeleteWhere:
+    def test_basic_predicate_delete(self, images_table):
+        t = images_table
+        before = _ids(t)
+        res = t.delete_where(f"{NUM} % 3 = 0")
+        expect_gone = {i for i in before if i % 3 == 0}
+        assert res["rows_deleted"] == len(expect_gone)
+        assert res["delete_files"] >= 1
+        assert _ids(t) == before - expect_gone
+        # merge-on-read: no data file was rewritten
+        assert {e.file_path for e in t.entries() if e.content == DATA} == {
+            e.file_path
+            for e in t.entries(t.snapshots()[0]["snapshot_id"])
+            if e.content == DATA
+        }
+        assert any(e.content == POS_DELETES for e in t.entries())
+
+    def test_cumulative_deletes_no_double_marking(self, images_table):
+        t = images_table
+        r1 = t.delete_where(f"{NUM} < 40")
+        # overlapping predicate: already-deleted rows must not be re-marked
+        r2 = t.delete_where(f"{NUM} < 80")
+        assert r1["rows_deleted"] == 40
+        assert r2["rows_deleted"] == 40
+        assert _ids(t) == set(range(80, N))
+
+    def test_no_match_is_noop(self, images_table):
+        t = images_table
+        n_snaps = len(t.snapshots())
+        res = t.delete_where(F.expr(NUM) < 0)
+        assert res == {"rows_deleted": 0, "delete_files": 0}
+        assert len(t.snapshots()) == n_snaps
+
+    def test_column_condition(self, images_table):
+        t = images_table
+        t.delete_where(F.expr(NUM) >= N - 10)
+        assert _ids(t) == set(range(N - 10))
+
+    def test_time_travel_sees_pre_delete_state(self, images_table):
+        t = images_table
+        pre = t.current_snapshot_id
+        t.delete_where(f"{NUM} % 2 = 0")
+        assert len(_ids(t, snapshot_id=pre)) == N
+        assert len(_ids(t)) == N // 2
+
+    def test_with_pos_scan_columns(self, images_table):
+        t = images_table
+        df = t.scan(columns=["image_id"], with_pos=True)
+        assert set(df.columns) == {"image_id", "_file_path", "_pos"}
+        rows = df.collect()
+        assert len(rows) == N
+        by_file: dict[str, list[int]] = {}
+        for r in rows:
+            assert not os.path.isabs(r["_file_path"])  # relative to table root
+            by_file.setdefault(r["_file_path"], []).append(r["_pos"])
+        counts = {e.file_path: e.record_count for e in t.entries() if e.content == DATA}
+        for path, poss in by_file.items():
+            # row ordinals are exactly 0..record_count-1 within each file
+            assert sorted(poss) == list(range(counts[path]))
+
+
+class TestPosDeleteMaintenance:
+    def test_compaction_folds_marks_and_purge_reaps(self, spark, images_table):
+        t = images_table
+        t.delete_where(f"{NUM} % 4 = 1")
+        survivors = _ids(t)
+        res = run_compaction(t, "job-posdel", target_bytes=1 << 30)
+        # compaction folds the marks into the rewritten files and its final
+        # purge pass reaps the now-dead positional-delete file
+        assert res["delete_files_purged"] >= 1
+        assert not any(e.content == POS_DELETES for e in t.entries())
+        assert _ids(t) == survivors
+        # steady state: scan plan has no anti-join left
+        assert "Join" not in t.scan(columns=["image_id"])._jdf.queryExecution().executedPlan().toString()
+
+    def test_purge_keeps_live_pos_deletes(self, images_table):
+        t = images_table
+        t.delete_where(f"{NUM} % 5 = 0")
+        # nothing was rewritten → every mark still references live files
+        assert purge_dead_deletes(t) == 0
+        assert any(e.content == POS_DELETES for e in t.entries())
+
+    def test_eq_and_pos_deletes_compose(self, spark, images_table):
+        t = images_table
+        # equality delete via rowdelta (CDC path) ...
+        keys = spark.createDataFrame([(f"img-{i:012d}",) for i in range(0, 30)], ["image_id"])
+        t.row_delta(None, keys)
+        # ... plus a positional predicate delete
+        t.delete_where(f"{NUM} >= 200")
+        assert _ids(t) == set(range(30, 200))
+
+
+class TestPosDeleteConcurrency:
+    def test_rewrite_conflicts_with_concurrent_pos_delete(self, images_table):
+        t = images_table
+        pinned = {e.file_path for e in t.entries() if e.content != DATA}
+        victims = [e for e in t.entries() if e.content == DATA][:1]
+        t.delete_where(f"{NUM} % 7 = 0")  # commits between pin and rewrite
+        with pytest.raises(CommitConflict):
+            t.rewrite_files(
+                {victims[0].file_path}, [], op="compact",
+                known_delete_paths=pinned,
+            )
+
+    def test_delete_retries_after_concurrent_rewrite(self, images_table, monkeypatch):
+        """Compaction lands between delete_where's scan and its commit: the
+        validateDataFilesExist guard must reject the stale marks and the
+        retry must re-scan so marks land on the post-rewrite files."""
+        t = images_table
+        survivors_expected = {i for i in range(N) if i % 3 != 0}
+        orig = Table._write_pos_delete_files
+        fired = {"n": 0}
+
+        def hooked(self, hits, seq):
+            entries = orig(self, hits, seq)
+            if fired["n"] == 0:
+                fired["n"] += 1
+                run_compaction(t, "job-posdel", target_bytes=1 << 30)
+            return entries
+
+        monkeypatch.setattr(Table, "_write_pos_delete_files", hooked)
+        res = t.delete_where(f"{NUM} % 3 = 0")
+        assert fired["n"] == 1
+        assert res["rows_deleted"] == N - len(survivors_expected)
+        assert _ids(t) == survivors_expected
+
+    def test_require_live_paths_guard_direct(self, images_table):
+        t = images_table
+        with pytest.raises(CommitConflict):
+            t._commit_snapshot(
+                "delete", [], require_live_paths={"data/definitely-gone.parquet"}
+            )
