@@ -111,6 +111,12 @@ def _q_cdc_stream_apply(spark, sf):
     return pipeline.cdc_stream_roundtrip(spark, sf)
 
 
+def _q_update_where_scan(spark, sf):
+    # Iceberg v2 merge-on-read UPDATE: one atomic commit of pos-delete
+    # marks + transformed-copy data files, folded by compaction
+    return pipeline.update_where_roundtrip(spark, sf)
+
+
 def _q_delete_where_scan(spark, sf):
     # Iceberg v2 merge-on-read DELETE: positional-delete marks via the
     # parquet _metadata.(file_path,row_index) columns, applied as an
@@ -526,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_backfill_composite": _q_sync_backfill_composite,
         "cdc_stream_apply": _q_cdc_stream_apply,
         "delete_where_scan": _q_delete_where_scan,
+        "update_where_scan": _q_update_where_scan,
         "s7_ordered_chunk_walk": _q_s7_ordered_chunk_walk,
         "p3_type_coercion": _q_p3_type_coercion,
         "p5_cdc_envelope": _q_p5_cdc_envelope,
@@ -574,6 +581,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_stream_apply": pipeline.roundtrip_oracle_sql(True),
         # merge-on-read positional deletes, folded by compaction
         "delete_where_scan": pipeline.delete_where_oracle_sql(),
+        # merge-on-read UPDATE: assignments folded into a CASE projection
+        "update_where_scan": pipeline.update_where_oracle_sql(),
         "s2_range_chunk_bounds": """
 SELECT chunk, min(o_orderkey) AS chunk_min, max(o_orderkey) AS chunk_max,
        CAST(count(*) AS BIGINT) AS n_rows

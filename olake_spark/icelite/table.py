@@ -952,18 +952,7 @@ class Table:
             n = sum(e.record_count for e in added)
             if n == 0:
                 return {"rows_deleted": 0, "delete_files": 0}
-            # distinct referenced paths, computed distributedly over the
-            # just-written delete files: collect size is bounded by the data
-            # FILE count, never the deleted ROW count
-            refd = {
-                r[0]
-                for r in self.spark.read.parquet(
-                    *[self._abs(e.file_path) for e in added]
-                )
-                .select("file_path")
-                .distinct()
-                .collect()
-            }
+            refd = self._refd_paths(added)
             try:
                 snap = self._commit_snapshot(
                     "delete", added,
@@ -980,6 +969,87 @@ class Table:
                 # the marks reference rewritten (dead) paths: discard and
                 # re-scan against the table as it is now
                 self.io.remove_many([self._abs(e.file_path) for e in added])
+                last = ce
+        raise last  # type: ignore[misc]
+
+    def _refd_paths(self, delete_entries: list[FileEntry]) -> set[str]:
+        """Distinct data-file paths referenced by just-written positional
+        delete files, computed distributedly over those files: collect size
+        is bounded by the data FILE count, never the deleted ROW count."""
+        return {
+            r[0]
+            for r in self.spark.read.parquet(
+                *[self._abs(e.file_path) for e in delete_entries]
+            )
+            .select("file_path")
+            .distinct()
+            .collect()
+        }
+
+    def update_where(
+        self,
+        condition,
+        assignments: dict[str, Any],
+        retries: int = 5,
+    ) -> dict:
+        """Merge-on-read UPDATE: one atomic commit of positional-delete
+        files marking the matching rows PLUS data files holding their
+        transformed copies — the Iceberg v2 UPDATE shape (RowDelta:
+        pos-deletes + appends, same sequence number), no untouched data file
+        rewritten. `assignments` maps column name → SQL string / Column
+        evaluated over the matching rows; reassigning partition-source
+        columns is allowed (the new copies route to their new partitions).
+
+        Both sides derive from the same pinned snapshot, so the delete marks
+        and the rewritten copies describe the same row set. The commit runs
+        the validateDataFilesExist guard; on conflict with a concurrent
+        rewrite every staged file is discarded and the whole op retries
+        against fresh state."""
+        cond = condition if isinstance(condition, str) else condition
+        last: Exception | None = None
+        for _ in range(retries):
+            self.refresh()
+            pinned = self.current_snapshot_id
+            if not any(e.content == DATA for e in self.entries(pinned)):
+                return {"rows_updated": 0}
+            matched = self.scan(snapshot_id=pinned, with_pos=True).filter(cond)
+            seq, _ = self._next_ids(self.meta)
+            dels = self._write_pos_delete_files(
+                matched.select(
+                    F.col("_file_path").alias("file_path"),
+                    F.col("_pos").alias("pos"),
+                ),
+                seq,
+            )
+            n = sum(e.record_count for e in dels)
+            if n == 0:
+                return {"rows_updated": 0}
+            updated = matched
+            for name, expr in assignments.items():
+                updated = updated.withColumn(
+                    name, F.expr(expr) if isinstance(expr, str) else expr
+                )
+            data = self._stage_write(
+                updated.select(*[f.name for f in self.schema.fields]), seq
+            )
+            refd = self._refd_paths(dels)
+            try:
+                snap = self._commit_snapshot(
+                    "overwrite", dels + data,
+                    extra_summary={"updated-rows": n},
+                    seq_used=seq,
+                    require_live_paths=refd,
+                )
+                return {
+                    "rows_updated": n,
+                    "delete_files": len(dels),
+                    "data_files": len(data),
+                    "snapshot_id": snap["snapshot_id"],
+                }
+            except CommitConflict as ce:
+                self.io.remove_many(
+                    [self._abs(e.file_path) for e in dels + data]
+                )
                 last = ce
         raise last  # type: ignore[misc]
 

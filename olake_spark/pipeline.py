@@ -281,6 +281,51 @@ def delete_where_oracle_sql() -> str:
     )
 
 
+# UPDATE predicate + assignments, one text per expression, both engines:
+# update_where evaluates them in Spark SQL, the oracle folds the SAME
+# strings into a CASE projection in DuckDB
+UPDATE_PRED = "fmt = 'jpeg' AND phash % 3 = 0"
+UPDATE_SET = {"caption": "'redacted ' || caption", "w": "w * 2"}
+
+
+def update_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE roundtrip: update_where atomically commits
+    positional-delete marks for the matching rows plus data files with
+    their transformed copies (Iceberg v2 UPDATE shape), then compaction
+    folds the marks in and purges the dead delete files. The final scan
+    must equal the derivation with the assignments applied to exactly the
+    predicate's rows — cardinality never changes."""
+    tmp = tempfile.mkdtemp(prefix="olake-upd-")
+    try:
+        t = Table.create(
+            spark,
+            os.path.join(tmp, "images"),
+            datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("image_id", "bucket", 4),)),
+            identifier_fields=("image_id",),
+        )
+        t.append(images_from_documents(spark, sf_dir))
+        t.update_where(UPDATE_PRED, UPDATE_SET)
+        run_compaction(t, "upd-compact", fill_ratio=1.0)
+        return _materialize(t.scan(columns=SCAN_COLS))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def update_where_oracle_sql() -> str:
+    proj = []
+    for c in SCAN_COLS:
+        if c in UPDATE_SET:
+            typ = "INTEGER" if c == "w" else "STRING"
+            proj.append(
+                f"CAST(CASE WHEN {UPDATE_PRED} THEN {UPDATE_SET[c]} "
+                f"ELSE {c} END AS {typ}) AS {c}"
+            )
+        else:
+            proj.append(c)
+    return f"SELECT {', '.join(proj)} FROM ({derive_images_sql()})"
+
+
 def backfill_roundtrip(
     spark: SparkSession,
     sf_dir: str,

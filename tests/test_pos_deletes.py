@@ -177,3 +177,75 @@ class TestPosDeleteConcurrency:
             t._commit_snapshot(
                 "delete", [], require_live_paths={"data/definitely-gone.parquet"}
             )
+
+
+class TestUpdateWhere:
+    def test_basic_update(self, images_table):
+        t = images_table
+        res = t.update_where(
+            f"{NUM} % 6 = 0",
+            {"caption": F.concat(F.lit("upd "), F.col("caption")),
+             "w": F.lit(99)},
+        )
+        assert res["rows_updated"] == N // 6
+        rows = {r["image_id"]: r for r in t.scan().collect()}
+        assert len(rows) == N  # update never changes cardinality
+        for iid, r in rows.items():
+            i = int(iid[4:])
+            if i % 6 == 0:
+                assert r["caption"].startswith("upd ") and r["w"] == 99
+            else:
+                assert not r["caption"].startswith("upd ") and r["w"] != 99
+
+    def test_update_no_match_is_noop(self, images_table):
+        t = images_table
+        n_snaps = len(t.snapshots())
+        assert t.update_where(F.expr(NUM) < 0, {"w": F.lit(0)}) == {
+            "rows_updated": 0
+        }
+        assert len(t.snapshots()) == n_snaps
+
+    def test_update_is_atomic_and_time_travelable(self, images_table):
+        t = images_table
+        pre = t.current_snapshot_id
+        t.update_where(f"{NUM} < 10", {"caption": F.lit("x")})
+        old = t.scan(snapshot_id=pre, columns=["image_id", "caption"]).collect()
+        assert not any(r["caption"] == "x" for r in old)
+        assert (
+            sum(r["caption"] == "x" for r in t.scan(columns=["caption"]).collect())
+            == 10
+        )
+
+    def test_update_sql_assignment_and_compaction_fold(self, images_table):
+        t = images_table
+        before = {
+            r["image_id"]: r["h"]
+            for r in t.scan(columns=["image_id", "h"]).collect()
+        }
+        t.update_where(f"{NUM} % 2 = 1", {"h": "h * 2"})
+        res = run_compaction(t, "job-upd", target_bytes=1 << 30)
+        assert res["delete_files_purged"] >= 1
+        for r in t.scan(columns=["image_id", "h"]).collect():
+            factor = 2 if int(r["image_id"][4:]) % 2 else 1
+            assert r["h"] == before[r["image_id"]] * factor
+
+    def test_update_retries_after_concurrent_rewrite(self, images_table, monkeypatch):
+        t = images_table
+        orig = Table._write_pos_delete_files
+        fired = {"n": 0}
+
+        def hooked(self, hits, seq):
+            entries = orig(self, hits, seq)
+            if fired["n"] == 0:
+                fired["n"] += 1
+                run_compaction(t, "job-upd-race", target_bytes=1 << 30)
+            return entries
+
+        monkeypatch.setattr(Table, "_write_pos_delete_files", hooked)
+        res = t.update_where(f"{NUM} % 3 = 0", {"caption": F.lit("raced")})
+        assert fired["n"] == 1
+        assert res["rows_updated"] == N - len({i for i in range(N) if i % 3})
+        got = sum(
+            r["caption"] == "raced" for r in t.scan(columns=["caption"]).collect()
+        )
+        assert got == len({i for i in range(N) if i % 3 == 0})
