@@ -117,6 +117,12 @@ def _q_update_where_scan(spark, sf):
     return pipeline.update_where_roundtrip(spark, sf)
 
 
+def _q_partition_evolution_scan(spark, sf):
+    # Iceberg partition spec evolution: mixed-layout scan + pos-delete
+    # across layouts + migration-on-compaction
+    return pipeline.partition_evolution_roundtrip(spark, sf)
+
+
 def _q_delete_where_scan(spark, sf):
     # Iceberg v2 merge-on-read DELETE: positional-delete marks via the
     # parquet _metadata.(file_path,row_index) columns, applied as an
@@ -533,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_stream_apply": _q_cdc_stream_apply,
         "delete_where_scan": _q_delete_where_scan,
         "update_where_scan": _q_update_where_scan,
+        "partition_evolution_scan": _q_partition_evolution_scan,
         "s7_ordered_chunk_walk": _q_s7_ordered_chunk_walk,
         "p3_type_coercion": _q_p3_type_coercion,
         "p5_cdc_envelope": _q_p5_cdc_envelope,
@@ -583,6 +590,8 @@ def oracle_sql() -> dict[str, str]:
         "delete_where_scan": pipeline.delete_where_oracle_sql(),
         # merge-on-read UPDATE: assignments folded into a CASE projection
         "update_where_scan": pipeline.update_where_oracle_sql(),
+        # spec evolution + cross-layout delete + migration never change rows
+        "partition_evolution_scan": pipeline.partition_evolution_oracle_sql(),
         "s2_range_chunk_bounds": """
 SELECT chunk, min(o_orderkey) AS chunk_min, max(o_orderkey) AS chunk_max,
        CAST(count(*) AS BIGINT) AS n_rows

@@ -377,7 +377,6 @@ class Table:
         if not data:
             return self.spark.createDataFrame([], self._scan_schema(columns))
 
-        base = os.path.join(self.root, "data")
         need_seq = bool(dels) or with_file_seq
         # explicit schema: no per-call footer sampling on the driver (matters
         # when many concurrent maintenance chunks each open a scan)
@@ -415,9 +414,7 @@ class Table:
 
         if not need_seq:
             df = _tag_file(
-                reader.option("basePath", base).parquet(
-                    *[self._abs(e.file_path) for e in data]
-                )
+                reader.parquet(*[self._abs(e.file_path) for e in data])
             )
         else:
             # deletes apply to strictly-older files → tag rows with their
@@ -429,7 +426,7 @@ class Table:
             parts = []
             for seq, paths in sorted(by_seq.items()):
                 parts.append(
-                    _tag_file(reader.option("basePath", base).parquet(*paths))
+                    _tag_file(reader.parquet(*paths))
                     .withColumn("_seq", F.lit(seq))
                 )
             df = parts[0]
@@ -442,6 +439,14 @@ class Table:
             df = self._apply_pos_deletes(df, pos_dels, data)
         if predicates:
             df = df.filter(_pred_expr(predicates))
+        if with_partition_cols:
+            # recompute partition values from row values with the CURRENT
+            # spec's transform expressions (deterministic — the same
+            # expressions produced the write paths) instead of inferring
+            # them from directory layout: the scan stays correct across
+            # partition-spec evolution, where live files written under an
+            # older spec have a different directory shape
+            df = self.spec.apply(df)
         keep = columns or [f.name for f in self.schema.fields]
         extra = (
             (self.spec.names if with_partition_cols else [])
@@ -527,11 +532,8 @@ class Table:
                 )
         if not added:
             return self.spark.createDataFrame([], self._scan_schema(columns))
-        base = os.path.join(self.root, "data")
-        df = (
-            self.spark.read.schema(self.schema)
-            .option("basePath", base)
-            .parquet(*[self._abs(e.file_path) for e in added])
+        df = self.spark.read.schema(self.schema).parquet(
+            *[self._abs(e.file_path) for e in added]
         )
         return df.select(*(columns or [f.name for f in self.schema.fields]))
 
@@ -1225,6 +1227,36 @@ class Table:
 
         self._commit(build)
         return self.schema
+
+    def update_spec(self, new_spec: PartitionSpec) -> PartitionSpec:
+        """Partition spec evolution (Iceberg's updateSpec): future writes
+        route to the new layout; files written under older specs stay live
+        and scannable as-is — scans never depend on directory layout
+        (partition values are recomputed from row values via the current
+        spec's transform expressions), so no data moves at evolution time.
+        Compaction and cluster rewrites write through the current spec, so
+        old-layout files migrate incrementally as maintenance touches them.
+        Metadata-only CAS commit; concurrent writers pick up the new spec on
+        their next refresh."""
+        src_cols = {f.name for f in self.schema.fields}
+        for pf in new_spec.fields:
+            if pf.source not in src_cols:
+                raise ValueError(
+                    f"partition source column {pf.source!r} not in schema"
+                )
+            pf.expr()  # validates the transform name eagerly
+
+        def build(meta: dict) -> dict:
+            new = dict(meta)
+            new["partition_spec"] = new_spec.to_json()
+            # audit trail of every spec the table ever wrote under
+            hist = list(meta.get("partition_spec_history", []))
+            hist.append(meta["partition_spec"])
+            new["partition_spec_history"] = hist
+            return new
+
+        self._commit(build)
+        return self.spec
 
     # ----------------------------------------------------------- named refs
 

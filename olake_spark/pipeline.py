@@ -312,6 +312,40 @@ def update_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def partition_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition spec evolution roundtrip: half the derivation lands under
+    bucket(image_id,4), the spec evolves to identity(fmt) (no data moves),
+    the other half lands under the new layout, a positional delete spans
+    both layouts, and compaction migrates everything to the current spec.
+    The final scan must equal the full derivation — evolution and migration
+    move bytes, never logical rows."""
+    tmp = tempfile.mkdtemp(prefix="olake-evo-")
+    try:
+        t = Table.create(
+            spark,
+            os.path.join(tmp, "images"),
+            datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("image_id", "bucket", 4),)),
+            identifier_fields=("image_id",),
+        )
+        imgs = images_from_documents(spark, sf_dir)
+        half = "cast(substring(image_id, 5) as bigint) % 2"
+        t.append(imgs.filter(f"({half}) = 0"))
+        t.update_spec(PartitionSpec((PartitionField("fmt", "identity"),)))
+        t.append(imgs.filter(f"({half}) = 1"))
+        t.delete_where("phash % 11 = 0")  # marks span both layouts
+        run_compaction(t, "evo-compact", fill_ratio=1.0)
+        return _materialize(t.scan(columns=SCAN_COLS))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def partition_evolution_oracle_sql() -> str:
+    return (
+        f"SELECT * FROM ({derive_images_sql()}) WHERE NOT (phash % 11 = 0)"
+    )
+
+
 def update_where_oracle_sql() -> str:
     proj = []
     for c in SCAN_COLS:
