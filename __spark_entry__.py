@@ -117,6 +117,12 @@ def _q_update_where_scan(spark, sf):
     return pipeline.update_where_roundtrip(spark, sf)
 
 
+def _q_changelog_scan_feed(spark, sf):
+    # delete-aware CDC read: DELETE before-images + UPDATE delete/insert
+    # pairs, rewrites silent
+    return pipeline.changelog_roundtrip(spark, sf)
+
+
 def _q_partition_evolution_scan(spark, sf):
     # Iceberg partition spec evolution: mixed-layout scan + pos-delete
     # across layouts + migration-on-compaction
@@ -540,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_where_scan": _q_delete_where_scan,
         "update_where_scan": _q_update_where_scan,
         "partition_evolution_scan": _q_partition_evolution_scan,
+        "changelog_scan_feed": _q_changelog_scan_feed,
         "s7_ordered_chunk_walk": _q_s7_ordered_chunk_walk,
         "p3_type_coercion": _q_p3_type_coercion,
         "p5_cdc_envelope": _q_p5_cdc_envelope,
@@ -592,6 +599,8 @@ def oracle_sql() -> dict[str, str]:
         "update_where_scan": pipeline.update_where_oracle_sql(),
         # spec evolution + cross-layout delete + migration never change rows
         "partition_evolution_scan": pipeline.partition_evolution_oracle_sql(),
+        # changelog feed: before-images + upsert pairs, from one projection
+        "changelog_scan_feed": pipeline.changelog_oracle_sql(),
         "s2_range_chunk_bounds": """
 SELECT chunk, min(o_orderkey) AS chunk_min, max(o_orderkey) AS chunk_max,
        CAST(count(*) AS BIGINT) AS n_rows

@@ -41,7 +41,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import (IntegerType, StringType, StructField,
+                               StructType)
 
 from olake_spark.icelite.fileio import FileIO, default_io
 from olake_spark.icelite.spec import PartitionSpec
@@ -479,6 +480,32 @@ class Table:
         that is not an ancestor of `to` — raises instead of returning rows
         that were never "new" in that lineage (Iceberg's incremental read
         has the same contract)."""
+        chain = self._ancestor_chain(from_snapshot_id, to_snapshot_id)
+        added: list[FileEntry] = []
+        for s in chain:
+            # stage-append counts once PUBLISHED: a staged snapshot reaches
+            # the parent chain of `to` only through publish, so its rows are
+            # genuine adds here — excluding it would silently drop every
+            # WAP-ingested row from the incremental feed
+            if s["operation"] not in ("append", "rowdelta", "stage-append"):
+                continue
+            added.extend(
+                e for e in self._added_entries(s) if e.content == DATA
+            )
+        if not added:
+            return self.spark.createDataFrame([], self._scan_schema(columns))
+        df = self.spark.read.schema(self.schema).parquet(
+            *[self._abs(e.file_path) for e in added]
+        )
+        return df.select(*(columns or [f.name for f in self.schema.fields]))
+
+    def _ancestor_chain(
+        self, from_snapshot_id: int, to_snapshot_id: int | None
+    ) -> list[dict]:
+        """Snapshots on the parent chain (`from`, `to`], oldest → newest.
+        Rollback commits re-parent onto their target, excluding the
+        abandoned branch; a chain broken by expiry, or a `from` that is not
+        an ancestor of `to`, raises (never silently returns wrong rows)."""
         snaps = self.meta["snapshots"]
         by_id = {s["snapshot_id"]: s for s in snaps}
         if from_snapshot_id not in by_id:
@@ -512,30 +539,139 @@ class Table:
                     f"the chain"
                 )
             cur = nxt
-        added: list[FileEntry] = []
-        for s in reversed(chain):
-            # stage-append counts once PUBLISHED: a staged snapshot reaches
-            # the parent chain of `to` only through publish, so its rows are
-            # genuine adds here — excluding it would silently drop every
-            # WAP-ingested row from the incremental feed
-            if s["operation"] not in ("append", "rowdelta", "stage-append"):
-                continue
-            parent = by_id[s["parent_id"]] if s["parent_id"] is not None else None
-            parent_manifests = set(parent["manifests"]) if parent else set()
-            for m in s["manifests"]:
-                if m in parent_manifests:
-                    continue
-                added.extend(
-                    e
-                    for e in _read_manifest(self._abs(m))
-                    if e.content == DATA
-                )
-        if not added:
-            return self.spark.createDataFrame([], self._scan_schema(columns))
-        df = self.spark.read.schema(self.schema).parquet(
-            *[self._abs(e.file_path) for e in added]
+        chain.reverse()
+        return chain
+
+    def _added_entries(self, snap: dict) -> list[FileEntry]:
+        """Manifest entries a commit added: exactly the manifests it holds
+        that its parent didn't (append-class commits never rewrite
+        manifests, so the diff is precise)."""
+        by_id = {s["snapshot_id"]: s for s in self.meta["snapshots"]}
+        parent = (
+            by_id.get(snap["parent_id"])
+            if snap["parent_id"] is not None
+            else None
         )
-        return df.select(*(columns or [f.name for f in self.schema.fields]))
+        parent_manifests = set(parent["manifests"]) if parent else set()
+        out: list[FileEntry] = []
+        for m in snap["manifests"]:
+            if m in parent_manifests:
+                continue
+            out.extend(_read_manifest(self._abs(m)))
+        return out
+
+    def changelog_scan(
+        self,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Iceberg-style CHANGELOG scan: the row-level change feed over
+        (`from`, `to`] — every row with `_change_type` ('insert'|'delete')
+        and `_change_ordinal` (1-based position of its commit on the parent
+        chain). Unlike `incremental_scan` (append contract), this is the
+        delete-aware CDC read a downstream sync tails:
+
+        - append / published stage-append → inserts;
+        - rowdelta (MERGE upsert) → deletes of the replaced rows (the
+          parent-snapshot rows matching the commit's equality-delete keys)
+          plus inserts of the new versions — classic upsert CDC pairs;
+        - delete (delete_where) → deletes of the marked rows, read back by
+          joining the commit's positional-delete (file_path, pos) marks
+          against the parent snapshot, touched files only;
+        - overwrite (update_where) → delete+insert pairs;
+        - rewrites (compact / cluster / manifests / purge) move bytes, not
+          logical rows: skipped.
+
+        Deleted rows are materialized from the PARENT snapshot, so the feed
+        carries full before-images, not just keys."""
+        chain = self._ancestor_chain(from_snapshot_id, to_snapshot_id)
+        out_cols = columns or [f.name for f in self.schema.fields]
+        empty = StructType(
+            list(self._scan_schema(out_cols).fields)
+            + [
+                StructField("_change_type", StringType(), False),
+                StructField("_change_ordinal", IntegerType(), False),
+            ]
+        )
+        parts: list[DataFrame] = []
+
+        def emit(df: DataFrame, kind: str, ordinal: int) -> None:
+            parts.append(
+                df.select(*out_cols)
+                .withColumn("_change_type", F.lit(kind))
+                .withColumn("_change_ordinal", F.lit(ordinal))
+            )
+
+        for ordinal, s in enumerate(chain, 1):
+            op = s["operation"]
+            if op not in (
+                "append", "rowdelta", "stage-append", "delete", "overwrite"
+            ):
+                continue
+            added = self._added_entries(s)
+            data_added = [e for e in added if e.content == DATA]
+            eq_added = [e for e in added if e.content == EQ_DELETES]
+            pos_added = [e for e in added if e.content == POS_DELETES]
+            pid = s["parent_id"]
+            if eq_added and pid is not None:
+                keys = (
+                    self.spark.read.parquet(
+                        *[self._abs(e.file_path) for e in eq_added]
+                    )
+                    .select(*self.identifier_fields)
+                    .distinct()
+                )
+                if (
+                    sum(e.record_count for e in eq_added)
+                    <= BROADCAST_DELETE_ROWS
+                ):
+                    keys = F.broadcast(keys)
+                emit(
+                    self.scan(snapshot_id=pid).join(
+                        keys, self.identifier_fields, "left_semi"
+                    ),
+                    "delete",
+                    ordinal,
+                )
+            if pos_added and pid is not None:
+                marks = self.spark.read.parquet(
+                    *[self._abs(e.file_path) for e in pos_added]
+                ).select(
+                    F.col("file_path").alias("_file_path"),
+                    F.col("pos").alias("_pos"),
+                )
+                # touched files only: collect is bounded by FILE count
+                refd = {
+                    r[0]
+                    for r in marks.select("_file_path").distinct().collect()
+                }
+                if (
+                    sum(e.record_count for e in pos_added)
+                    <= BROADCAST_DELETE_ROWS
+                ):
+                    marks = F.broadcast(marks)
+                emit(
+                    self.scan(
+                        snapshot_id=pid, with_pos=True, file_filter=refd
+                    ).join(marks, ["_file_path", "_pos"], "left_semi"),
+                    "delete",
+                    ordinal,
+                )
+            if data_added:
+                emit(
+                    self.spark.read.schema(self.schema).parquet(
+                        *[self._abs(e.file_path) for e in data_added]
+                    ),
+                    "insert",
+                    ordinal,
+                )
+        if not parts:
+            return self.spark.createDataFrame([], empty)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
     def _scan_schema(self, columns: list[str] | None) -> StructType:
         s = self.schema

@@ -360,6 +360,56 @@ def update_where_oracle_sql() -> str:
     return f"SELECT {', '.join(proj)} FROM ({derive_images_sql()})"
 
 
+def changelog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog (CDC read) roundtrip: delete_where then update_where then
+    a compaction, read back as the delete-aware row feed. The feed must
+    carry (a) the DELETE before-images of exactly the first predicate's
+    rows at ordinal 1, (b) delete+insert pairs for the UPDATE's rows at
+    ordinal 2 (before-image + transformed copy), and (c) NOTHING for the
+    compaction — rewrites move bytes, not logical rows."""
+    tmp = tempfile.mkdtemp(prefix="olake-clog-")
+    try:
+        t = Table.create(
+            spark,
+            os.path.join(tmp, "images"),
+            datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("image_id", "bucket", 4),)),
+            identifier_fields=("image_id",),
+        )
+        t.append(images_from_documents(spark, sf_dir))
+        start = t.current_snapshot_id
+        t.delete_where(DELETE_PREDS[0])
+        t.update_where(UPDATE_PRED, UPDATE_SET)
+        run_compaction(t, "clog-compact", fill_ratio=1.0)
+        return _materialize(t.changelog_scan(start, columns=SCAN_COLS))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def changelog_oracle_sql() -> str:
+    base = derive_images_sql()
+    cols = ", ".join(SCAN_COLS)
+    upd_proj = []
+    for c in SCAN_COLS:
+        if c in UPDATE_SET:
+            typ = "INTEGER" if c == "w" else "STRING"
+            upd_proj.append(f"CAST({UPDATE_SET[c]} AS {typ}) AS {c}")
+        else:
+            upd_proj.append(c)
+    survive_first = f"NOT ({DELETE_PREDS[0]})"
+    return f"""
+WITH base AS ({base})
+SELECT {cols}, 'delete' AS _change_type, CAST(1 AS INTEGER) AS _change_ordinal
+FROM base WHERE ({DELETE_PREDS[0]})
+UNION ALL
+SELECT {cols}, 'delete', CAST(2 AS INTEGER)
+FROM base WHERE {survive_first} AND ({UPDATE_PRED})
+UNION ALL
+SELECT {', '.join(upd_proj)}, 'insert', CAST(2 AS INTEGER)
+FROM base WHERE {survive_first} AND ({UPDATE_PRED})
+"""
+
+
 def backfill_roundtrip(
     spark: SparkSession,
     sf_dir: str,

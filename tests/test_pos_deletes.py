@@ -249,3 +249,64 @@ class TestUpdateWhere:
             r["caption"] == "raced" for r in t.scan(columns=["caption"]).collect()
         )
         assert got == len({i for i in range(N) if i % 3 == 0})
+
+
+class TestChangelogScan:
+    """Iceberg-style changelog (CDC read): delete-aware row feed with
+    before-images, skipping rewrites."""
+
+    def test_delete_update_feed(self, images_table):
+        t = images_table
+        start = t.current_snapshot_id
+        t.delete_where(f"{NUM} % 8 = 0")
+        t.update_where(f"{NUM} % 8 = 1", {"caption": F.lit("v2")})
+        run_compaction(t, "clog-compact", fill_ratio=1.0)  # emits nothing
+        rows = t.changelog_scan(start).collect()
+        by = {}
+        for r in rows:
+            by.setdefault((r["_change_type"], r["_change_ordinal"]), set()).add(
+                int(r["image_id"][4:])
+            )
+        assert by[("delete", 1)] == {i for i in range(N) if i % 8 == 0}
+        assert by[("delete", 2)] == {i for i in range(N) if i % 8 == 1}
+        assert by[("insert", 2)] == {i for i in range(N) if i % 8 == 1}
+        assert set(by) == {("delete", 1), ("delete", 2), ("insert", 2)}
+        # before-images carry the pre-update caption; inserts the new one
+        caps = {
+            (r["_change_type"], r["_change_ordinal"], r["caption"] == "v2")
+            for r in rows
+            if int(r["image_id"][4:]) % 8 == 1
+        }
+        assert ("delete", 2, False) in caps and ("insert", 2, True) in caps
+
+    def test_merge_upsert_emits_cdc_pairs(self, spark, images_table):
+        t = images_table
+        start = t.current_snapshot_id
+        upd = (
+            t.scan()
+            .filter(f"{NUM} < 20")
+            .withColumn("caption", F.lit("merged"))
+        )
+        t.row_delta(upd, upd.select("image_id"))
+        rows = t.changelog_scan(start).collect()
+        dels = {r["image_id"] for r in rows if r["_change_type"] == "delete"}
+        ins = {r["image_id"] for r in rows if r["_change_type"] == "insert"}
+        expect = {f"img-{i:012d}" for i in range(20)}
+        assert dels == expect and ins == expect
+
+    def test_append_only_and_empty_window(self, spark, images_table):
+        t = images_table
+        start = t.current_snapshot_id
+        assert t.changelog_scan(start).count() == 0  # empty window
+        extra = datagen.gen_images_df(spark, N + 10).filter(f"{NUM} >= {N}")
+        t.append(extra)
+        rows = t.changelog_scan(start).collect()
+        assert {r["_change_type"] for r in rows} == {"insert"}
+        assert len(rows) == 10
+
+    def test_rewrites_are_silent(self, images_table):
+        t = images_table
+        t.delete_where(f"{NUM} % 9 = 0")
+        mid = t.current_snapshot_id
+        run_compaction(t, "clog-silent", fill_ratio=1.0)
+        assert t.changelog_scan(mid).count() == 0
