@@ -82,7 +82,26 @@ def main() -> None:
         step("write_audit_publish", audited_rows=audit_rows,
              published=t.scan().count())
 
+        # -- 3b. row-level ops: MoR delete/update, changelog, evolution ---
+        clog_from = t.current_snapshot_id
+        d = t.delete_where("phash % 97 = 0")  # positional-delete marks
+        u = t.update_where(
+            "phash % 97 = 1", {"caption": "caption || ' [flagged]'"}
+        )
+        feed = t.changelog_scan(clog_from)
+        by_kind = {
+            r["_change_type"]: r["n"]
+            for r in feed.groupBy("_change_type").agg(
+                F.count("*").alias("n")).collect()
+        }
+        t.update_spec(PartitionSpec((PartitionField("fmt", "identity"),)))
+        step("row_level_ops", deleted=d["rows_deleted"],
+             updated=u["rows_updated"], changelog=by_kind,
+             spec_now=[f.name for f in t.spec.fields])
+
         # -- 4. maintenance: compact → cluster → manifests ----------------
+        #    (folds the delete/update marks in and migrates old-layout
+        #    files to the evolved partition spec)
         pre_tag = t.create_tag("pre-maintenance")
         c = run_compaction(t, "tour", log=log, fill_ratio=1.0,
                            target_bytes=1 << 21, verify=True)

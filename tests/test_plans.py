@@ -151,3 +151,31 @@ class TestOperatorPlans:
         )
         plan = plan_of(connected_components(pairs))
         assert "CartesianProduct" not in plan
+
+
+class TestRowLevelOpPlans:
+    def test_pos_delete_scan_broadcasts_marks(self, spark, small_table):
+        """A scan under positional deletes applies the (file_path, pos)
+        marks as a BROADCAST anti-join (delete side ≪ table side at any
+        scale that matters) — never a shuffled join of the fat rows."""
+        t = small_table
+        t.delete_where("cast(substring(image_id, 5, 12) as bigint) % 10 = 0")
+        plan = plan_of(t.scan(columns=["image_id"]))
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert "SortMergeJoin" not in plan
+        # cleanup for other module-scoped users: fold the marks back in
+        from olake_spark.operators.compact import run_compaction
+        run_compaction(t, "plan-clean", fill_ratio=1.0)
+
+    def test_changelog_delete_images_join_is_broadcast(self, spark, tmp_path_factory):
+        d = tmp_path_factory.mktemp("clogplan")
+        t = Table.create(
+            spark, os.path.join(str(d), "t"), datagen.IMAGES_SCHEMA,
+            identifier_fields=("image_id",),
+        )
+        t.append(datagen.gen_images_df(spark, 60, parallelism=2))
+        start = t.current_snapshot_id
+        t.delete_where("cast(substring(image_id, 5, 12) as bigint) < 10")
+        plan = plan_of(t.changelog_scan(start))
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
