@@ -117,6 +117,11 @@ def _q_update_where_scan(spark, sf):
     return pipeline.update_where_roundtrip(spark, sf)
 
 
+def _q_branch_fast_forward_scan(spark, sf):
+    # Iceberg branch refs: isolated branch lineage, fast-forward promote
+    return pipeline.branch_roundtrip(spark, sf)
+
+
 def _q_changelog_scan_feed(spark, sf):
     # delete-aware CDC read: DELETE before-images + UPDATE delete/insert
     # pairs, rewrites silent
@@ -547,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_where_scan": _q_update_where_scan,
         "partition_evolution_scan": _q_partition_evolution_scan,
         "changelog_scan_feed": _q_changelog_scan_feed,
+        "branch_fast_forward_scan": _q_branch_fast_forward_scan,
         "s7_ordered_chunk_walk": _q_s7_ordered_chunk_walk,
         "p3_type_coercion": _q_p3_type_coercion,
         "p5_cdc_envelope": _q_p5_cdc_envelope,
@@ -601,6 +607,8 @@ def oracle_sql() -> dict[str, str]:
         "partition_evolution_scan": pipeline.partition_evolution_oracle_sql(),
         # changelog feed: before-images + upsert pairs, from one projection
         "changelog_scan_feed": pipeline.changelog_oracle_sql(),
+        # branch + fast-forward moves lineage, never rows
+        "branch_fast_forward_scan": pipeline.roundtrip_oracle_sql(False),
         "s2_range_chunk_bounds": """
 SELECT chunk, min(o_orderkey) AS chunk_min, max(o_orderkey) AS chunk_max,
        CAST(count(*) AS BIGINT) AS n_rows

@@ -924,10 +924,15 @@ class Table:
     def _snapshot_dict(
         self, meta: dict, snap_id: int, seq: int, op: str,
         manifests: list[str], summary: dict,
+        parent_id: int | None | str = "__current__",
     ) -> dict:
         return {
             "snapshot_id": snap_id,
-            "parent_id": meta["current_snapshot_id"],
+            "parent_id": (
+                meta["current_snapshot_id"]
+                if parent_id == "__current__"
+                else parent_id
+            ),
             "sequence_number": seq,
             "timestamp_ms": int(time.time() * 1000),
             "operation": op,
@@ -944,8 +949,14 @@ class Table:
         known_delete_paths: set[str] | None = None,
         make_current: bool = True,
         require_live_paths: set[str] | None = None,
+        branch: str | None = None,
     ) -> dict:
-        """`known_delete_paths`: when set, the commit validates that no
+        """`branch`: when set, the commit's base (and parent) is the named
+        branch's head instead of the table's current snapshot, and the
+        branch ref — not current — advances to the new snapshot. Main stays
+        untouched until `fast_forward`.
+
+        `known_delete_paths`: when set, the commit validates that no
         delete file (equality OR positional) beyond that set exists in the
         fresh base — the validateNoNewDeleteFiles guard a rewrite needs:
         rows it re-writes get a NEW sequence number / file path, so a delete
@@ -963,8 +974,15 @@ class Table:
         def build(meta: dict) -> dict:
             seq = seq_used if seq_used is not None else meta["last_sequence_number"] + 1
             snap_id = meta["last_snapshot_id"] + 1
+            if branch is not None:
+                head = meta.get("branch_refs", {}).get(branch)
+                if head is None:
+                    raise KeyError(f"no branch {branch!r}")
+                base_id = head
+            else:
+                base_id = meta["current_snapshot_id"]
             cur = next(
-                (s for s in meta["snapshots"] if s["snapshot_id"] == meta["current_snapshot_id"]),
+                (s for s in meta["snapshots"] if s["snapshot_id"] == base_id),
                 None,
             )
             manifests = list(cur["manifests"]) if cur else []
@@ -1022,10 +1040,17 @@ class Table:
             new = dict(meta)
             new["last_sequence_number"] = max(seq, meta["last_sequence_number"])
             new["last_snapshot_id"] = snap_id
-            if make_current:
+            if branch is not None:
+                new["branch_refs"] = {
+                    **meta.get("branch_refs", {}), branch: snap_id
+                }
+            elif make_current:
                 new["current_snapshot_id"] = snap_id
             new["snapshots"] = meta["snapshots"] + [
-                self._snapshot_dict(meta, snap_id, seq, op, manifests, summary)
+                self._snapshot_dict(
+                    meta, snap_id, seq, op, manifests, summary,
+                    parent_id=base_id if branch is not None else "__current__",
+                )
             ]
             return new
 
@@ -1253,6 +1278,8 @@ class Table:
                 raise ValueError("cannot drop the current snapshot")
             if snapshot_id in meta.get("refs", {}).values():
                 raise ValueError("cannot drop a tagged snapshot")
+            if snapshot_id in meta.get("branch_refs", {}).values():
+                raise ValueError("cannot drop a branch head (drop_branch first)")
             if snapshot_id in self._ancestor_ids(meta):
                 raise ValueError(
                     "cannot drop an ancestor of the current snapshot "
@@ -1443,6 +1470,111 @@ class Table:
             raise KeyError(f"no tag {name!r}")
         return self.scan(snapshot_id=refs[name], **kwargs)
 
+    # ------------------------------------------------------------- branches
+
+    def branches(self) -> dict[str, int]:
+        """Mutable named refs (Iceberg branches): name → head snapshot id."""
+        return dict(self.meta.get("branch_refs", {}))
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> int:
+        """Fork a mutable ref at a snapshot (default: current). Commits made
+        with `append_to_branch` advance the branch head only — readers of
+        main never see them until `fast_forward`. The audit-then-promote
+        workflow at lineage granularity (WAP generalized from one staged
+        snapshot to a whole chain of them)."""
+        target = {"id": None}
+
+        def build(meta: dict) -> dict:
+            sid = (
+                snapshot_id
+                if snapshot_id is not None
+                else meta["current_snapshot_id"]
+            )
+            if sid is None or not any(
+                s["snapshot_id"] == sid for s in meta["snapshots"]
+            ):
+                raise KeyError(f"snapshot {sid} not found (expired?)")
+            if name in meta.get("branch_refs", {}):
+                raise ValueError(f"branch {name!r} already exists")
+            new = dict(meta)
+            new["branch_refs"] = {**meta.get("branch_refs", {}), name: sid}
+            target["id"] = sid
+            return new
+
+        self._commit(build)
+        return target["id"]
+
+    def drop_branch(self, name: str) -> None:
+        """Abandon a branch: its unmerged snapshots stay in metadata until
+        `drop_snapshot` / expiry; their files become orphans for the reaper."""
+
+        def build(meta: dict) -> dict:
+            refs = dict(meta.get("branch_refs", {}))
+            if name not in refs:
+                raise KeyError(f"no branch {name!r}")
+            del refs[name]
+            new = dict(meta)
+            new["branch_refs"] = refs
+            return new
+
+        self._commit(build)
+
+    def append_to_branch(
+        self, name: str, df: DataFrame,
+        max_records_per_file: int | None = None,
+        sort_within_by: list[str] | None = None,
+    ) -> dict:
+        """Append committed onto the branch head; the branch ref advances,
+        main's current snapshot does not."""
+        self.refresh()
+        seq = self.meta["last_sequence_number"] + 1
+        entries = self._stage_write(df, seq, max_records_per_file, sort_within_by)
+        return self._commit_snapshot(
+            "append", entries, seq_used=seq, branch=name,
+            extra_summary={"branch": name},
+        )
+
+    def scan_branch(self, name: str, **kwargs) -> DataFrame:
+        heads = self.branches()
+        if name not in heads:
+            raise KeyError(f"no branch {name!r}")
+        return self.scan(snapshot_id=heads[name], **kwargs)
+
+    def fast_forward(self, name: str) -> dict:
+        """Make main current = the branch head — allowed only when current
+        is an ancestor of (or equal to) the head, i.e. the branch strictly
+        extends main (Iceberg's fastForwardBranch contract). Anything else
+        would silently erase interleaved main commits; it raises
+        CommitConflict instead and the caller rebases by re-branching."""
+        result = {"snapshot_id": None}
+
+        def build(meta: dict) -> dict:
+            head = meta.get("branch_refs", {}).get(name)
+            if head is None:
+                raise KeyError(f"no branch {name!r}")
+            by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+            cur = meta["current_snapshot_id"]
+            node = head
+            while node is not None and node != cur:
+                snap = by_id.get(node)
+                if snap is None:
+                    raise KeyError(
+                        f"branch history broken: snapshot {node} expired"
+                    )
+                node = snap["parent_id"]
+            if node != cur:
+                raise CommitConflict(
+                    f"cannot fast-forward to branch {name!r}: current "
+                    f"snapshot {cur} is not an ancestor of its head {head}"
+                )
+            new = dict(meta)
+            new["current_snapshot_id"] = head
+            result["snapshot_id"] = head
+            return new
+
+        self._commit(build)
+        return dict(result)
+
     def rollback_to(self, snapshot_id: int) -> dict:
         """Point current back to an earlier (still-retained) snapshot —
         metadata-only undo of any maintenance commit; the abandoned files
@@ -1478,6 +1610,7 @@ class Table:
                 {s["snapshot_id"] for s in snaps[-keep_last:]}
                 | {cur}
                 | set(meta.get("refs", {}).values())
+                | set(meta.get("branch_refs", {}).values())
             )
             kept = [
                 s for s in snaps

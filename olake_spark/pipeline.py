@@ -386,6 +386,37 @@ def changelog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def branch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch + fast-forward roundtrip: half the derivation lands on main,
+    the other half arrives through an isolated branch in two commits (main
+    must not see it before the merge), then fast_forward promotes the
+    branch lineage and compaction normalizes the files. The final scan must
+    equal the full derivation."""
+    tmp = tempfile.mkdtemp(prefix="olake-br-")
+    try:
+        t = Table.create(
+            spark,
+            os.path.join(tmp, "images"),
+            datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("image_id", "bucket", 4),)),
+            identifier_fields=("image_id",),
+        )
+        imgs = images_from_documents(spark, sf_dir)
+        third = "cast(substring(image_id, 5) as bigint) % 3"
+        t.append(imgs.filter(f"({third}) = 0"))
+        main_rows = t.scan().count()
+        t.create_branch("ingest")
+        t.append_to_branch("ingest", imgs.filter(f"({third}) = 1"))
+        t.append_to_branch("ingest", imgs.filter(f"({third}) = 2"))
+        if t.scan().count() != main_rows:  # isolation must hold
+            raise AssertionError("branch commits leaked into main")
+        t.fast_forward("ingest")
+        run_compaction(t, "br-compact", fill_ratio=1.0)
+        return _materialize(t.scan(columns=SCAN_COLS))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def changelog_oracle_sql() -> str:
     base = derive_images_sql()
     cols = ", ".join(SCAN_COLS)

@@ -259,3 +259,86 @@ class TestWapLineage:
         t.append(df.filter(F.col("image_id") >= "img-000000000040"))
         with pytest.raises(ValueError, match="ancestor"):
             t.drop_snapshot(parent)
+
+
+class TestBranches:
+    """Mutable branch refs + fast-forward (Iceberg branch semantics)."""
+
+    def _fresh(self, spark, tmp_table_dir, n=60):
+        t = Table.create(
+            spark, os.path.join(tmp_table_dir, "br"),
+            datagen.IMAGES_SCHEMA, identifier_fields=("image_id",),
+        )
+        t.append(datagen.gen_images_df(spark, n))
+        return t
+
+    def test_branch_isolated_from_main_until_fast_forward(
+        self, spark, tmp_table_dir
+    ):
+        t = self._fresh(spark, tmp_table_dir)
+        t.create_branch("audit")
+        extra = datagen.gen_images_df(spark, 80).filter(
+            "image_id >= 'img-000000000060'"
+        )
+        r = t.append_to_branch("audit", extra)
+        assert r["summary"]["branch"] == "audit"
+        assert t.scan().count() == 60          # main untouched
+        assert t.scan_branch("audit").count() == 80
+        t.fast_forward("audit")
+        assert t.scan().count() == 80
+
+    def test_multi_commit_branch_chain(self, spark, tmp_table_dir):
+        t = self._fresh(spark, tmp_table_dir)
+        t.create_branch("ingest")
+        base = datagen.gen_images_df(spark, 100)
+        t.append_to_branch("ingest", base.filter(
+            "image_id >= 'img-000000000060' AND image_id < 'img-000000000080'"))
+        t.append_to_branch("ingest", base.filter(
+            "image_id >= 'img-000000000080'"))
+        assert t.scan_branch("ingest").count() == 100
+        assert t.scan().count() == 60
+        start = t.current_snapshot_id
+        t.fast_forward("ingest")
+        assert t.scan().count() == 100
+        # the merged chain is real lineage: incremental sees both appends
+        assert t.incremental_scan(start).count() == 40
+
+    def test_fast_forward_conflicts_when_main_moved(self, spark, tmp_table_dir):
+        from olake_spark.icelite.table import CommitConflict
+
+        t = self._fresh(spark, tmp_table_dir)
+        t.create_branch("b")
+        t.append_to_branch("b", datagen.gen_images_df(spark, 70).filter(
+            "image_id >= 'img-000000000060'"))
+        # main advances independently → divergence
+        t.append(datagen.gen_images_df(spark, 200).filter(
+            "image_id >= 'img-000000000190'"))
+        with pytest.raises(CommitConflict, match="not an ancestor"):
+            t.fast_forward("b")
+
+    def test_branch_head_survives_expiry_and_guards(self, spark, tmp_table_dir):
+        t = self._fresh(spark, tmp_table_dir)
+        t.create_branch("keep")
+        r = t.append_to_branch("keep", datagen.gen_images_df(spark, 65).filter(
+            "image_id >= 'img-000000000060'"))
+        head = r["snapshot_id"]
+        t.append(datagen.gen_images_df(spark, 130).filter(
+            "image_id >= 'img-000000000120'"))
+        t.expire_snapshots(keep_last=1)
+        assert t.scan_branch("keep").count() == 65
+        with pytest.raises(ValueError, match="branch head"):
+            t.drop_snapshot(head)
+        t.drop_branch("keep")
+        t.drop_snapshot(head)  # now droppable
+        with pytest.raises(KeyError):
+            t.scan_branch("keep")
+
+    def test_duplicate_and_missing_branch_raise(self, spark, tmp_table_dir):
+        t = self._fresh(spark, tmp_table_dir)
+        t.create_branch("x")
+        with pytest.raises(ValueError, match="already exists"):
+            t.create_branch("x")
+        with pytest.raises(KeyError):
+            t.append_to_branch("nope", datagen.gen_images_df(spark, 1))
+        with pytest.raises(KeyError):
+            t.fast_forward("nope")
