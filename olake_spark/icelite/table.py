@@ -298,6 +298,24 @@ class Table:
             cur = by_id.get(pid) if pid is not None else None
         return out
 
+    @staticmethod
+    def _branch_lineage_ids(meta: dict, stop_ids: set[int] | None = None) -> set[int]:
+        """Ids on any branch lineage: each branch head's parent chain,
+        walked until it meets `stop_ids` (typically the current-lineage
+        ancestors), an expired gap, or the root."""
+        by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+        stop = stop_ids or set()
+        out: set[int] = set()
+        for head in meta.get("branch_refs", {}).values():
+            node = head
+            while node is not None and node not in stop and node not in out:
+                snap = by_id.get(node)
+                if snap is None:
+                    break
+                out.add(node)
+                node = snap["parent_id"]
+        return out
+
     def snapshot_as_of(self, timestamp_ms: int) -> dict | None:
         """Newest retained snapshot committed at or before `timestamp_ms` —
         time-travel resolution (Iceberg's FOR TIMESTAMP AS OF; the analogue
@@ -305,13 +323,19 @@ class Table:
         snapshot yet at that time; raises if history that old has been
         expired (same contract as Iceberg: travel past the retention window
         is an error, not a silent latest-read). UNPUBLISHED staged snapshots
-        (stage-append outside the current lineage) are never resolved —
-        time-travel readers see only audited, published state."""
+        (stage-append outside the current lineage) and un-fast-forwarded
+        BRANCH commits are never resolved — time-travel readers see only
+        audited, published state; once a branch is fast-forwarded its
+        commits join the current lineage and resolve normally."""
         ancestors = self._ancestor_ids(self.meta)
         candidates = [
             s
             for s in self.meta["snapshots"]
-            if s["operation"] != "stage-append" or s["snapshot_id"] in ancestors
+            if (
+                s["operation"] != "stage-append"
+                and "branch" not in s["summary"]
+            )
+            or s["snapshot_id"] in ancestors
         ]
         snaps = [s for s in candidates if s["timestamp_ms"] <= timestamp_ms]
         if snaps:
@@ -1035,6 +1059,9 @@ class Table:
                 "added-files": len(added),
                 "removed-files": len(removed_paths),
                 "added-records": sum(e.record_count for e in added),
+                # marker lets time-travel resolution skip un-merged branch
+                # commits the same way it skips unpublished stage-appends
+                **({"branch": branch} if branch is not None else {}),
                 **(extra_summary or {}),
             }
             new = dict(meta)
@@ -1095,7 +1122,6 @@ class Table:
         (validateDataFilesExist) — on conflict with a concurrent rewrite it
         retries from fresh state, re-scanning so marks land on the new files.
         """
-        cond = condition if isinstance(condition, str) else condition
         last: Exception | None = None
         for _ in range(retries):
             self.refresh()
@@ -1104,7 +1130,7 @@ class Table:
                 return {"rows_deleted": 0, "delete_files": 0}
             hits = (
                 self.scan(snapshot_id=pinned, with_pos=True)
-                .filter(cond)
+                .filter(condition)
                 .select(
                     F.col("_file_path").alias("file_path"),
                     F.col("_pos").alias("pos"),
@@ -1168,14 +1194,20 @@ class Table:
         the validateDataFilesExist guard; on conflict with a concurrent
         rewrite every staged file is discarded and the whole op retries
         against fresh state."""
-        cond = condition if isinstance(condition, str) else condition
+        unknown = set(assignments) - {f.name for f in self.schema.fields}
+        if unknown:
+            raise ValueError(
+                f"assignments reference non-schema columns: {sorted(unknown)}"
+            )
         last: Exception | None = None
         for _ in range(retries):
             self.refresh()
             pinned = self.current_snapshot_id
             if not any(e.content == DATA for e in self.entries(pinned)):
                 return {"rows_updated": 0}
-            matched = self.scan(snapshot_id=pinned, with_pos=True).filter(cond)
+            matched = self.scan(snapshot_id=pinned, with_pos=True).filter(
+                condition
+            )
             seq, _ = self._next_ids(self.meta)
             dels = self._write_pos_delete_files(
                 matched.select(
@@ -1187,14 +1219,18 @@ class Table:
             n = sum(e.record_count for e in dels)
             if n == 0:
                 return {"rows_updated": 0}
-            updated = matched
-            for name, expr in assignments.items():
-                updated = updated.withColumn(
-                    name, F.expr(expr) if isinstance(expr, str) else expr
-                )
-            data = self._stage_write(
-                updated.select(*[f.name for f in self.schema.fields]), seq
-            )
+            # ONE select evaluating every RHS against the PRE-update row
+            # (SQL UPDATE semantics): {"a": "b", "b": "a"} swaps — chained
+            # withColumn would make later assignments see updated values
+            proj = []
+            for f in self.schema.fields:
+                if f.name in assignments:
+                    e = assignments[f.name]
+                    col = F.expr(e) if isinstance(e, str) else e
+                    proj.append(col.cast(f.dataType).alias(f.name))
+                else:
+                    proj.append(F.col(f.name))
+            data = self._stage_write(matched.select(*proj), seq)
             refd = self._refd_paths(dels)
             try:
                 snap = self._commit_snapshot(
@@ -1280,6 +1316,11 @@ class Table:
                 raise ValueError("cannot drop a tagged snapshot")
             if snapshot_id in meta.get("branch_refs", {}).values():
                 raise ValueError("cannot drop a branch head (drop_branch first)")
+            if snapshot_id in self._branch_lineage_ids(meta):
+                raise ValueError(
+                    "cannot drop a snapshot on a branch lineage "
+                    "(drop_branch first)"
+                )
             if snapshot_id in self._ancestor_ids(meta):
                 raise ValueError(
                     "cannot drop an ancestor of the current snapshot "
@@ -1529,10 +1570,7 @@ class Table:
         self.refresh()
         seq = self.meta["last_sequence_number"] + 1
         entries = self._stage_write(df, seq, max_records_per_file, sort_within_by)
-        return self._commit_snapshot(
-            "append", entries, seq_used=seq, branch=name,
-            extra_summary={"branch": name},
-        )
+        return self._commit_snapshot("append", entries, seq_used=seq, branch=name)
 
     def scan_branch(self, name: str, **kwargs) -> DataFrame:
         heads = self.branches()
@@ -1558,8 +1596,13 @@ class Table:
             while node is not None and node != cur:
                 snap = by_id.get(node)
                 if snap is None:
-                    raise KeyError(
-                        f"branch history broken: snapshot {node} expired"
+                    # expiry retains the full head→…→current walk whenever a
+                    # fast-forward is legal (_branch_lineage_ids stops only at
+                    # current-lineage ancestors), so a gap proves divergence
+                    raise CommitConflict(
+                        f"cannot fast-forward to branch {name!r}: retained "
+                        f"history shows current {cur} is not an ancestor of "
+                        f"its head {head} (chain expired at {node})"
                     )
                 node = snap["parent_id"]
             if node != cur:
@@ -1610,8 +1653,12 @@ class Table:
                 {s["snapshot_id"] for s in snaps[-keep_last:]}
                 | {cur}
                 | set(meta.get("refs", {}).values())
-                | set(meta.get("branch_refs", {}).values())
             )
+            # whole branch lineages survive, not just heads: fast_forward
+            # must still be able to walk head → … → current afterwards
+            keep_ids |= self._branch_lineage_ids(
+                meta, stop_ids=self._ancestor_ids(meta) | keep_ids
+            ) | set(meta.get("branch_refs", {}).values())
             kept = [
                 s for s in snaps
                 if s["snapshot_id"] in keep_ids

@@ -333,6 +333,30 @@ class TestBranches:
         with pytest.raises(KeyError):
             t.scan_branch("keep")
 
+    def test_fast_forward_diverged_after_expiry_is_conflict(
+        self, spark, tmp_table_dir
+    ):
+        """Expiry can drop the shared ancestor of a DIVERGED branch (the
+        lineage walk stops at current-lineage ancestors, and keep_last may
+        drop those). The resulting gap still surfaces as CommitConflict —
+        never a raw KeyError — because a legal fast-forward's whole
+        head→…→current walk is always retained."""
+        from olake_spark.icelite.table import CommitConflict
+
+        t = self._fresh(spark, tmp_table_dir)
+        t.create_branch("b")
+        t.append_to_branch("b", datagen.gen_images_df(spark, 70).filter(
+            "image_id >= 'img-000000000060'"))
+        # main diverges twice, then expiry drops the shared base snapshot
+        t.append(datagen.gen_images_df(spark, 130).filter(
+            "image_id >= 'img-000000000120'"))
+        t.append(datagen.gen_images_df(spark, 200).filter(
+            "image_id >= 'img-000000000190'"))
+        t.expire_snapshots(keep_last=1)
+        assert t.scan_branch("b").count() == 70  # branch still readable
+        with pytest.raises(CommitConflict, match="not an ancestor"):
+            t.fast_forward("b")
+
     def test_duplicate_and_missing_branch_raise(self, spark, tmp_table_dir):
         t = self._fresh(spark, tmp_table_dir)
         t.create_branch("x")
