@@ -141,6 +141,13 @@ def _q_delete_where_scan(spark, sf):
     return pipeline.delete_where_roundtrip(spark, sf)
 
 
+def _q_meta_inspect_partitions(spark, sf):
+    # Iceberg metadata tables (tbl.partitions): per-partition record totals
+    # read PURELY from manifests, cross-checked against the data by the
+    # oracle — a stats-integrity invariant, not just a shape check
+    return pipeline.inspect_partitions_roundtrip(spark, sf)
+
+
 def _q_s4_timestamp_chunks(spark, sf):
     # ObjectID-timestamp windowed chunking (S4): hour buckets over events
     e = _tbl(spark, sf, "events")
@@ -549,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_backfill_composite": _q_sync_backfill_composite,
         "cdc_stream_apply": _q_cdc_stream_apply,
         "delete_where_scan": _q_delete_where_scan,
+        "meta_inspect_partitions": _q_meta_inspect_partitions,
         "update_where_scan": _q_update_where_scan,
         "partition_evolution_scan": _q_partition_evolution_scan,
         "changelog_scan_feed": _q_changelog_scan_feed,
@@ -601,6 +609,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_stream_apply": pipeline.roundtrip_oracle_sql(True),
         # merge-on-read positional deletes, folded by compaction
         "delete_where_scan": pipeline.delete_where_oracle_sql(),
+        "meta_inspect_partitions": pipeline.inspect_partitions_oracle_sql(),
         # merge-on-read UPDATE: assignments folded into a CASE projection
         "update_where_scan": pipeline.update_where_oracle_sql(),
         # spec evolution + cross-layout delete + migration never change rows

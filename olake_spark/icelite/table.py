@@ -41,8 +41,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (IntegerType, StringType, StructField,
-                               StructType)
+from pyspark.sql.types import (BooleanType, IntegerType, LongType,
+                               StringType, StructField, StructType)
 
 from olake_spark.icelite.fileio import FileIO, default_io
 from olake_spark.icelite.spec import PartitionSpec
@@ -358,6 +358,155 @@ class Table:
 
     def _abs(self, rel: str) -> str:
         return os.path.join(self.root, rel)
+
+    # ------------------------------------------------ metadata (inspect) tables
+    # Iceberg's queryable metadata tables (SELECT * FROM tbl.files / .snapshots
+    # / .partitions …; core/src MetadataTableType) re-expressed as DataFrames.
+    # files/partitions/manifests are DISTRIBUTED reads over the snapshot's
+    # manifest parquet files — at 100 TB a table has O(10^5-10^6) manifest
+    # entries, which is itself a dataset, never a driver list. The O(snapshots)
+    # tables (snapshots/history/refs) come off the metadata JSON on the driver,
+    # which is exact and bounded by the retention window.
+
+    _FILES_SCHEMA = StructType([
+        StructField("content", IntegerType(), False),
+        StructField("file_path", StringType(), False),
+        StructField("partition_json", StringType(), False),
+        StructField("seq", LongType(), False),
+        StructField("record_count", LongType(), False),
+        StructField("file_size_bytes", LongType(), False),
+        StructField("mins_json", StringType(), True),
+        StructField("maxs_json", StringType(), True),
+        StructField("nulls_json", StringType(), True),
+    ])
+
+    def inspect_files(self, snapshot_id: int | None = None) -> DataFrame:
+        """The `files` metadata table: one row per live data / delete file of
+        the snapshot, straight off its manifests (content 0=data, 1=position
+        deletes, 2=equality deletes), with per-file stats as JSON columns.
+        Distributed: Spark scans the manifest parquet files directly."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None or not snap["manifests"]:
+            return self.spark.createDataFrame([], self._FILES_SCHEMA)
+        return self.spark.read.schema(self._FILES_SCHEMA).parquet(
+            *[self._abs(m) for m in snap["manifests"]]
+        )
+
+    def inspect_manifests(self, snapshot_id: int | None = None) -> DataFrame:
+        """The `manifests` metadata table: one row per manifest with its
+        entry counts by content kind — the input to manifest-rewrite
+        planning. Grouped from the same distributed manifest scan."""
+        snap = self.snapshot(snapshot_id)
+        files = self.inspect_files(snapshot_id)
+        if snap is None or not snap["manifests"]:
+            files = files.withColumn("manifest_path", F.lit(None).cast("string"))
+        else:
+            files = files.withColumn(
+                "manifest_path", F.col("_metadata.file_path")
+            )
+        return files.groupBy("manifest_path").agg(
+            F.count("*").alias("entry_count"),
+            F.sum(F.when(F.col("content") == DATA, 1).otherwise(0))
+            .alias("data_file_count"),
+            F.sum(F.when(F.col("content") != DATA, 1).otherwise(0))
+            .alias("delete_file_count"),
+            F.sum("record_count").alias("record_count"),
+            F.sum("file_size_bytes").alias("file_size_bytes"),
+        )
+
+    def inspect_partitions(self, snapshot_id: int | None = None) -> DataFrame:
+        """The `partitions` metadata table: per-partition live file / record
+        / byte totals split by content kind. Pure metadata — answers "which
+        partitions carry small-file debt / outstanding deletes" without
+        touching a data file (what compaction planning reads)."""
+        return self.inspect_files(snapshot_id).groupBy("partition_json").agg(
+            F.sum(F.when(F.col("content") == DATA, 1).otherwise(0))
+            .alias("data_file_count"),
+            F.sum(F.when(F.col("content") == DATA, F.col("record_count"))
+                  .otherwise(0)).alias("data_record_count"),
+            F.sum(F.when(F.col("content") == DATA, F.col("file_size_bytes"))
+                  .otherwise(0)).alias("data_size_bytes"),
+            F.sum(F.when(F.col("content") == POS_DELETES, 1).otherwise(0))
+            .alias("pos_delete_file_count"),
+            F.sum(F.when(F.col("content") == POS_DELETES, F.col("record_count"))
+                  .otherwise(0)).alias("pos_delete_record_count"),
+            F.sum(F.when(F.col("content") == EQ_DELETES, 1).otherwise(0))
+            .alias("eq_delete_file_count"),
+            F.sum(F.when(F.col("content") == EQ_DELETES, F.col("record_count"))
+                  .otherwise(0)).alias("eq_delete_record_count"),
+        )
+
+    _SNAPSHOTS_SCHEMA = StructType([
+        StructField("snapshot_id", LongType(), False),
+        StructField("parent_id", LongType(), True),
+        StructField("timestamp_ms", LongType(), False),
+        StructField("operation", StringType(), False),
+        StructField("sequence_number", LongType(), True),
+        StructField("manifest_count", IntegerType(), False),
+        StructField("summary_json", StringType(), False),
+    ])
+
+    def inspect_snapshots(self) -> DataFrame:
+        """The `snapshots` metadata table: every retained snapshot with its
+        operation and summary (JSON)."""
+        rows = [
+            {
+                "snapshot_id": s["snapshot_id"],
+                "parent_id": s["parent_id"],
+                "timestamp_ms": s["timestamp_ms"],
+                "operation": s["operation"],
+                "sequence_number": s.get("sequence_number"),
+                "manifest_count": len(s["manifests"]),
+                "summary_json": json.dumps(s["summary"], sort_keys=True),
+            }
+            for s in self.meta["snapshots"]
+        ]
+        return self.spark.createDataFrame(rows, self._SNAPSHOTS_SCHEMA)
+
+    _HISTORY_SCHEMA = StructType([
+        StructField("made_current_at_ms", LongType(), False),
+        StructField("snapshot_id", LongType(), False),
+        StructField("parent_id", LongType(), True),
+        StructField("is_current_ancestor", BooleanType(), False),
+    ])
+
+    def inspect_history(self) -> DataFrame:
+        """The `history` metadata table: every retained snapshot in commit
+        order, flagged with whether it is on the CURRENT lineage (rollbacks
+        and un-merged branches/stages show as non-ancestors — the rows a
+        reader must not time-travel through)."""
+        ancestors = self._ancestor_ids(self.meta)
+        rows = [
+            {
+                "made_current_at_ms": s["timestamp_ms"],
+                "snapshot_id": s["snapshot_id"],
+                "parent_id": s["parent_id"],
+                "is_current_ancestor": s["snapshot_id"] in ancestors,
+            }
+            for s in self.meta["snapshots"]
+        ]
+        return self.spark.createDataFrame(rows, self._HISTORY_SCHEMA)
+
+    _REFS_SCHEMA = StructType([
+        StructField("name", StringType(), False),
+        StructField("type", StringType(), False),
+        StructField("snapshot_id", LongType(), False),
+    ])
+
+    def inspect_refs(self) -> DataFrame:
+        """The `refs` metadata table: named tags (immutable) and branches
+        (mutable heads), plus `main` = current."""
+        rows = [
+            {"name": n, "type": "tag", "snapshot_id": sid}
+            for n, sid in self.meta.get("refs", {}).items()
+        ] + [
+            {"name": n, "type": "branch", "snapshot_id": sid}
+            for n, sid in self.meta.get("branch_refs", {}).items()
+        ]
+        if self.current_snapshot_id is not None:
+            rows.append({"name": "main", "type": "branch",
+                         "snapshot_id": self.current_snapshot_id})
+        return self.spark.createDataFrame(rows, self._REFS_SCHEMA)
 
     # ---------------------------------------------------------------- scan
 

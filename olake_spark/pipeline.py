@@ -281,6 +281,52 @@ def delete_where_oracle_sql() -> str:
     )
 
 
+def inspect_partitions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-data invariant over the `partitions` inspect table
+    (Iceberg's SELECT * FROM tbl.partitions): build a fmt-identity-
+    partitioned table from the derivation, mark rows with a merge-on-read
+    predicate delete, then read per-partition record totals PURELY from the
+    manifests — zero data files touched. The oracle recomputes the same
+    totals from the data itself, so any drift between file stats and file
+    contents (the corruption manifest audits exist to catch) fails the gate.
+    Pos-delete marks are table-scoped (partition "{}"), mirroring
+    unpartitioned-spec delete files."""
+    tmp = tempfile.mkdtemp(prefix="olake-inspect-")
+    try:
+        t = Table.create(
+            spark,
+            os.path.join(tmp, "images"),
+            datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("fmt", "identity"),)),
+            identifier_fields=("image_id",),
+        )
+        t.append(images_from_documents(spark, sf_dir))
+        t.delete_where(DELETE_PREDS[0])
+        out = t.inspect_partitions().select(
+            "partition_json",
+            "data_record_count",
+            "pos_delete_record_count",
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def inspect_partitions_oracle_sql() -> str:
+    return f"""
+WITH img AS ({derive_images_sql()})
+SELECT '{{"_p_fmt": "' || fmt || '"}}' AS partition_json,
+       CAST(count(*) AS BIGINT) AS data_record_count,
+       CAST(0 AS BIGINT) AS pos_delete_record_count
+FROM img GROUP BY fmt
+UNION ALL
+SELECT '{{}}' AS partition_json,
+       CAST(0 AS BIGINT) AS data_record_count,
+       CAST(count(*) AS BIGINT) AS pos_delete_record_count
+FROM img WHERE {DELETE_PREDS[0]}
+"""
+
+
 # UPDATE predicate + assignments, one text per expression, both engines:
 # update_where evaluates them in Spark SQL, the oracle folds the SAME
 # strings into a CASE projection in DuckDB

@@ -197,3 +197,75 @@ class TestSortOrder:
                 "image_id"
             ].to_pylist()
             assert ids == sorted(ids), f"{e.file_path} not sorted"
+
+
+class TestInspectTables:
+    """Iceberg-style queryable metadata tables (tbl.files / .partitions /
+    .manifests / .snapshots / .history / .refs as DataFrames). The
+    files/partitions/manifests paths are DISTRIBUTED manifest scans — the
+    plan reads manifest parquet, never data files."""
+
+    @pytest.fixture()
+    def table(self, spark, tmp_table_dir):
+        t = Table.create(
+            spark,
+            os.path.join(tmp_table_dir, "inspect"),
+            datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("fmt", "identity"),)),
+            identifier_fields=("image_id",),
+        )
+        t.append(datagen.gen_images_df(spark, 100), max_records_per_file=25)
+        t.delete_where("phash % 5 = 0")
+        return t
+
+    def test_files_matches_entries(self, table):
+        rows = table.inspect_files().collect()
+        entries = table.entries()
+        assert len(rows) == len(entries)
+        assert {r["file_path"] for r in rows} == {e.file_path for e in entries}
+        assert sum(r["record_count"] for r in rows if r["content"] == 0) == 100
+
+    def test_partitions_live_count_matches_scan(self, table):
+        live = table.inspect_partitions().agg(
+            F.sum(F.col("data_record_count") - F.col("pos_delete_record_count"))
+        ).collect()[0][0]
+        assert live == table.scan().count()
+
+    def test_partitions_is_metadata_only(self, table):
+        # the plan must scan manifest parquet, never a data/delete file
+        plan = table.inspect_partitions()._jdf.queryExecution().executedPlan().toString()
+        assert "metadata/manifests" in plan
+        assert "/data/" not in plan and "/deletes/" not in plan
+
+    def test_manifests_covers_snapshot(self, table):
+        rows = table.inspect_manifests().collect()
+        snap = table.snapshot()
+        assert len(rows) == len(snap["manifests"])
+        assert sum(r["entry_count"] for r in rows) == len(table.entries())
+        assert sum(r["delete_file_count"] for r in rows) >= 1
+
+    def test_snapshots_and_history(self, table):
+        snaps = {r["snapshot_id"]: r for r in table.inspect_snapshots().collect()}
+        assert [snaps[k]["operation"] for k in sorted(snaps)] == ["append", "delete"]
+        hist = table.inspect_history().collect()
+        assert all(r["is_current_ancestor"] for r in hist)
+        # an un-merged branch commit is NOT a current ancestor
+        table.create_branch("side")
+        table.append_to_branch("side", datagen.gen_images_df(spark=table.spark, n=5))
+        flags = {
+            r["snapshot_id"]: r["is_current_ancestor"]
+            for r in table.inspect_history().collect()
+        }
+        head = table.branches()["side"]
+        assert flags[head] is False
+        assert sum(1 for v in flags.values() if v) == 2
+
+    def test_refs(self, table):
+        table.create_tag("v1")
+        table.create_branch("dev")
+        refs = {(r["name"], r["type"]): r["snapshot_id"]
+                for r in table.inspect_refs().collect()}
+        cur = table.current_snapshot_id
+        assert refs[("v1", "tag")] == cur
+        assert refs[("dev", "branch")] == cur
+        assert refs[("main", "branch")] == cur
