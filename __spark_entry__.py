@@ -141,6 +141,13 @@ def _q_delete_where_scan(spark, sf):
     return pipeline.delete_where_roundtrip(spark, sf)
 
 
+def _q_rewrite_pos_deletes_scan(spark, sf):
+    # RewritePositionDeleteFiles: two delete commits consolidated into ONE
+    # pos-delete file (asserted in the roundtrip); the scan through the
+    # consolidated file must still equal derivation minus both predicates
+    return pipeline.rewrite_pos_deletes_roundtrip(spark, sf)
+
+
 def _q_meta_inspect_partitions(spark, sf):
     # Iceberg metadata tables (tbl.partitions): per-partition record totals
     # read PURELY from manifests, cross-checked against the data by the
@@ -557,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_stream_apply": _q_cdc_stream_apply,
         "delete_where_scan": _q_delete_where_scan,
         "meta_inspect_partitions": _q_meta_inspect_partitions,
+        "rewrite_pos_deletes_scan": _q_rewrite_pos_deletes_scan,
         "update_where_scan": _q_update_where_scan,
         "partition_evolution_scan": _q_partition_evolution_scan,
         "changelog_scan_feed": _q_changelog_scan_feed,
@@ -610,6 +618,9 @@ def oracle_sql() -> dict[str, str]:
         # merge-on-read positional deletes, folded by compaction
         "delete_where_scan": pipeline.delete_where_oracle_sql(),
         "meta_inspect_partitions": pipeline.inspect_partitions_oracle_sql(),
+        # same survivor set as delete_where_scan — by design: the rewrite
+        # must be invisible to readers; only the file layout changes
+        "rewrite_pos_deletes_scan": pipeline.delete_where_oracle_sql(),
         # merge-on-read UPDATE: assignments folded into a CASE projection
         "update_where_scan": pipeline.update_where_oracle_sql(),
         # spec evolution + cross-layout delete + migration never change rows

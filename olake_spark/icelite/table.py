@@ -1016,16 +1016,24 @@ class Table:
         ).write.mode("overwrite").parquet(stage)
         return self._publish_delete_stage(stage, seq, EQ_DELETES)
 
-    def _write_pos_delete_files(self, hits: DataFrame, seq: int) -> list[FileEntry]:
+    def _write_pos_delete_files(
+        self, hits: DataFrame, seq: int, n_files: int | None = None
+    ) -> list[FileEntry]:
         """Positional-delete files: rows of (file_path, pos), sorted within
         each file by that pair (Iceberg's required pos-delete sort order —
         makes the scan-side merge streamable) and shuffled by file_path so
-        deletes against one data file land together."""
+        deletes against one data file land together. `n_files` pins the
+        output file count (consolidation rewrites); default lets the
+        session's shuffle parallelism decide."""
         stage = os.path.join(self.root, "deletes", f".stage-{uuid.uuid4().hex}")
+        sel = hits.select("file_path", "pos")
+        part = (
+            sel.repartition(n_files, F.col("file_path"))
+            if n_files
+            else sel.repartition(F.col("file_path"))
+        )
         (
-            hits.select("file_path", "pos")
-            .repartition(F.col("file_path"))
-            .sortWithinPartitions("file_path", "pos")
+            part.sortWithinPartitions("file_path", "pos")
             .write.mode("overwrite")
             .parquet(stage)
         )
@@ -1502,13 +1510,9 @@ class Table:
     # -------------------------------------------------- maintenance helpers
 
     def files_df(self, snapshot_id: int | None = None) -> DataFrame:
-        """The `files` metadata table as a DataFrame — what maintenance plans
-        read instead of data (never touches the heavy `bytes` column)."""
-        snap = self.snapshot(snapshot_id)
-        if snap is None or not snap["manifests"]:
-            return self.spark.createDataFrame([], _files_df_schema())
-        df = self.spark.read.parquet(*[self._abs(m) for m in snap["manifests"]])
-        return df
+        """Alias of `inspect_files` kept for the maintenance planners —
+        manifest entries as a DataFrame, never touching a data file."""
+        return self.inspect_files(snapshot_id)
 
     def total_records(self, snapshot_id: int | None = None) -> int:
         ents = self.entries(snapshot_id)
@@ -1947,25 +1951,6 @@ def _parse_partition(rel_dir: str) -> dict[str, str]:
             k, v = comp.split("=", 1)
             out[k] = unquote(v)
     return out
-
-
-def _files_df_schema():
-    from pyspark.sql.types import (IntegerType, LongType, StringType,
-                                   StructField)
-
-    return StructType(
-        [
-            StructField("content", IntegerType()),
-            StructField("file_path", StringType()),
-            StructField("partition_json", StringType()),
-            StructField("seq", LongType()),
-            StructField("record_count", LongType()),
-            StructField("file_size_bytes", LongType()),
-            StructField("mins_json", StringType()),
-            StructField("maxs_json", StringType()),
-            StructField("nulls_json", StringType()),
-        ]
-    )
 
 
 _OPS = {

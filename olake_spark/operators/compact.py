@@ -83,6 +83,80 @@ def purge_dead_deletes(table: Table) -> int:
     return len(dead)
 
 
+def rewrite_position_deletes(
+    table: Table,
+    target_rows_per_file: int = 2_000_000,
+    retries: int = 5,
+) -> dict:
+    """Iceberg's RewritePositionDeleteFiles action: consolidate the
+    pos-delete debt predicate deletes leave behind — one tiny content=1
+    file per DELETE commit, each an extra input to every scan's anti-join —
+    into ≈`target_rows_per_file`-row files, dropping dangling marks (data
+    file no longer live: a rewrite minted new uuid paths, so the mark can
+    never match again) and exact duplicate (file_path, pos) pairs. Data
+    files are untouched; scan results are provably identical because the
+    surviving mark set equals the old set restricted to live data files.
+
+    Scale shape: ONE distributed pass over the delete rows (semi-join
+    against a broadcast of live data paths — O(file count), the same
+    cardinality every commit already walks), one shuffle to consolidate.
+    Commit removes the old delete files atomically; a concurrent compaction
+    that folded/purged any of them surfaces as CommitConflict (removal-set
+    validation) and the whole op re-plans from fresh metadata. Concurrent
+    NEW delete commits are untouched and stay live — no guard needed."""
+    from pyspark.sql import functions as F
+
+    last: Exception | None = None
+    for _ in range(retries):
+        table.refresh()
+        entries = table.entries()
+        pos = [e for e in entries if e.content == POS_DELETES]
+        old_rows = sum(e.record_count for e in pos)
+        live = [e.file_path for e in entries if e.content == DATA]
+        # nothing to consolidate: 0-1 delete files and no dangling risk
+        if len(pos) <= 1 or not live:
+            return {
+                "rewritten_files": 0, "added_files": 0,
+                "old_marks": old_rows, "kept_marks": old_rows,
+            }
+        marks = table.spark.read.parquet(
+            *[table._abs(e.file_path) for e in pos]
+        )
+        live_df = F.broadcast(
+            table.spark.createDataFrame(
+                [(p,) for p in live], "file_path string"
+            )
+        )
+        kept = (
+            marks.join(live_df, "file_path", "left_semi")
+            .select("file_path", "pos")
+            .distinct()
+        )
+        seq, _ = table._next_ids(table.meta)
+        n_out = max(1, math.ceil(old_rows / target_rows_per_file))
+        added = table._write_pos_delete_files(kept, seq, n_files=n_out)
+        kept_rows = sum(e.record_count for e in added)
+        try:
+            table.rewrite_files(
+                {e.file_path for e in pos}, added,
+                op="rewrite-deletes", seq_used=seq,
+                extra_summary={
+                    "rewritten-delete-files": len(pos),
+                    "dropped-marks": old_rows - kept_rows,
+                },
+            )
+            return {
+                "rewritten_files": len(pos), "added_files": len(added),
+                "old_marks": old_rows, "kept_marks": kept_rows,
+            }
+        except CommitConflict as ce:
+            # a concurrent rewrite consumed one of the old delete files:
+            # discard our output and re-plan against fresh metadata
+            table.io.remove_many([table._abs(e.file_path) for e in added])
+            last = ce
+    raise last  # type: ignore[misc]
+
+
 @dataclass
 class Bin:
     partition_json: str

@@ -281,6 +281,35 @@ def delete_where_oracle_sql() -> str:
     )
 
 
+def rewrite_pos_deletes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RewritePositionDeleteFiles roundtrip: two predicate-delete commits
+    leave two pos-delete files; the rewrite consolidates them into ONE
+    (dropping nothing — every mark still references a live data file), and
+    the post-rewrite scan must be bit-identical to the two-file scan, i.e.
+    to the derivation minus both predicates. Data files untouched."""
+    from olake_spark.operators.compact import rewrite_position_deletes
+
+    tmp = tempfile.mkdtemp(prefix="olake-rpd-")
+    try:
+        t = Table.create(
+            spark,
+            os.path.join(tmp, "images"),
+            datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("image_id", "bucket", 4),)),
+            identifier_fields=("image_id",),
+        )
+        t.append(images_from_documents(spark, sf_dir))
+        for pred in DELETE_PREDS:
+            t.delete_where(pred)
+        res = rewrite_position_deletes(t)
+        assert res["added_files"] == 1 and res["rewritten_files"] == 2, res
+        n_pos = sum(1 for e in t.entries() if e.content == 1)
+        assert n_pos == 1, f"expected 1 consolidated delete file, got {n_pos}"
+        return _materialize(t.scan(columns=SCAN_COLS))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def inspect_partitions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-vs-data invariant over the `partitions` inspect table
     (Iceberg's SELECT * FROM tbl.partitions): build a fmt-identity-

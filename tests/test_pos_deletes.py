@@ -310,3 +310,80 @@ class TestChangelogScan:
         mid = t.current_snapshot_id
         run_compaction(t, "clog-silent", fill_ratio=1.0)
         assert t.changelog_scan(mid).count() == 0
+
+
+class TestRewritePositionDeletes:
+    """RewritePositionDeleteFiles parity: consolidate many tiny pos-delete
+    files into few, drop dangling marks, never touch a data file."""
+
+    def test_consolidates_and_preserves_scan(self, images_table):
+        from olake_spark.operators.compact import rewrite_position_deletes
+
+        t = images_table
+        for k in (3, 5, 7):  # three delete commits → three delete files
+            t.delete_where(f"{NUM} % {k} = 0")
+        before = _ids(t)
+        n_del_files = len([e for e in t.entries() if e.content == POS_DELETES])
+        assert n_del_files >= 3
+        data_before = {e.file_path for e in t.entries() if e.content == DATA}
+        res = rewrite_position_deletes(t)
+        assert res["rewritten_files"] == n_del_files
+        assert res["added_files"] == 1  # tiny mark set → one file
+        assert res["kept_marks"] == res["old_marks"]  # nothing dangling
+        assert _ids(t) == before  # scan unchanged
+        # merge-on-read invariant: zero data files touched
+        assert {e.file_path for e in t.entries() if e.content == DATA} == data_before
+        assert len([e for e in t.entries() if e.content == POS_DELETES]) == 1
+
+    def test_drops_dangling_marks_after_compaction(self, spark, images_table):
+        from olake_spark.operators.compact import rewrite_position_deletes
+
+        t = images_table
+        t.delete_where(f"{NUM} % 3 = 0")
+        # compaction folds the marks in and mints new data paths, but keep
+        # the dead delete file live by skipping purge: simulate by adding a
+        # fresh delete AFTER compaction so the rewrite sees one live + the
+        # fold behavior via purge is separately tested
+        run_compaction(t, "fold", fill_ratio=1.0)
+        live_before = _ids(t)
+        t.delete_where(f"{NUM} % 5 = 0")
+        t.delete_where(f"{NUM} % 7 = 0")
+        res = rewrite_position_deletes(t)
+        assert res["rewritten_files"] == 2
+        assert _ids(t) == {i for i in live_before if i % 5 and i % 7}
+
+    def test_noop_with_single_delete_file(self, images_table):
+        from olake_spark.operators.compact import rewrite_position_deletes
+
+        t = images_table
+        t.delete_where(f"{NUM} % 11 = 0")
+        res = rewrite_position_deletes(t)
+        assert res["rewritten_files"] == 0
+
+    def test_conflict_with_concurrent_fold_retries(self, images_table, monkeypatch):
+        from olake_spark.operators import compact as C
+
+        t = images_table
+        t.delete_where(f"{NUM} % 3 = 0")
+        t.delete_where(f"{NUM} % 5 = 0")
+        expected = _ids(t)
+        real_write = type(t)._write_pos_delete_files
+        fired = {"n": 0}
+
+        def racing_write(self, hits, seq, n_files=None):
+            out = real_write(self, hits, seq, n_files)
+            if fired["n"] == 0:
+                fired["n"] = 1
+                # a concurrent compaction folds + purges the old delete files
+                # between our write and our commit
+                other = Table.load(self.spark, self.root)
+                C.run_compaction(other, "race-fold", fill_ratio=1.0)
+                C.purge_dead_deletes(other)
+            return out
+
+        monkeypatch.setattr(type(t), "_write_pos_delete_files", racing_write)
+        res = C.rewrite_position_deletes(t)
+        # after the fold there are no live pos-delete files left → the retry
+        # re-plans to a no-op; the scan is still exactly right
+        assert res["rewritten_files"] == 0
+        assert _ids(t) == expected
