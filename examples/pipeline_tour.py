@@ -99,6 +99,22 @@ def main() -> None:
              updated=u["rows_updated"], changelog=by_kind,
              spec_now=[f.name for f in t.spec.fields])
 
+        # -- 3c. delete-file consolidation + metadata tables ---------------
+        #    the two MoR commits above left two pos-delete files; the
+        #    rewrite folds them into one without touching a data file, and
+        #    the inspect tables answer layout questions metadata-only
+        from olake_spark.operators.compact import rewrite_position_deletes
+
+        rpd = rewrite_position_deletes(t)
+        debt = t.inspect_partitions().agg(
+            F.sum("data_file_count").alias("files"),
+            F.sum("pos_delete_record_count").alias("marks"),
+        ).collect()[0]
+        step("rewrite_deletes", consolidated=rpd["rewritten_files"],
+             into=rpd["added_files"], live_marks=rpd["kept_marks"],
+             data_files=debt["files"], marks=debt["marks"],
+             refs=t.inspect_refs().count())
+
         # -- 4. maintenance: compact → cluster → manifests ----------------
         #    (folds the delete/update marks in and migrates old-layout
         #    files to the evolved partition spec)

@@ -77,7 +77,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="streaming checkpoint dir (CDC resume cursor)")
     p = sub.add_parser("maintain")
     p.add_argument("--table", required=True)
-    p.add_argument("--ops", required=True, help="comma list: compact,cluster,manifests,expire")
+    p.add_argument("--ops", required=True,
+                   help="comma list: compact,cluster,manifests,"
+                        "rewrite-deletes,expire")
     p.add_argument("--job-id", required=True)
     p.add_argument("--log", default=None)
     p.add_argument("--curve", default="hilbert")
@@ -85,6 +87,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--verify", action="store_true")
     p.add_argument("--keep-last", type=int, default=3)
     p.add_argument("--grace-seconds", type=float, default=3 * 24 * 3600)
+    p = sub.add_parser("inspect")
+    p.add_argument("--table", required=True)
+    p.add_argument(
+        "--what", required=True,
+        choices=["files", "partitions", "manifests", "snapshots",
+                 "history", "refs"],
+    )
+    p.add_argument("--limit", type=int, default=1000,
+                   help="max rows printed (files can be huge at scale)")
     p = sub.add_parser("curate")
     p.add_argument("--input", required=True, help="parquet path to curate")
     p.add_argument("--output", required=True, help="parquet output path")
@@ -207,6 +218,15 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(stats))
         return 0
 
+    if args.verb == "inspect":
+        from olake_spark.icelite import Table
+
+        table = Table.load(spark, args.table)
+        df = getattr(table, f"inspect_{args.what}")()
+        for line in df.limit(args.limit).toJSON().collect():
+            print(line)
+        return 0
+
     # maintain
     from olake_spark.checkpoint import MaintenanceLog
     from olake_spark.icelite import Table
@@ -232,6 +252,10 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif op == "manifests":
             results[op] = rewrite_manifests(table, audit=True)
+        elif op == "rewrite-deletes":
+            from olake_spark.operators.compact import rewrite_position_deletes
+
+            results[op] = rewrite_position_deletes(table)
         elif op == "expire":
             results[op] = run_expire(
                 table, keep_last=args.keep_last,
