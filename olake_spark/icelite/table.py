@@ -72,6 +72,11 @@ _MANIFEST_SCHEMA = pa.schema(
 )
 
 
+class TxnAlreadyApplied(Exception):
+    """Raised inside a commit build when the (app_id, version) transaction
+    was already recorded — the idempotent-writer skip signal."""
+
+
 class CommitConflict(Exception):
     """Another writer invalidated this commit's assumptions (files vanished)."""
 
@@ -1131,8 +1136,18 @@ class Table:
         make_current: bool = True,
         require_live_paths: set[str] | None = None,
         branch: str | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> dict:
-        """`branch`: when set, the commit's base (and parent) is the named
+        """`txn` = (app_id, version): idempotent-writer transaction (the
+        Iceberg/Delta txnAppId/txnVersion pattern a streaming foreachBatch
+        sink needs — a micro-batch replayed after a crash between commit and
+        checkpoint must not apply twice). The version is recorded in table
+        properties ATOMICALLY with the snapshot; a commit whose version is
+        ≤ the recorded one returns `{"skipped": True, ...}` and its staged
+        files are removed. The check runs inside the CAS build, so two
+        racing writers with the same txn can never both commit.
+
+        `branch`: when set, the commit's base (and parent) is the named
         branch's head instead of the table's current snapshot, and the
         branch ref — not current — advances to the new snapshot. Main stays
         untouched until `fast_forward`.
@@ -1153,6 +1168,13 @@ class Table:
         removed_paths = removed_paths or set()
 
         def build(meta: dict) -> dict:
+            if txn is not None:
+                recorded = meta["properties"].get(f"txn.{txn[0]}")
+                if recorded is not None and int(recorded) >= txn[1]:
+                    raise TxnAlreadyApplied(
+                        f"txn {txn[0]} version {txn[1]} already applied "
+                        f"(recorded {recorded})"
+                    )
             seq = seq_used if seq_used is not None else meta["last_sequence_number"] + 1
             snap_id = meta["last_snapshot_id"] + 1
             if branch is not None:
@@ -1222,6 +1244,10 @@ class Table:
                 **(extra_summary or {}),
             }
             new = dict(meta)
+            if txn is not None:
+                new["properties"] = {
+                    **meta["properties"], f"txn.{txn[0]}": str(txn[1])
+                }
             new["last_sequence_number"] = max(seq, meta["last_sequence_number"])
             new["last_snapshot_id"] = snap_id
             if branch is not None:
@@ -1238,30 +1264,67 @@ class Table:
             ]
             return new
 
-        return self._commit(build)
+        try:
+            return self._commit(build)
+        except TxnAlreadyApplied:
+            if added:
+                self.io.remove_many(
+                    [self._abs(e.file_path) for e in added]
+                )
+            self.refresh()
+            return {
+                "skipped": True,
+                "operation": op,
+                "snapshot_id": self.current_snapshot_id,
+            }
 
     # ------------------------------------------------------------ public ops
+
+    def _txn_applied(self, txn: tuple[str, int] | None) -> dict | None:
+        """Fast pre-staging check (fresh metadata): skip the whole write when
+        the transaction version is already recorded. The authoritative check
+        still runs inside the commit CAS — this just avoids staging files
+        that would be discarded."""
+        if txn is None:
+            return None
+        recorded = self.meta["properties"].get(f"txn.{txn[0]}")
+        if recorded is not None and int(recorded) >= txn[1]:
+            return {
+                "skipped": True,
+                "snapshot_id": self.current_snapshot_id,
+            }
+        return None
 
     def append(
         self, df: DataFrame, max_records_per_file: int | None = None,
         sort_within_by: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> dict:
         self.refresh()
+        skip = self._txn_applied(txn)
+        if skip is not None:
+            return {**skip, "operation": "append"}
         seq = self.meta["last_sequence_number"] + 1
         entries = self._stage_write(df, seq, max_records_per_file, sort_within_by)
-        return self._commit_snapshot("append", entries, seq_used=seq)
+        return self._commit_snapshot("append", entries, seq_used=seq, txn=txn)
 
-    def row_delta(self, data_df: DataFrame | None, delete_keys_df: DataFrame | None) -> dict:
+    def row_delta(
+        self, data_df: DataFrame | None, delete_keys_df: DataFrame | None,
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
         """One atomic commit of data files + equality-delete files (the MERGE
         primitive: delete-before-insert, RowDelta semantics)."""
         self.refresh()
+        skip = self._txn_applied(txn)
+        if skip is not None:
+            return {**skip, "operation": "rowdelta"}
         seq = self.meta["last_sequence_number"] + 1
         entries: list[FileEntry] = []
         if delete_keys_df is not None:
             entries += self._write_delete_files(delete_keys_df, seq)
         if data_df is not None:
             entries += self._stage_write(data_df, seq)
-        return self._commit_snapshot("rowdelta", entries, seq_used=seq)
+        return self._commit_snapshot("rowdelta", entries, seq_used=seq, txn=txn)
 
     def delete_where(self, condition, retries: int = 5) -> dict:
         """Merge-on-read DELETE: mark rows matching `condition` deleted by

@@ -84,8 +84,14 @@ def merge_into(
     log: MaintenanceLog | None = None,
     allow_partial: bool | set[str] | list[str] | tuple[str, ...] = False,
     evolve: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Apply a CDC change batch to the table in one atomic snapshot.
+
+    `txn` = (app_id, version): idempotent-writer transaction — a replayed
+    micro-batch (foreachBatch crash between commit and checkpoint) is a
+    provable no-op because the version is recorded atomically with the
+    RowDelta commit and checked inside the CAS.
 
     `changes` must contain the table's identifier fields, the table's data
     columns (nullable for deletes), `_op_type` and `_cdc_timestamp`.
@@ -180,8 +186,8 @@ def merge_into(
     else:
         data = survivors.filter(F.col("_op_type") != "d").select(*proj)
 
-    snap = table.row_delta(data, delete_keys)
-    if log is not None and job_id is not None:
+    snap = table.row_delta(data, delete_keys, txn=txn)
+    if log is not None and job_id is not None and not snap.get("skipped"):
         log.log_done(
             job_id,
             "merge",

@@ -90,6 +90,20 @@ def plan_chunks_multi(
     return [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
 
 
+def _lexicographic_key(source: DataFrame, key_cols: list[str]) -> bool:
+    """True when chunking must go through the sample-sort-pick boundary
+    scheme: composite keys always, and any single key the numeric
+    approxQuantile planner can't cast to double (string / date / binary PKs
+    — the reference chunks those with its lexicographic next-chunk walk
+    too)."""
+    from pyspark.sql.types import NumericType, TimestampType
+
+    if len(key_cols) > 1:
+        return True
+    dt = source.schema[key_cols[0]].dataType
+    return not isinstance(dt, (NumericType, TimestampType))
+
+
 def _chunk_id(job_id: str, lo, hi) -> str:
     return f"chunk-{lo}-{hi}"
 
@@ -104,8 +118,7 @@ def route_to_chunks(
     (the s2/s7 gate queries' global windows are semantics pins of the
     reference's planner output, not this execution path — see
     tests/test_plans.py::test_backfill_routing_no_global_window)."""
-    composite = len(key_cols) > 1
-    if composite:
+    if _lexicographic_key(source, key_cols):
         fields = source.select(*key_cols).schema.fields
         k = F.struct(*[F.col(c) for c in key_cols])
 
@@ -151,16 +164,17 @@ def backfill(
 ) -> dict:
     """Chunked, resumable full load of `source` into `table`.
 
-    `key_col` may be a single numeric column (approxQuantile boundaries) or
-    a LIST of columns — a lexicographic composite key (S8): chunk membership
-    is a Catalyst struct comparison, which Spark defines lexicographically,
-    so string / multi-column PKs chunk exactly like the reference's
+    `key_col` may be a single numeric/timestamp column (approxQuantile
+    boundaries), a single string/date column (sampled lexicographic
+    boundaries — the numeric planner can't cast those), or a LIST of
+    columns — a lexicographic composite key (S8): chunk membership is a
+    Catalyst struct comparison, which Spark defines lexicographically, so
+    string / multi-column PKs chunk exactly like the reference's
     `(a, b) > (x, y)` walks."""
     key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
-    composite = len(key_cols) > 1
     chunks = (
         plan_chunks_multi(source, key_cols, n_chunks)
-        if composite
+        if _lexicographic_key(source, key_cols)
         else plan_chunks(source, key_cols[0], n_chunks)
     )
     done = log.done_chunk_ids(job_id) if log is not None else set()
@@ -293,11 +307,19 @@ def apply_cdc_stream(
     union-by-names NEW batch columns into the table schema before applying
     (the reference's updateSchema drift handling — its sink always evolves;
     here it is opt-in so unexpected upstream drift fails loudly by
-    default)."""
+    default).
+
+    Exactly-once: each micro-batch commits with an idempotent-writer
+    transaction keyed on the checkpoint dir + Spark's epoch id, recorded
+    atomically in table properties — a batch replayed after a crash between
+    the MERGE commit and the checkpoint advance (or after checkpoint loss,
+    if the feed replays from the same offsets) is a provable no-op."""
     from olake_spark.functions.reformat import cdc_stream_filter, exclude_columns
     from olake_spark.operators.merge import merge_into
 
-    def apply(batch_df: DataFrame, _batch_id: int) -> None:
+    txn_app = _txn_app_id("cdc", checkpoint_dir)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df
         if streams is not None:
             b = cdc_stream_filter(b, streams, stream_col)
@@ -311,10 +333,54 @@ def apply_cdc_stream(
             table, b, keep_deletes=keep_deletes,
             allow_partial=set(exclude) if exclude else False,
             evolve=evolve,
+            txn=(txn_app, int(batch_id)),
         )
 
     q = (
         changes_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _txn_app_id(kind: str, checkpoint_dir: str) -> str:
+    """Stable idempotent-writer app id for a streaming sink: derived from
+    the checkpoint path, so restarts of the same query share it while two
+    different queries writing the same table never collide."""
+    import hashlib
+
+    digest = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+    return f"{kind}-{digest}"
+
+
+def append_stream(
+    table: Table,
+    stream: DataFrame,
+    checkpoint_dir: str,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Append-mode streaming sink (ST6's non-upsert half): drain a bounded
+    stream into the table, one atomic append snapshot per micro-batch.
+
+    Unlike MERGE (naturally idempotent per key), a replayed APPEND batch
+    would duplicate rows — so each commit carries the idempotent-writer
+    transaction (checkpoint-derived app id, epoch id) and replays skip."""
+    txn_app = _txn_app_id("append", checkpoint_dir)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.append(
+            batch_df, max_records_per_file=max_records_per_file,
+            txn=(txn_app, int(batch_id)),
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -173,3 +173,23 @@ class TestNullKeyBackfill:
         r2 = backfill(t, src, ("fmt", "image_id"), "nk", log=log, n_chunks=4)
         assert r2["chunks_executed"] == 0
         assert t.scan().count() == 60  # resume rewrote nothing
+
+
+class TestStringKeyBackfill:
+    def test_single_string_key_routes_to_lexicographic_planner(
+        self, spark, tmp_table_dir
+    ):
+        """A single STRING --key-col must not hit the numeric approxQuantile
+        cast (CAST_INVALID_INPUT) — it routes to the sampled lexicographic
+        planner, same as composite keys."""
+        t = Table.create(
+            spark, os.path.join(tmp_table_dir, "bfs"), datagen.IMAGES_SCHEMA,
+            identifier_fields=("image_id",),
+        )
+        log = MaintenanceLog(spark, os.path.join(tmp_table_dir, "bfslog"))
+        src = datagen.gen_images_df(spark, 120)
+        r1 = backfill(t, src, "image_id", "sj", log=log, n_chunks=5)
+        assert r1["rows_written"] == 120 and r1["chunks_executed"] > 1
+        r2 = backfill(t, src, "image_id", "sj", log=log, n_chunks=5)
+        assert r2["chunks_executed"] == 0
+        assert t.scan().select(F.countDistinct("image_id")).collect()[0][0] == 120
