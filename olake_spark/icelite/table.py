@@ -662,10 +662,13 @@ class Table:
         added: list[FileEntry] = []
         for s in chain:
             # stage-append counts once PUBLISHED: a staged snapshot reaches
-            # the parent chain of `to` only through publish, so its rows are
-            # genuine adds here — excluding it would silently drop every
-            # WAP-ingested row from the incremental feed
-            if s["operation"] not in ("append", "rowdelta", "stage-append"):
+            # the parent chain of `to` only through publish (or as the
+            # source of a cherrypick, which re-adds its files itself), so
+            # its rows are genuine adds here — excluding it would silently
+            # drop every WAP-ingested row from the incremental feed
+            if s["operation"] not in (
+                "append", "rowdelta", "stage-append", "cherrypick"
+            ):
                 continue
             added.extend(
                 e for e in self._added_entries(s) if e.content == DATA
@@ -784,7 +787,8 @@ class Table:
         for ordinal, s in enumerate(chain, 1):
             op = s["operation"]
             if op not in (
-                "append", "rowdelta", "stage-append", "delete", "overwrite"
+                "append", "rowdelta", "stage-append", "delete", "overwrite",
+                "cherrypick",
             ):
                 continue
             added = self._added_entries(s)
@@ -1498,7 +1502,8 @@ class Table:
         past the staged snapshot's parent since staging — the staged manifest
         list was derived from that parent, so publishing over a newer current
         would erase the interleaved commits. Linear histories publish clean;
-        the general interleaved case is Iceberg's cherry-pick, out of scope."""
+        for the interleaved case use `cherry_pick`, which re-applies the
+        staged snapshot's ADDED files on top of whatever current is now."""
 
         def build(meta: dict) -> dict:
             snap = next(
@@ -1522,6 +1527,44 @@ class Table:
         # the one just published (another stage may be newer) — return the
         # published snapshot itself
         return self.snapshot(snapshot_id)
+
+    def cherry_pick(self, snapshot_id: int) -> dict:
+        """Iceberg's cherrypickSnapshot: publish a staged (or branch) APPEND
+        even though main moved past its parent — commit a NEW snapshot on
+        current that re-references exactly the files the staged snapshot
+        added. Metadata-only: no data is rewritten or copied.
+
+        Append-type snapshots only (their change set IS their added data
+        files); a RowDelta/delete cherry-pick would need its deletes
+        re-validated against a base they weren't derived from, which is the
+        conflict `publish_snapshot` exists to refuse. Entries are re-stamped
+        with a fresh sequence number, so equality deletes committed between
+        staging and picking do NOT kill the picked rows (they were not in
+        the table when those deletes ran — Iceberg's newly-added-data rule).
+        The original staged snapshot stays hidden from time travel; the
+        cherrypick commit is the published one."""
+        snap = self.snapshot(snapshot_id)  # raises if expired
+        if snap["operation"] not in ("append", "stage-append"):
+            raise ValueError(
+                f"cherry-pick supports append-type snapshots only, "
+                f"not {snap['operation']!r}"
+            )
+        added = self._added_entries(snap)
+        if any(e.content != DATA for e in added):
+            raise ValueError("cherry-pick source carries delete files")
+        self.refresh()
+        if snapshot_id in self._ancestor_ids(self.meta):
+            raise ValueError(
+                f"snapshot {snapshot_id} is already in the current lineage"
+            )
+        seq = self.meta["last_sequence_number"] + 1
+        from dataclasses import replace as _dc_replace
+
+        restamped = [_dc_replace(e, seq=seq) for e in added]
+        return self._commit_snapshot(
+            "cherrypick", restamped, seq_used=seq,
+            extra_summary={"cherry-picked-from": snapshot_id},
+        )
 
     def drop_snapshot(self, snapshot_id: int) -> None:
         """Reject a staged (non-current, untagged, non-ancestor) snapshot:

@@ -261,6 +261,100 @@ class TestWapLineage:
             t.drop_snapshot(parent)
 
 
+class TestCherryPick:
+    """Iceberg cherrypickSnapshot: publish a staged append after main moved
+    past its parent — the interleaved case publish_snapshot refuses."""
+
+    def _base(self, spark, root):
+        t = Table.create(spark, root, datagen.IMAGES_SCHEMA,
+                         identifier_fields=("image_id",))
+        df = datagen.gen_images_df(spark, 80)
+        t.append(df.filter(F.col("image_id") < "img-000000000040"))
+        return t, df
+
+    def test_pick_after_main_moved(self, spark, tmp_table_dir):
+        from olake_spark.icelite.table import CommitConflict
+
+        t, df = self._base(spark, os.path.join(tmp_table_dir, "cp1"))
+        s0 = t.current_snapshot_id
+        staged = t.stage_append(df.filter(
+            (F.col("image_id") >= "img-000000000040")
+            & (F.col("image_id") < "img-000000000060")))
+        # main moves → publish refuses, cherry-pick applies
+        t.append(df.filter(F.col("image_id") >= "img-000000000060"))
+        with pytest.raises(CommitConflict, match="moved"):
+            t.publish_snapshot(staged["snapshot_id"])
+        picked = t.cherry_pick(staged["snapshot_id"])
+        assert picked["summary"]["cherry-picked-from"] == staged["snapshot_id"]
+        assert t.scan().count() == 80
+        # no data was copied: the picked files ARE the staged files
+        staged_files = {e.file_path
+                        for e in t._added_entries(t.snapshot(staged["snapshot_id"]))}
+        picked_files = {e.file_path
+                        for e in t._added_entries(t.snapshot(picked["snapshot_id"]))}
+        assert picked_files == staged_files
+        # the feed sees the picked rows exactly once
+        assert t.incremental_scan(s0).count() == 40
+        clog = t.changelog_scan(s0)
+        assert clog.filter("_change_type = 'insert'").count() == 40
+
+    def test_pick_guards(self, spark, tmp_table_dir):
+        t, df = self._base(spark, os.path.join(tmp_table_dir, "cp2"))
+        cur = t.current_snapshot_id
+        with pytest.raises(ValueError, match="current lineage"):
+            t.cherry_pick(cur)  # already published
+        ch = datagen.gen_changes_df(spark, base_n=40, n_changes=10)
+        from olake_spark.operators.merge import merge_into
+
+        snap = merge_into(t, ch)
+        with pytest.raises(ValueError, match="append-type"):
+            t.cherry_pick(snap["snapshot_id"])  # rowdelta: deletes unsafe
+
+    def test_picked_rows_survive_interleaved_eq_delete(
+        self, spark, tmp_table_dir
+    ):
+        """Newly-added-data rule: an equality delete committed BETWEEN
+        staging and picking kills only rows that were in the table when it
+        ran — the re-stamped sequence number keeps picked rows alive even
+        when their key matches."""
+        t, df = self._base(spark, os.path.join(tmp_table_dir, "cp3"))
+        staged = t.stage_append(df.filter(
+            (F.col("image_id") >= "img-000000000040")
+            & (F.col("image_id") < "img-000000000060")))
+        # interleaved MERGE deletes a key that ALSO exists in the staged set
+        ch = datagen.gen_changes_df(spark, base_n=80, n_changes=20)
+        dels = ch.filter("_op_type = 'd'")
+        from olake_spark.operators.merge import merge_into
+
+        merge_into(t, ch)
+        t.cherry_pick(staged["snapshot_id"])
+        got = {r[0] for r in t.scan().select("image_id").collect()}
+        staged_ids = {r[0] for r in df.filter(
+            (F.col("image_id") >= "img-000000000040")
+            & (F.col("image_id") < "img-000000000060")
+        ).select("image_id").collect()}
+        assert staged_ids <= got  # every picked row alive
+        del_ids = {r[0] for r in dels.select("image_id").collect()}
+        # deleted base keys stay dead unless resurrected by the pick
+        assert not (del_ids - staged_ids) & got
+
+    def test_files_survive_dropping_the_staged_original(
+        self, spark, tmp_table_dir
+    ):
+        t, df = self._base(spark, os.path.join(tmp_table_dir, "cp4"))
+        staged = t.stage_append(df.filter(F.col("image_id") >= "img-000000000040"))
+        t.append(df.filter(F.col("image_id") < "img-000000000040").limit(0)
+                 .unionByName(df.filter(F.col("image_id") < "img-000000000001")))
+        picked = t.cherry_pick(staged["snapshot_id"])
+        t.drop_snapshot(staged["snapshot_id"])
+        orphans = t.remove_orphan_files(grace_seconds=0)
+        # the dropped stage's manifest is correctly reaped, but every DATA
+        # file lives on — the pick's manifest still references it
+        assert all(p.startswith("metadata/manifests/") for p in orphans)
+        assert t.scan().count() == 81
+        assert picked["operation"] == "cherrypick"
+
+
 class TestBranches:
     """Mutable branch refs + fast-forward (Iceberg branch semantics)."""
 
