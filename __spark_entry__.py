@@ -141,6 +141,15 @@ def _q_delete_where_scan(spark, sf):
     return pipeline.delete_where_roundtrip(spark, sf)
 
 
+def _q_add_files_scan(spark, sf):
+    # Iceberg add_files procedure: metadata-only import of an external
+    # hive-layout parquet lake (zero-copy, absolute-path manifest entries,
+    # hive partition inference asserted in the roundtrip), pos-deletes
+    # working against the imported files, compaction migrating survivors
+    # into owned layout while the originals stay on disk
+    return pipeline.add_files_roundtrip(spark, sf)
+
+
 def _q_rewrite_pos_deletes_scan(spark, sf):
     # RewritePositionDeleteFiles: two delete commits consolidated into ONE
     # pos-delete file (asserted in the roundtrip); the scan through the
@@ -563,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_backfill_composite": _q_sync_backfill_composite,
         "cdc_stream_apply": _q_cdc_stream_apply,
         "delete_where_scan": _q_delete_where_scan,
+        "add_files_scan": _q_add_files_scan,
         "meta_inspect_partitions": _q_meta_inspect_partitions,
         "rewrite_pos_deletes_scan": _q_rewrite_pos_deletes_scan,
         "update_where_scan": _q_update_where_scan,
@@ -617,6 +627,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_stream_apply": pipeline.roundtrip_oracle_sql(True),
         # merge-on-read positional deletes, folded by compaction
         "delete_where_scan": pipeline.delete_where_oracle_sql(),
+        # zero-copy import + MoR delete + migrating compaction never change rows
+        "add_files_scan": pipeline.add_files_oracle_sql(),
         "meta_inspect_partitions": pipeline.inspect_partitions_oracle_sql(),
         # same survivor set as delete_where_scan — by design: the rewrite
         # must be invisible to readers; only the file layout changes

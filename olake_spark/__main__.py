@@ -110,6 +110,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cap-quota", type=int, default=None)
     p.add_argument("--scrub", default=None,
                    help="comma list of text columns to PII-scrub in place")
+    p = sub.add_parser("add-files")
+    p.add_argument("--table", required=True, help="icelite table root")
+    p.add_argument("--source", required=True,
+                   help="directory of existing parquet to register by "
+                        "reference (metadata-only, zero copy)")
+    p.add_argument("--allow-duplicates", action="store_true",
+                   help="skip the already-referenced check")
     sub.add_parser("bench")
     args = ap.parse_args(argv)
 
@@ -225,6 +232,19 @@ def main(argv: list[str] | None = None) -> int:
         df = getattr(table, f"inspect_{args.what}")()
         for line in df.limit(args.limit).toJSON().collect():
             print(line)
+        return 0
+    if args.verb == "add-files":
+        from olake_spark.icelite import Table
+
+        table = Table.load(spark, args.table)
+        snap = table.add_files(
+            args.source,
+            check_duplicate_files=not args.allow_duplicates,
+        )
+        print(json.dumps({
+            "snapshot_id": snap["snapshot_id"],
+            "files_added": snap["summary"].get("added-files-by-reference", 0),
+        }))
         return 0
 
     # maintain

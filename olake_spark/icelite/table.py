@@ -578,16 +578,22 @@ class Table:
                 # parquet hidden metadata columns: stable row identity
                 # (file, row-ordinal) with zero read amplification — the
                 # Spark-native stand-in for Iceberg's file_path/pos virtual
-                # columns that positional deletes key on
+                # columns that positional deletes key on. Files imported by
+                # reference (add_files) live OUTSIDE the table root and are
+                # manifested by absolute path — the tag must match the
+                # manifest key either way: root-relative for owned files,
+                # absolute for imported ones.
+                full = F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                )
                 d = d.withColumn(
                     "_file_path",
-                    F.substring(
-                        F.regexp_replace(
-                            F.col("_metadata.file_path"), "^file:/+", "/"
+                    F.when(
+                        full.startswith(
+                            os.path.abspath(self.root) + os.sep
                         ),
-                        _rel_start,
-                        1 << 30,
-                    ),
+                        F.substring(full, _rel_start, 1 << 30),
+                    ).otherwise(full),
                 ).withColumn("_pos", F.col("_metadata.row_index"))
             return d
 
@@ -1311,6 +1317,127 @@ class Table:
         seq = self.meta["last_sequence_number"] + 1
         entries = self._stage_write(df, seq, max_records_per_file, sort_within_by)
         return self._commit_snapshot("append", entries, seq_used=seq, txn=txn)
+
+    def add_files(
+        self,
+        source: str | list[str],
+        check_duplicate_files: bool = True,
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        """Metadata-only import of existing parquet files — Iceberg's
+        `add_files` procedure (spark AddFilesProcedure): register the files
+        in a new append snapshot WITHOUT copying, moving, or rewriting a
+        single data byte. `source` is a directory (listed with the same
+        O(first-level-dirs)-driver / executor-subtree-walk contract orphan
+        reaping uses, so a 10^5-file import never serializes on the driver)
+        or an explicit file list.
+
+        Files outside the table root are manifested by ABSOLUTE path and
+        the engine never physically deletes them: rewrites only drop the
+        metadata reference, and orphan reaping lists only under the table
+        root — the safe resolution of the GC hazard Iceberg documents for
+        imported files. A later compaction migrates their rows into owned,
+        layout-correct files, after which the originals are simply no
+        longer referenced.
+
+        Unlike Hive-layout Iceberg imports, files must be SELF-CONTAINED
+        (every table column present — icelite scans recompute partition
+        values from row values, they never back-fill a column from the
+        path). Checked on one footer here; the schema-enforced reader
+        guards every file at scan time (upcasting int32→int64 /
+        float32→float64 per the evolve_schema lattice, failing on real
+        drift). Hive-style `k=v` path segments matching a spec field name
+        (or an identity transform's source column) become manifest
+        partition values — powering min/max + partition pruning and
+        inspect_partitions, with rows staying the source of truth.
+
+        Per-file min/max/null stats come from parquet footers, the same
+        metadata-only harvest `append` uses (distributed above 512 files):
+        the whole import is one listing job + one stats job + one commit.
+        """
+        self.refresh()
+        skip = self._txn_applied(txn)
+        if skip is not None:
+            return {**skip, "operation": "append"}
+        src_root: str | None = None
+        if isinstance(source, str):
+            src_root = os.path.abspath(source)
+            paths = sorted(
+                p
+                for p, _ in _list_files_spark(self.spark, self.io, [src_root])
+                if p.endswith(".parquet")
+                and not os.path.basename(p).startswith((".", "_"))
+            )
+        else:
+            paths = sorted(os.path.abspath(p) for p in source)
+        if not paths:
+            raise ValueError("add_files: no parquet files to import")
+        root_abs = os.path.abspath(self.root)
+
+        def _key(p: str) -> str:
+            # owned files keep the root-relative manifest convention;
+            # external ones are referenced absolutely
+            ap = os.path.abspath(p)
+            return (
+                os.path.relpath(ap, root_abs)
+                if ap.startswith(root_abs + os.sep)
+                else ap
+            )
+
+        keyed = [(_key(p), os.path.abspath(p)) for p in paths]
+        if check_duplicate_files:
+            refd = {e.file_path for e in self.entries()}
+            dups = [k for k, _ in keyed if k in refd]
+            if dups:
+                raise ValueError(
+                    f"add_files: {len(dups)} file(s) already referenced by "
+                    f"the current snapshot (first: {dups[0]}) — re-importing "
+                    "duplicates rows; pass check_duplicate_files=False only "
+                    "if that is intended"
+                )
+        import pyarrow.parquet as pq
+
+        have = set(pq.ParquetFile(keyed[0][1]).schema_arrow.names)
+        need = {f.name for f in self.schema.fields}
+        if not need <= have:
+            raise ValueError(
+                "add_files: imported files missing table columns "
+                f"{sorted(need - have)}"
+            )
+        spec_names = set(self.spec.names)
+        ident_by_source = {
+            f.source: f.name
+            for f in self.spec.fields
+            if f.transform == "identity"
+        }
+        seq = self.meta["last_sequence_number"] + 1
+        stats = collect_file_stats(self.spark, [a for _, a in keyed])
+        entries: list[FileEntry] = []
+        for k, a in keyed:
+            st = stats[a]
+            if st["record_count"] == 0:
+                continue  # empty external file: skip, never delete
+            partition: dict[str, str] = {}
+            if src_root is not None:
+                rel_dir = os.path.relpath(os.path.dirname(a), src_root)
+                for pk, pv in _parse_partition(rel_dir).items():
+                    if pk in spec_names:
+                        partition[pk] = pv
+                    elif pk in ident_by_source:
+                        partition[ident_by_source[pk]] = pv
+            entries.append(
+                FileEntry(
+                    DATA, k, partition, seq,
+                    st["record_count"], st["file_size_bytes"],
+                    st["mins"], st["maxs"], st["null_counts"],
+                )
+            )
+        if not entries:
+            raise ValueError("add_files: every candidate file was empty")
+        return self._commit_snapshot(
+            "append", entries, seq_used=seq, txn=txn,
+            extra_summary={"added-files-by-reference": len(entries)},
+        )
 
     def row_delta(
         self, data_df: DataFrame | None, delete_keys_df: DataFrame | None,

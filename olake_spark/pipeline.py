@@ -281,6 +281,78 @@ def delete_where_oracle_sql() -> str:
     )
 
 
+def add_files_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only import roundtrip (Iceberg `add_files` parity): the
+    derivation is first written as a plain hive-layout parquet lake OUTSIDE
+    any table (identity-partition dirs), then registered by reference —
+    asserted zero-copy: the table's own data/ dir holds no parquet after
+    the import, every entry is an absolute external path, and hive `k=v`
+    segments became manifest partition values. A merge-on-read predicate
+    DELETE then marks rows INSIDE the imported files (pos-delete row
+    identity must work against external absolute paths), compaction
+    migrates the survivors into table-owned layout, and the external
+    originals must still exist afterwards — the engine never physically
+    deletes files it didn't write. Final scan = derivation minus the
+    predicate."""
+    tmp = tempfile.mkdtemp(prefix="olake-addf-")
+    try:
+        lake = os.path.join(tmp, "lake")
+        (
+            images_from_documents(spark, sf_dir)
+            .withColumn("_p_fmt", F.col("fmt"))
+            .repartition(4, "image_id")
+            .write.partitionBy("_p_fmt")
+            .parquet(lake)
+        )
+        n_lake = sum(
+            f.endswith(".parquet") for _, _, fs in os.walk(lake) for f in fs
+        )
+        t = Table.create(
+            spark,
+            os.path.join(tmp, "images"),
+            datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("fmt", "identity"),)),
+            identifier_fields=("image_id",),
+        )
+        t.add_files(lake)
+        data_dir = os.path.join(t.root, "data")
+        owned = (
+            [p for p in t.io.walk_files(data_dir) if p.endswith(".parquet")]
+            if os.path.isdir(data_dir)
+            else []
+        )
+        assert not owned, f"add_files copied bytes into the table: {owned[:2]}"
+        ext = [e for e in t.entries() if e.content == 0]
+        assert ext and all(os.path.isabs(e.file_path) for e in ext), ext[:2]
+        assert all(
+            e.partition.get("_p_fmt") in ("jpeg", "png") for e in ext
+        ), "hive partition inference failed"
+        t.delete_where(DELETE_PREDS[0])
+        run_compaction(t, "addf-compact", fill_ratio=1.0)
+        assert all(
+            not os.path.isabs(e.file_path)
+            for e in t.entries()
+            if e.content == 0
+        ), "compaction left external references"
+        still = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(lake)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        assert len(still) == n_lake, "engine deleted externally-owned files"
+        return _materialize(t.scan(columns=SCAN_COLS))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def add_files_oracle_sql() -> str:
+    return (
+        f"SELECT * FROM ({derive_images_sql()}) "
+        f"WHERE NOT ({DELETE_PREDS[0]})"
+    )
+
+
 def rewrite_pos_deletes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RewritePositionDeleteFiles roundtrip: two predicate-delete commits
     leave two pos-delete files; the rewrite consolidates them into ONE
