@@ -141,6 +141,13 @@ def _q_delete_where_scan(spark, sf):
     return pipeline.delete_where_roundtrip(spark, sf)
 
 
+def _q_analyze_table_stats(spark, sf):
+    # Iceberg computeTableStats / Puffin: per-column NDV + null count +
+    # min/max registered against the snapshot; production HLL sketch
+    # asserted within tolerance in-gate, exact twin oracled here
+    return pipeline.analyze_stats_roundtrip(spark, sf)
+
+
 def _q_add_files_scan(spark, sf):
     # Iceberg add_files procedure: metadata-only import of an external
     # hive-layout parquet lake (zero-copy, absolute-path manifest entries,
@@ -573,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_stream_apply": _q_cdc_stream_apply,
         "delete_where_scan": _q_delete_where_scan,
         "add_files_scan": _q_add_files_scan,
+        "analyze_table_stats": _q_analyze_table_stats,
         "meta_inspect_partitions": _q_meta_inspect_partitions,
         "rewrite_pos_deletes_scan": _q_rewrite_pos_deletes_scan,
         "update_where_scan": _q_update_where_scan,
@@ -629,6 +637,8 @@ def oracle_sql() -> dict[str, str]:
         "delete_where_scan": pipeline.delete_where_oracle_sql(),
         # zero-copy import + MoR delete + migrating compaction never change rows
         "add_files_scan": pipeline.add_files_oracle_sql(),
+        # ANALYZE exact twin: same aggregates recomputed from the derivation
+        "analyze_table_stats": pipeline.analyze_stats_oracle_sql(),
         "meta_inspect_partitions": pipeline.inspect_partitions_oracle_sql(),
         # same survivor set as delete_where_scan — by design: the rewrite
         # must be invisible to readers; only the file layout changes

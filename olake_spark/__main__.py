@@ -35,7 +35,8 @@ def _spec() -> dict:
             "ops": {
                 "type": "array",
                 "items": {
-                    "enum": ["compact", "cluster", "manifests", "expire", "merge"]
+                    "enum": ["compact", "cluster", "manifests",
+                             "rewrite-deletes", "analyze", "expire", "merge"]
                 },
             },
             "job_id": {"type": "string"},
@@ -79,7 +80,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--ops", required=True,
                    help="comma list: compact,cluster,manifests,"
-                        "rewrite-deletes,expire")
+                        "rewrite-deletes,analyze,expire")
     p.add_argument("--job-id", required=True)
     p.add_argument("--log", default=None)
     p.add_argument("--curve", default="hilbert")
@@ -276,6 +277,15 @@ def main(argv: list[str] | None = None) -> int:
             from olake_spark.operators.compact import rewrite_position_deletes
 
             results[op] = rewrite_position_deletes(table)
+        elif op == "analyze":
+            from olake_spark.operators.analyze import analyze_table
+
+            entry = analyze_table(table)
+            results[op] = {
+                "snapshot_id": entry["snapshot_id"],
+                "row_count": entry["row_count"],
+                "columns": len(entry["columns"]),
+            }
         elif op == "expire":
             results[op] = run_expire(
                 table, keep_last=args.keep_last,

@@ -1850,6 +1850,74 @@ class Table:
 
     # ----------------------------------------------------------- named refs
 
+    def set_statistics(self, stats: dict) -> dict:
+        """Register a column-stats file for a snapshot (Iceberg's
+        SetStatistics metadata update, the pointer half of the Puffin
+        pattern): the stats body lives in its own JSON file under
+        metadata/stats/, table metadata carries only {snapshot_id, path} —
+        stats stay O(cols) in the file, metadata stays O(1). One entry per
+        snapshot: re-analyzing replaces it (and removes the superseded
+        file). Registering against an expired snapshot raises."""
+        snap_id = stats["snapshot_id"]
+        rel = os.path.join(
+            "metadata", "stats", f"stats-{snap_id}-{uuid.uuid4().hex}.json"
+        )
+        self.io.makedirs(os.path.dirname(self._abs(rel)))
+        self.io.write_text_atomic(
+            self._abs(rel), json.dumps(stats, sort_keys=True)
+        )
+        superseded: list[str] = []
+
+        def build(meta: dict) -> dict:
+            if snap_id not in {s["snapshot_id"] for s in meta["snapshots"]}:
+                raise KeyError(
+                    f"set_statistics: snapshot {snap_id} not retained"
+                )
+            entries = list(meta.get("statistics", []))
+            superseded.clear()
+            superseded.extend(
+                e["path"] for e in entries if e["snapshot_id"] == snap_id
+            )
+            entries = [e for e in entries if e["snapshot_id"] != snap_id]
+            entries.append(
+                {
+                    "snapshot_id": snap_id,
+                    "path": rel,
+                    "created_ms": stats.get("created_ms"),
+                }
+            )
+            new = dict(meta)
+            new["statistics"] = entries
+            return new
+
+        try:
+            self._commit(build)
+        except Exception:
+            self.io.remove(self._abs(rel))
+            raise
+        if superseded:
+            try:
+                self.io.remove_many([self._abs(p) for p in superseded])
+            except OSError:
+                pass  # best effort; unreferenced stats files are harmless
+        return {**stats, "path": rel}
+
+    def get_statistics(self, snapshot_id: int | None = None) -> dict | None:
+        """The registered stats body for a snapshot. With no id: the
+        current snapshot's entry if present, else the newest registered
+        entry (its snapshot_id tells the consumer how stale it is)."""
+        self.refresh()
+        entries = self.meta.get("statistics", [])
+        if not entries:
+            return None
+        want = snapshot_id if snapshot_id is not None else self.current_snapshot_id
+        hit = [e for e in entries if e["snapshot_id"] == want]
+        if not hit:
+            if snapshot_id is not None:
+                return None
+            hit = [max(entries, key=lambda e: e.get("created_ms") or 0)]
+        return json.loads(self.io.read_text(self._abs(hit[0]["path"])))
+
     def refs(self) -> dict[str, int]:
         """Named snapshot refs (Iceberg tags): name → snapshot_id."""
         return dict(self.meta.get("refs", {}))
@@ -2053,9 +2121,32 @@ class Table:
             expired["n"] = len(snaps) - len(kept)
             new = dict(meta)
             new["snapshots"] = kept
+            # stats files bind to their snapshot — prune pointers for
+            # dropped snapshots (the files are removed below, post-commit)
+            kept_ids = {s["snapshot_id"] for s in kept}
+            stats = meta.get("statistics", [])
+            if stats:
+                new["statistics"] = [
+                    e for e in stats if e["snapshot_id"] in kept_ids
+                ]
             return new
 
         self._commit(build)
+        # physically drop stats files no longer referenced by metadata —
+        # idempotent (recomputed from fresh meta), best effort, O(stats
+        # entries) which is O(snapshots), never O(data files)
+        refd = {e["path"] for e in self.meta.get("statistics", [])}
+        stats_dir = os.path.join(self.root, "metadata", "stats")
+        victims = [
+            p
+            for p in self.io.walk_files(stats_dir)
+            if os.path.relpath(p, self.root) not in refd
+        ]
+        if victims:
+            try:
+                self.io.remove_many(victims)
+            except OSError:
+                pass
         return {"expired": expired["n"]}
 
     # above this many files, the orphan listing switches from a driver-side

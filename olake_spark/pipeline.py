@@ -281,6 +281,87 @@ def delete_where_oracle_sql() -> str:
     )
 
 
+ANALYZE_COLS = ["image_id", "fmt", "w", "caption", "phash"]
+# nulls must actually occur for the null-count stat to prove anything
+ANALYZE_NULL_PRED = "phash % 5 = 0"
+
+
+def analyze_stats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-statistics roundtrip (Iceberg computeTableStats / Puffin
+    parity): build the derivation table (captions nulled on a predicate so
+    null counts are non-trivial), ANALYZE it twice on the same snapshot —
+    first the production HyperLogLog++ path (asserted within sketch
+    tolerance of exact, in-gate), then the exact twin, which supersedes the
+    sketch entry in metadata. The returned stats table (NDV + null count +
+    min/max per column, read back through the registered stats file) must
+    equal the oracle recomputing the same aggregates from the derivation."""
+    from olake_spark.operators.analyze import analyze_table, column_stats_df
+
+    tmp = tempfile.mkdtemp(prefix="olake-analyze-")
+    try:
+        t = Table.create(
+            spark,
+            os.path.join(tmp, "images"),
+            datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("image_id", "bucket", 4),)),
+            identifier_fields=("image_id",),
+        )
+        t.append(
+            images_from_documents(spark, sf_dir).withColumn(
+                "caption",
+                F.when(F.expr(ANALYZE_NULL_PRED), F.lit(None)).otherwise(
+                    F.col("caption")
+                ),
+            )
+        )
+        approx = analyze_table(t, ANALYZE_COLS, rsd=0.02)
+        exact = analyze_table(t, ANALYZE_COLS, exact=True)
+        for c in ANALYZE_COLS:
+            a = approx["columns"][c]["ndv"]
+            e = exact["columns"][c]["ndv"]
+            assert abs(a - e) <= max(4, 0.08 * e), (
+                f"HLL ndv for {c} out of tolerance: {a} vs exact {e}"
+            )
+        out = column_stats_df(t).select(
+            F.col("column").alias("col_name"),
+            "row_count",
+            "ndv",
+            "null_count",
+            "min_str",
+            "max_str",
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def analyze_stats_oracle_sql() -> str:
+    derived = derive_images_sql()
+    per_col = []
+    for c in ANALYZE_COLS:
+        per_col.append(
+            f"""
+SELECT '{c}' AS col_name,
+       CAST(count(*) AS BIGINT) AS row_count,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_count,
+       CAST(min({c}) AS STRING) AS min_str,
+       CAST(max({c}) AS STRING) AS max_str
+FROM img"""
+        )
+    union = "\nUNION ALL\n".join(per_col)
+    return f"""
+WITH img AS (
+  SELECT image_id, w, h, fmt,
+         CASE WHEN {ANALYZE_NULL_PRED} THEN NULL ELSE caption END AS caption,
+         phash
+  FROM ({derived})
+)
+{union}
+"""
+
+
 def add_files_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only import roundtrip (Iceberg `add_files` parity): the
     derivation is first written as a plain hive-layout parquet lake OUTSIDE
