@@ -141,6 +141,13 @@ def _q_delete_where_scan(spark, sf):
     return pipeline.delete_where_roundtrip(spark, sf)
 
 
+def _q_compact_filtered_scan(spark, sf):
+    # RewriteDataFiles filter: compaction scoped by predicate via min/max
+    # file pruning — out-of-scope partitions untouched (asserted in-gate),
+    # readers see no change
+    return pipeline.compact_filtered_roundtrip(spark, sf)
+
+
 def _q_analyze_table_stats(spark, sf):
     # Iceberg computeTableStats / Puffin: per-column NDV + null count +
     # min/max registered against the snapshot; production HLL sketch
@@ -581,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_where_scan": _q_delete_where_scan,
         "add_files_scan": _q_add_files_scan,
         "analyze_table_stats": _q_analyze_table_stats,
+        "compact_filtered_scan": _q_compact_filtered_scan,
         "meta_inspect_partitions": _q_meta_inspect_partitions,
         "rewrite_pos_deletes_scan": _q_rewrite_pos_deletes_scan,
         "update_where_scan": _q_update_where_scan,
@@ -639,6 +647,8 @@ def oracle_sql() -> dict[str, str]:
         "add_files_scan": pipeline.add_files_oracle_sql(),
         # ANALYZE exact twin: same aggregates recomputed from the derivation
         "analyze_table_stats": pipeline.analyze_stats_oracle_sql(),
+        # filter-scoped compaction never changes rows — full derivation
+        "compact_filtered_scan": pipeline.roundtrip_oracle_sql(False),
         "meta_inspect_partitions": pipeline.inspect_partitions_oracle_sql(),
         # same survivor set as delete_where_scan — by design: the rewrite
         # must be invisible to readers; only the file layout changes

@@ -184,14 +184,30 @@ def plan_compaction(
     fill_ratio: float = 0.5,
     min_files_per_bin: int = 2,
     snapshot_id: int | None = None,
+    predicates: list[tuple[str, str, object]] | None = None,
 ) -> list[Bin]:
-    """Size-tiered first-fit-decreasing bin packing per partition."""
+    """Size-tiered first-fit-decreasing bin packing per partition.
+
+    `predicates` scopes the plan (Iceberg RewriteDataFiles `filter`): only
+    files whose min/max stats MAY contain a matching row become candidates —
+    whole files, never row subsets, exactly Iceberg's file-level semantics.
+    At deployment scale this is what keeps nightly maintenance bounded: the
+    10^12-row table compacts yesterday's partitions, not its whole history.
+    """
     if target_bytes is None:
         target_bytes = int(
             table.meta["properties"].get("write.target-file-size-bytes", DEFAULT_TARGET)
         )
     small_cut = int(target_bytes * fill_ratio)
     entries = table.entries(snapshot_id)
+    if predicates:
+        from olake_spark.icelite.table import _may_match
+
+        entries = [
+            e
+            for e in entries
+            if e.content != DATA or _may_match(e, predicates)
+        ]
     # a file is delete-burdened if some equality delete applies to it
     # (delete seq > file seq); such files get rewritten even as singletons,
     # so the rewrite materializes the deletes and the delete files die
@@ -447,8 +463,14 @@ def run_compaction(
     mode: str = "bulk",  # or "bins"
     verify: bool = False,
     sort: bool | None = None,
+    predicates: list[tuple[str, str, object]] | None = None,
 ) -> dict:
     """Execute a compaction job. Returns summary metrics.
+
+    `predicates` ((col, op, literal) conjunction, the scan's vocabulary)
+    scopes the job to files that may hold matching rows — Iceberg's
+    RewriteDataFiles `filter`. File-level: candidate files are rewritten
+    whole; files outside the scope are untouched, byte for byte.
 
     `sort`: binpack-vs-sort strategy, exactly Iceberg's RewriteDataFiles
     split — the DEFAULT is binpack (coalesce only; re-sorting every fat
@@ -493,7 +515,7 @@ def run_compaction(
         # the reference's fixed 3, constants/constants.go:7)
         max_concurrency = min(64, table.spark.sparkContext.defaultParallelism)
     snap_before = table.current_snapshot_id
-    bins = plan_compaction(table, target_bytes, fill_ratio)
+    bins = plan_compaction(table, target_bytes, fill_ratio, predicates=predicates)
     if max_bins:
         bins = bins[:max_bins]
 
@@ -554,7 +576,9 @@ def run_compaction(
                     for e in table.entries(pin_snapshot)
                     if e.content != DATA
                 }
-                bins = plan_compaction(table, target_bytes, fill_ratio)
+                bins = plan_compaction(
+                    table, target_bytes, fill_ratio, predicates=predicates
+                )
                 if max_bins:
                     bins = bins[:max_bins]
                 done = log.done_chunk_ids(job_id) if log is not None else set()

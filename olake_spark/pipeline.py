@@ -281,6 +281,44 @@ def delete_where_oracle_sql() -> str:
     )
 
 
+def compact_filtered_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-scoped compaction roundtrip (Iceberg RewriteDataFiles
+    `filter`): fragment a fmt-identity-partitioned ingest, then compact ONLY
+    files that may hold fmt='png' rows. Asserted: every jpeg-partition file
+    survives untouched (identical manifest paths — the filter pruned them
+    from the plan via min/max stats, they were never read), the png debt
+    consolidates to fewer files, and the scan is still the full derivation
+    byte-for-byte — scoped maintenance is invisible to readers."""
+    tmp = tempfile.mkdtemp(prefix="olake-fcomp-")
+    try:
+        t = Table.create(
+            spark,
+            os.path.join(tmp, "images"),
+            datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("fmt", "identity"),)),
+            identifier_fields=("image_id",),
+        )
+        t.append(images_from_documents(spark, sf_dir), max_records_per_file=40)
+
+        def paths(part: str) -> set[str]:
+            return {
+                e.file_path
+                for e in t.entries()
+                if e.partition.get("_p_fmt") == part
+            }
+
+        jpeg_before, png_before = paths("jpeg"), paths("png")
+        run_compaction(
+            t, "filtered-compact", fill_ratio=1.0,
+            predicates=[("fmt", "==", "png")],
+        )
+        assert paths("jpeg") == jpeg_before, "filter failed: jpeg rewritten"
+        assert len(paths("png")) < len(png_before), "png debt not compacted"
+        return _materialize(t.scan(columns=SCAN_COLS))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 ANALYZE_COLS = ["image_id", "fmt", "w", "caption", "phash"]
 # nulls must actually occur for the null-count stat to prove anything
 ANALYZE_NULL_PRED = "phash % 5 = 0"

@@ -73,3 +73,52 @@ class TestVerifiedRewrite:
         res = run_compaction(t, "vc2", fill_ratio=1.0, target_bytes=TARGET)
         assert res["bins_executed"] > 0
         assert t.scan().filter(F.col("image_id") == "img-corrupt").count() == 1
+
+
+class TestFilteredCompaction:
+    """RewriteDataFiles `filter` parity: predicate-scoped plans rewrite only
+    files whose stats may match; everything else survives byte-identical."""
+
+    def test_predicate_scopes_plan(self, spark, tmp_table_dir):
+        t = Table.create(
+            spark, os.path.join(tmp_table_dir, "f"), datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("fmt", "identity"),)),
+            identifier_fields=("image_id",),
+        )
+        datagen.fragmented_append(
+            t, datagen.gen_images_df(spark, N), N, n_files=12
+        )
+        n_before = t.scan().count()
+
+        def paths(part):
+            return {
+                e.file_path for e in t.entries()
+                if e.partition.get("_p_fmt") == part
+            }
+
+        jpeg_before, png_before = paths("jpeg"), paths("png")
+        assert len(png_before) > 1
+        res = run_compaction(
+            t, "f", fill_ratio=1.0, target_bytes=TARGET,
+            predicates=[("fmt", "==", "png")],
+        )
+        assert res["bins_executed"] >= 1
+        assert paths("jpeg") == jpeg_before
+        assert len(paths("png")) < len(png_before)
+        assert t.scan().count() == n_before
+
+    def test_no_matching_files_is_noop(self, spark, tmp_table_dir):
+        t = Table.create(
+            spark, os.path.join(tmp_table_dir, "g"), datagen.IMAGES_SCHEMA,
+            PartitionSpec(()), identifier_fields=("image_id",),
+        )
+        datagen.fragmented_append(
+            t, datagen.gen_images_df(spark, 60), 60, n_files=6
+        )
+        before = {e.file_path for e in t.entries()}
+        res = run_compaction(
+            t, "g", fill_ratio=1.0, target_bytes=TARGET,
+            predicates=[("fmt", "==", "tiff")],
+        )
+        assert res["bins_executed"] == 0
+        assert {e.file_path for e in t.entries()} == before
