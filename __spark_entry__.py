@@ -420,6 +420,48 @@ def _q_dedup_simhash(spark, sf):
     )
 
 
+# perceptual-hash image near-dup: the derivation planted with twins whose
+# phash differs in 1-2 deterministic bits (id%17=3). Both engines build the
+# SAME corpus; only the xor/shift spelling differs per dialect.
+_PH_NUMID = "CAST(substring(image_id, 5) AS BIGINT)"
+
+
+def _phash_corpus_sql(dialect: str) -> str:
+    derived = pipeline.derive_images_sql()
+    b1 = f"({_PH_NUMID}) % 60"
+    b2 = f"(({_PH_NUMID}) * 7) % 60"
+    if dialect == "spark":
+        mask = (
+            f"(shiftleft(CAST(1 AS BIGINT), CAST({b1} AS INT)) | "
+            f"shiftleft(CAST(1 AS BIGINT), CAST({b2} AS INT)))"
+        )
+        twin = f"phash ^ {mask}"
+    else:  # duckdb
+        mask = (
+            f"((CAST(1 AS BIGINT) << ({b1})) | "
+            f"(CAST(1 AS BIGINT) << ({b2})))"
+        )
+        twin = f"xor(phash, {mask})"
+    return f"""
+WITH img AS ({derived})
+SELECT image_id, phash FROM img
+UNION ALL
+SELECT image_id || '~dup' AS image_id, CAST({twin} AS BIGINT) AS phash
+FROM img WHERE ({_PH_NUMID}) % 17 = 3
+"""
+
+
+def _q_dedup_phash_hamming(spark, sf):
+    # image near-dup on the 64-bit perceptual-hash column: multi-index
+    # Hamming LSH (pigeonhole bands, exact — see hamming_pairs), straight
+    # over a table column, no text shingling
+    _v(spark, sf, "documents")
+    corpus = spark.sql(_phash_corpus_sql("spark"))
+    return dedup.hamming_pairs(
+        corpus, "image_id", "phash", max_hamming=3, bits=64
+    )
+
+
 def _q_ann_lsh_topk(spark, sf):
     # n_planes pinned (the auto_planes sizing depends on |corpus|, which the
     # static oracle SQL can't) and exact_buckets=True: plane signs come from
@@ -613,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "stream_windowed_counts": _q_stream_windowed_counts,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_phash_hamming": _q_dedup_phash_hamming,
         "multimodal_decode_stats": _q_multimodal_decode_stats,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "p8_json_struct": _q_p8_json_struct,
@@ -823,6 +866,11 @@ FROM events GROUP BY 1, 2
 """,
         "dedup_simhash": dedup.simhash_pairs_sql(
             "documents", "doc_id", "text", max_hamming=3
+        ),
+        # brute-force O(n²) popcount twin — banding is exact (pigeonhole)
+        "dedup_phash_hamming": dedup.hamming_pairs_sql(
+            f"({_phash_corpus_sql('duckdb')}) c",
+            "image_id", "phash", max_hamming=3,
         ),
         "p8_json_struct": """
 WITH src AS (

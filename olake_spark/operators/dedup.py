@@ -362,25 +362,37 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.select("id", F.expr(combine).alias("sh"))
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+def hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band blocking with `max_hamming + 1` bands
-    (a pair within Hamming distance ≤ max_hamming disagrees in at most
-    max_hamming bands, so it MUST agree on ≥1 — pigeonhole, lossless), then
-    exact popcount verification (JVM `bit_count`). Returns
-    (id_a, id_b, hamming) for every pair with distance ≤ max_hamming —
-    EXACTLY, which is why the brute-force SQL oracle applies."""
+    """Multi-index Hamming LSH over an existing integer hash column: band
+    blocking with `max_hamming + 1` bands (a pair within Hamming distance
+    ≤ max_hamming disagrees in at most max_hamming bands, so it MUST agree
+    on ≥1 — pigeonhole, LOSSLESS), then exact popcount verification (JVM
+    `bit_count`). Returns (id_a, id_b, hamming) for EVERY pair with
+    distance ≤ max_hamming — exactly, which is why a brute-force SQL oracle
+    applies. This is the image near-dup primitive: run it straight on a
+    64-bit perceptual-hash (pHash) column, no recompute.
+
+    Scale: one explode to (n_bands × rows) band keys, one self-join
+    shuffled on (band, key) — candidate pairs are bounded by real bucket
+    collisions, never O(n²). Arithmetic shiftright + mask extracts band
+    bits correctly for negative (full 64-bit) hashes; Spark and DuckDB
+    agree exactly on bit_count/xor over two's-complement BIGINT."""
     n_bands = max_hamming + 1
-    if n_bands > SIMHASH_BITS:
-        raise ValueError(f"max_hamming must be < {SIMHASH_BITS}")
-    base, rem = divmod(SIMHASH_BITS, n_bands)
+    if n_bands > bits:
+        raise ValueError(f"max_hamming must be < {bits}")
+    base, rem = divmod(bits, n_bands)
     offs, o = [], 0
     for b in range(n_bands):
         w = base + (1 if b < rem else 0)
         offs.append((b, o, (1 << w) - 1))
         o += w
-    hs = simhash_df(df, id_col, text_col)
+    hs = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("sh"))
     bands = hs.select(
         "id",
         "sh",
@@ -414,6 +426,32 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def hamming_pairs_sql(
+    table: str, id_col: str, hash_col: str, max_hamming: int = 3
+) -> str:
+    """DuckDB oracle twin of :func:`hamming_pairs`: brute force over all
+    O(n²) pairs — band blocking being exact (pigeonhole), outputs must be
+    identical."""
+    return f"""
+WITH sh AS (SELECT {id_col} AS id, CAST({hash_col} AS BIGINT) AS sh
+            FROM {table})
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: compute the 60-bit SimHash, then the exact
+    banded Hamming join (see :func:`hamming_pairs` — same pigeonhole
+    blocking + popcount verify, shared implementation)."""
+    hs = simhash_df(df, id_col, text_col)
+    return hamming_pairs(hs, "id", "sh", max_hamming, bits=SIMHASH_BITS)
 
 
 def simhash_pairs_sql(

@@ -271,3 +271,52 @@ class TestConnectedComponents:
             for r in connected_components(pairs).collect()
         }
         assert got == {1: 1, 5: 1, 9: 1}
+
+
+class TestHammingPairs:
+    """hamming_pairs is EXACT (pigeonhole banding, not probabilistic): on a
+    random 64-bit corpus with planted near-twins, its output must equal the
+    brute-force popcount join, including full-width negative hashes."""
+
+    def test_matches_bruteforce(self, spark):
+        from olake_spark.operators.dedup import hamming_pairs
+
+        base = spark.sql(
+            """
+            SELECT concat('id-', id) AS id,
+                   CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), 16, 10)
+                        AS BIGINT)
+                   ^ shiftleft(CAST(id % 2 AS BIGINT), 63) AS h
+            FROM range(250)
+            """
+        )
+        twins = spark.sql(
+            """
+            SELECT concat('id-', id, '~t') AS id,
+                   CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), 16, 10)
+                        AS BIGINT)
+                   ^ shiftleft(CAST(id % 2 AS BIGINT), 63)
+                   ^ shiftleft(CAST(1 AS BIGINT), CAST(id % 64 AS INT)) AS h
+            FROM range(250) WHERE id % 9 = 2
+            """
+        )
+        corpus = base.unionByName(twins)
+        got = {
+            tuple(r)
+            for r in hamming_pairs(corpus, "id", "h", max_hamming=4).collect()
+        }
+        brute = {
+            tuple(r)
+            for r in corpus.alias("a")
+            .crossJoin(corpus.alias("b"))
+            .filter("a.id < b.id")
+            .selectExpr(
+                "a.id AS id_a",
+                "b.id AS id_b",
+                "CAST(bit_count(a.h ^ b.h) AS BIGINT) AS hamming",
+            )
+            .filter("hamming <= 4")
+            .collect()
+        }
+        assert got == brute
+        assert len(got) >= 26  # every planted twin found (250/9 ≈ 28)
