@@ -21,6 +21,7 @@ from olake_spark import pipeline
 from olake_spark.functions import curate
 from olake_spark.functions import text as T
 from olake_spark.operators import ann, dedup
+from olake_spark.operators import pack as packmod
 
 ALL_TABLES = (
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -616,6 +617,29 @@ def _q_multimodal_decode_stats(spark, sf):
     )
 
 
+PACK_BUDGET = 256  # tokens per training sequence in the gate
+PACK_BUCKETS = 8
+
+
+def _q_text_gopher_rules(spark, sf):
+    # Gopher/C4-style composite quality gate: every rule as a metric +
+    # 0/1 flag column, `keep` the conjunction — pure Catalyst.
+    d = _tbl(spark, sf, "documents")
+    return d.select("doc_id", *T.gopher_rules_cols("text"))
+
+
+def _q_pack_sequences(spark, sf):
+    # greedy next-fit sequence packing (token-budget bins), hash-bucketed
+    # for distribution; oracle is the same recurrence as a recursive CTE
+    from olake_spark.operators import pack
+
+    d = _tbl(spark, sf, "documents")
+    return pack.pack_sequences(
+        d, "doc_id", T.token_count_col("text"),
+        budget=PACK_BUDGET, n_buckets=PACK_BUCKETS,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "maintenance_compact_cluster": _q_maintenance_compact_cluster,
@@ -665,6 +689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub_pii": _q_text_scrub_pii,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "dedup_keep_best": _q_dedup_keep_best,
+        "text_gopher_rules": _q_text_gopher_rules,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -896,4 +922,13 @@ FROM src
 SELECT image_id, TRUE AS decode_ok, CAST(w * h AS BIGINT) AS n_pixels
 FROM ({pipeline.derive_images_sql()})
 """,
+        "text_gopher_rules": (
+            "SELECT doc_id, "
+            + ", ".join(T.gopher_rules_sql("text"))
+            + " FROM documents"
+        ),
+        "pack_sequences": packmod.pack_sequences_sql(
+            "documents", "doc_id", T.token_count_sql("text"),
+            budget=PACK_BUDGET, n_buckets=PACK_BUCKETS,
+        ),
     }

@@ -170,3 +170,178 @@ def shingles_sql(toks: str, k: int = 3) -> str:
         f"ELSE list_distinct([{join} FOR i IN "
         f"range(1, len({toks}) - {k} + 2)]) END"
     )
+
+
+# ------------------------------------------------- Gopher-style rule filter
+#
+# Composite document-quality gate in the shape of the Gopher paper's
+# repetition/format rules (Rae et al. 2021, appendix A1.1) and C4's
+# heuristics, reduced to deterministic integer-ppm arithmetic so the Spark
+# plan and the DuckDB oracle agree bit-for-bit. Every rule is emitted as its
+# own metric column plus a 0/1 flag; `keep` is the conjunction. Pure
+# Catalyst — no Python in the plan.
+
+GOPHER_DEFAULTS = dict(
+    min_words=30,
+    max_words=90,
+    min_word_len_ppm=3_000_000,   # mean word length in [3, 10] chars
+    max_word_len_ppm=10_000_000,
+    min_alpha_ppm=800_000,        # ≥80% of words contain a letter
+    max_symbol_ppm=100_000,       # ≤0.1 '#'/'...' marks per word
+    max_bullet_ppm=900_000,       # ≤90% of lines start with a bullet
+    max_ellipsis_ppm=300_000,     # ≤30% of lines end with '...'
+    min_stop_hits=2,              # ≥2 stopword occurrences
+)
+
+_SYMBOL_RE = r"#|\.\.\."
+_BULLETS = ("-", "\\*", "•")  # '-', '*', '•'
+
+
+def alpha_word_ratio_ppm_col(text: str) -> Column:
+    n = token_count_col(text)
+    return F.floor(
+        F.expr(
+            f"size(filter(split({text}, ' '), t -> t rlike '[a-zA-Z]'))"
+        ).cast("long") * PPM / n
+    ).cast("long")
+
+
+def alpha_word_ratio_ppm_sql(text: str) -> str:
+    return (
+        f"CAST(floor(len(list_filter(string_split({text}, ' '), "
+        f"t -> regexp_matches(t, '[a-zA-Z]'))) * {PPM}.0 / "
+        f"{token_count_sql(text)}) AS BIGINT)"
+    )
+
+
+def symbol_ratio_ppm_col(text: str) -> Column:
+    """'#' and '...' marks per word, in ppm (Gopher symbol-to-word rule).
+
+    Spark SQL string literals eat single backslashes, so the regex is
+    double-escaped here; the DuckDB twin keeps them literal."""
+    pat = _SYMBOL_RE.replace("\\", "\\\\")
+    return F.floor(
+        F.expr(f"regexp_count({text}, '{pat}')").cast("long")
+        * PPM / token_count_col(text)
+    ).cast("long")
+
+
+def symbol_ratio_ppm_sql(text: str) -> str:
+    return (
+        f"CAST(floor(len(regexp_extract_all({text}, '{_SYMBOL_RE}')) * "
+        f"{PPM}.0 / {token_count_sql(text)}) AS BIGINT)"
+    )
+
+
+def _lines_col(text: str) -> str:
+    return f"split({text}, '\\n')"
+
+
+def bullet_line_ratio_ppm_col(text: str) -> Column:
+    starts = " OR ".join(f"startswith(ltrim(t), '{b}')" for b in ("-", "*", "•"))
+    return F.floor(
+        F.expr(
+            f"size(filter({_lines_col(text)}, t -> {starts})) * CAST({PPM} AS BIGINT) "
+            f"/ size({_lines_col(text)})"
+        )
+    ).cast("long")
+
+
+def bullet_line_ratio_ppm_sql(text: str) -> str:
+    starts = " OR ".join(f"starts_with(ltrim(t), '{b}')" for b in ("-", "*", "•"))
+    lines = f"string_split({text}, chr(10))"
+    return (
+        f"CAST(floor(len(list_filter({lines}, t -> {starts})) * {PPM}.0 / "
+        f"len({lines})) AS BIGINT)"
+    )
+
+
+def ellipsis_line_ratio_ppm_col(text: str) -> Column:
+    return F.floor(
+        F.expr(
+            f"size(filter({_lines_col(text)}, t -> endswith(rtrim(t), '...'))) "
+            f"* CAST({PPM} AS BIGINT) / size({_lines_col(text)})"
+        )
+    ).cast("long")
+
+
+def ellipsis_line_ratio_ppm_sql(text: str) -> str:
+    lines = f"string_split({text}, chr(10))"
+    return (
+        f"CAST(floor(len(list_filter({lines}, t -> ends_with(rtrim(t), '...'))) "
+        f"* {PPM}.0 / len({lines})) AS BIGINT)"
+    )
+
+
+def gopher_rules_cols(text: str, **overrides) -> list[Column]:
+    """Metric + per-rule-flag + `keep` columns (call with df.select(id, *these))."""
+    p = {**GOPHER_DEFAULTS, **overrides}
+    n = token_count_col(text)
+    wlen = avg_token_len_ppm_col(text)
+    alpha = alpha_word_ratio_ppm_col(text)
+    sym = symbol_ratio_ppm_col(text)
+    bullet = bullet_line_ratio_ppm_col(text)
+    ell = ellipsis_line_ratio_ppm_col(text)
+    stop = stopword_count_col(text)
+    flags = {
+        "ok_words": (n >= p["min_words"]) & (n <= p["max_words"]),
+        "ok_word_len": (wlen >= p["min_word_len_ppm"]) & (wlen <= p["max_word_len_ppm"]),
+        "ok_alpha": alpha >= p["min_alpha_ppm"],
+        "ok_symbols": sym <= p["max_symbol_ppm"],
+        "ok_bullets": bullet <= p["max_bullet_ppm"],
+        "ok_ellipsis": ell <= p["max_ellipsis_ppm"],
+        "ok_stopwords": stop >= p["min_stop_hits"],
+    }
+    cols = [
+        n.alias("n_words"),
+        wlen.alias("word_len_ppm"),
+        alpha.alias("alpha_ppm"),
+        sym.alias("symbol_ppm"),
+        bullet.alias("bullet_ppm"),
+        ell.alias("ellipsis_ppm"),
+        stop.alias("stop_hits"),
+    ]
+    keep = None
+    for name, c in flags.items():
+        cols.append(c.cast("long").alias(name))
+        keep = c if keep is None else (keep & c)
+    cols.append(keep.cast("long").alias("keep"))
+    return cols
+
+
+def gopher_rules_sql(text: str, **overrides) -> list[str]:
+    """DuckDB twin of :func:`gopher_rules_cols` (same column names/order)."""
+    p = {**GOPHER_DEFAULTS, **overrides}
+    n = token_count_sql(text)
+    wlen = avg_token_len_ppm_sql(text)
+    alpha = alpha_word_ratio_ppm_sql(text)
+    sym = symbol_ratio_ppm_sql(text)
+    bullet = bullet_line_ratio_ppm_sql(text)
+    ell = ellipsis_line_ratio_ppm_sql(text)
+    stop = stopword_count_sql(text)
+    flags = {
+        "ok_words": f"({n} >= {p['min_words']} AND {n} <= {p['max_words']})",
+        "ok_word_len": (
+            f"({wlen} >= {p['min_word_len_ppm']} AND {wlen} <= {p['max_word_len_ppm']})"
+        ),
+        "ok_alpha": f"({alpha} >= {p['min_alpha_ppm']})",
+        "ok_symbols": f"({sym} <= {p['max_symbol_ppm']})",
+        "ok_bullets": f"({bullet} <= {p['max_bullet_ppm']})",
+        "ok_ellipsis": f"({ell} <= {p['max_ellipsis_ppm']})",
+        "ok_stopwords": f"({stop} >= {p['min_stop_hits']})",
+    }
+    cols = [
+        f"{n} AS n_words",
+        f"{wlen} AS word_len_ppm",
+        f"{alpha} AS alpha_ppm",
+        f"{sym} AS symbol_ppm",
+        f"{bullet} AS bullet_ppm",
+        f"{ell} AS ellipsis_ppm",
+        f"{stop} AS stop_hits",
+    ]
+    for name, c in flags.items():
+        cols.append(f"CAST({c} AS BIGINT) AS {name}")
+    cols.append(
+        "CAST((" + " AND ".join(flags.values()) + ") AS BIGINT) AS keep"
+    )
+    return cols

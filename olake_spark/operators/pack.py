@@ -1,0 +1,158 @@
+"""Sequence packing: assign documents to fixed token-budget training
+sequences (context windows) with greedy next-fit.
+
+The op every pretraining data pipeline runs between curation and batching:
+given per-document token counts, pack documents into sequences of at most
+``budget`` tokens, preserving a deterministic document order, and emit
+(sequence id, offset) coordinates for the batch writer.
+
+Distribution model — the 100 TB shape:
+  * Documents are hash-bucketed (cross-engine-exact md5 bucket, same family
+    as :mod:`olake_spark.functions.curate`); packing runs independently per
+    bucket, so the job is one shuffle on ``bucket`` followed by
+    embarrassingly-parallel group work. ``n_buckets`` scales with corpus
+    size (target ~10-50k docs per bucket), so no task ever sees more than a
+    bounded slice, and adding executors splits the work 1:1.
+  * Next-fit inside a bucket is inherently sequential (each placement
+    depends on the running fill), so the per-group step is an
+    ``applyInPandas`` loop over the bucket's rows — O(rows) driver-free
+    Python per task, Arrow-batched in and out. This is the textbook case
+    where the built-in operators genuinely can't express the semantics.
+
+Oracle: the same next-fit recurrence expressed as a DuckDB recursive CTE
+(`pack_sequences_sql`), bit-identical because both engines walk documents
+in the same (bucket, id) order over the same capped token counts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_OUT_SCHEMA = "doc long, bucket long, seq long, seq_off long, tok_used long"
+
+
+def _bucket_col(key_col: str, n_buckets: int) -> F.Column:
+    """Uniform [0, n_buckets) bucket from a 60-bit md5 prefix — exactly
+    reproducible in DuckDB (see `_bucket_sql`)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("long") % n_buckets
+    )
+
+
+def _bucket_sql(key_col: str, n_buckets: int) -> str:
+    return (
+        f"(CAST(('0x' || substring(md5(CAST({key_col} AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % {n_buckets})"
+    )
+
+
+def _pack_group(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
+    pdf = pdf.sort_values("doc", kind="mergesort").reset_index(drop=True)
+    toks = pdf["tok"].to_numpy()
+    n = len(toks)
+    seqs = [0] * n
+    offs = [0] * n
+    seq = 0
+    fill = 0
+    for i in range(n):  # next-fit is a true recurrence; groups are bounded
+        t = int(toks[i])
+        if fill + t > budget:
+            seq += 1
+            fill = 0
+        seqs[i] = seq
+        offs[i] = fill
+        fill += t
+    return pd.DataFrame(
+        {
+            "doc": pdf["doc"],
+            "bucket": pdf["bucket"],
+            "seq": seqs,
+            "seq_off": offs,
+            "tok_used": toks,
+        }
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens: F.Column,
+    budget: int,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Greedy next-fit packing of `df` rows into token sequences.
+
+    `tokens` is any integer Column (e.g. ``text.token_count_col("text")``);
+    counts larger than `budget` are capped so every document fits in one
+    sequence (oversized docs become a full sequence on their own — the
+    truncation the batch writer would apply anyway).
+
+    Returns (doc, bucket, seq, seq_off, tok_used): document `doc` occupies
+    `[seq_off, seq_off + tok_used)` of sequence (bucket, seq).
+    """
+    w = df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        _bucket_col(id_col, n_buckets).alias("bucket"),
+        F.least(tokens.cast("long"), F.lit(budget).cast("long")).alias("tok"),
+    )
+    return (
+        w.repartition(n_buckets, "bucket")
+        .groupBy("bucket")
+        .applyInPandas(
+            lambda pdf: _pack_group(pdf, budget), schema=_OUT_SCHEMA
+        )
+    )
+
+
+def pack_sequences_sql(
+    table: str,
+    id_col: str,
+    tokens_sql: str,
+    budget: int,
+    n_buckets: int = 8,
+) -> str:
+    """DuckDB twin of :func:`pack_sequences`: the same next-fit recurrence
+    as a recursive CTE walking each bucket in (bucket, id) order."""
+    return f"""
+WITH RECURSIVE rows_t AS (
+  SELECT CAST({id_col} AS BIGINT) AS doc,
+         {_bucket_sql(id_col, n_buckets)} AS bucket,
+         least(CAST({tokens_sql} AS BIGINT), {budget}) AS tok,
+         row_number() OVER (
+           PARTITION BY {_bucket_sql(id_col, n_buckets)}
+           ORDER BY CAST({id_col} AS BIGINT)
+         ) AS rn
+  FROM {table}
+), walk AS (
+  SELECT doc, bucket, tok, rn,
+         CAST(0 AS BIGINT) AS seq, CAST(0 AS BIGINT) AS seq_off, tok AS fill
+  FROM rows_t WHERE rn = 1
+  UNION ALL
+  SELECT r.doc, r.bucket, r.tok, r.rn,
+         CASE WHEN w.fill + r.tok > {budget} THEN w.seq + 1 ELSE w.seq END,
+         CASE WHEN w.fill + r.tok > {budget}
+              THEN CAST(0 AS BIGINT) ELSE w.fill END,
+         CASE WHEN w.fill + r.tok > {budget}
+              THEN r.tok ELSE w.fill + r.tok END
+  FROM walk w JOIN rows_t r ON r.bucket = w.bucket AND r.rn = w.rn + 1
+)
+SELECT doc, bucket, seq, seq_off, tok AS tok_used FROM walk
+""".strip()
+
+
+def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Per-bucket packing efficiency: sequences used, mean fill ppm."""
+    per_seq = packed.groupBy("bucket", "seq").agg(
+        F.sum("tok_used").alias("fill")
+    )
+    return per_seq.groupBy("bucket").agg(
+        F.count("*").alias("n_seqs"),
+        F.floor(F.avg(F.col("fill") * 1_000_000 / budget)).cast("long").alias(
+            "mean_fill_ppm"
+        ),
+    )

@@ -1,0 +1,85 @@
+"""Sequence packing (next-fit token-budget bins) invariants."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from olake_spark.functions import text as T
+from olake_spark.operators import pack
+
+BUDGET = 100
+
+
+@pytest.fixture(scope="module")
+def packed(spark):
+    df = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        # token counts 1..137 — some above budget to exercise the cap
+        (F.pmod(F.col("id") * 37 + 11, F.lit(137)) + 1).alias("n_tok"),
+    )
+    out = pack.pack_sequences(
+        df, "doc_id", F.col("n_tok"), budget=BUDGET, n_buckets=4
+    )
+    src = {r["doc_id"]: r["n_tok"] for r in df.collect()}
+    return src, out.toPandas()
+
+
+def test_every_doc_packed_once(packed):
+    src, pdf = packed
+    assert sorted(pdf["doc"]) == sorted(src)
+
+
+def test_fill_never_exceeds_budget(packed):
+    _, pdf = packed
+    fills = pdf.groupby(["bucket", "seq"])["tok_used"].sum()
+    assert (fills <= BUDGET).all()
+    # and every doc ends within the budget
+    assert ((pdf["seq_off"] + pdf["tok_used"]) <= BUDGET).all()
+
+
+def test_offsets_contiguous_within_sequence(packed):
+    """Docs tile each sequence: offsets are the running sum in doc order."""
+    _, pdf = packed
+    for (_, _), g in pdf.groupby(["bucket", "seq"]):
+        g = g.sort_values("doc")
+        run = 0
+        for off, used in zip(g["seq_off"], g["tok_used"]):
+            assert off == run
+            run += used
+
+
+def test_next_fit_is_greedy(packed):
+    """A new sequence starts ONLY when the next doc would overflow —
+    next-fit never leaves room it could have used."""
+    _, pdf = packed
+    for _, g in pdf.groupby("bucket"):
+        g = g.sort_values("doc")
+        prev_seq, fill = 0, 0
+        for seq, used in zip(g["seq"], g["tok_used"]):
+            if seq != prev_seq:
+                assert seq == prev_seq + 1
+                assert fill + used > BUDGET  # overflow forced the break
+                fill = 0
+                prev_seq = seq
+            fill += used
+
+
+def test_oversized_doc_capped(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "n_tok": [5000, 10]})
+    )
+    out = pack.pack_sequences(
+        df, "doc_id", F.col("n_tok"), budget=64, n_buckets=1
+    ).toPandas()
+    big = out[out["doc"] == 1].iloc[0]
+    assert big["tok_used"] == 64 and big["seq_off"] == 0
+
+
+def test_gopher_keep_is_conjunction(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pdf = d.select("doc_id", *T.gopher_rules_cols("text")).toPandas()
+    flag_cols = [c for c in pdf.columns if c.startswith("ok_")]
+    assert set(pdf[flag_cols].to_numpy().ravel()) <= {0, 1}
+    assert (pdf["keep"] == pdf[flag_cols].min(axis=1)).all()
+    # thresholds discriminate on the fixture corpus: both classes present
+    assert 0 < pdf["keep"].sum() < len(pdf)
