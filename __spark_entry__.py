@@ -142,6 +142,12 @@ def _q_delete_where_scan(spark, sf):
     return pipeline.delete_where_roundtrip(spark, sf)
 
 
+def _q_clone_table_scan(spark, sf):
+    # Iceberg `snapshot` procedure: zero-copy clone, independently mutated
+    # and compacted into owned layout; source asserted untouched in-gate
+    return pipeline.clone_roundtrip(spark, sf)
+
+
 def _q_compact_filtered_scan(spark, sf):
     # RewriteDataFiles filter: compaction scoped by predicate via min/max
     # file pruning — out-of-scope partitions untouched (asserted in-gate),
@@ -691,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "text_gopher_rules": _q_text_gopher_rules,
         "pack_sequences": _q_pack_sequences,
+        "clone_table_scan": _q_clone_table_scan,
     }
 
 
@@ -927,6 +934,7 @@ FROM ({pipeline.derive_images_sql()})
             + ", ".join(T.gopher_rules_sql("text"))
             + " FROM documents"
         ),
+        "clone_table_scan": pipeline.clone_oracle_sql(),
         "pack_sequences": packmod.pack_sequences_sql(
             "documents", "doc_id", T.token_count_sql("text"),
             budget=PACK_BUDGET, n_buckets=PACK_BUCKETS,

@@ -281,6 +281,62 @@ def delete_where_oracle_sql() -> str:
     )
 
 
+CLONE_DELETE_PRED = "h = 16 AND fmt = 'jpeg'"  # applied to the CLONE only
+
+
+def clone_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy clone roundtrip (Iceberg `snapshot` procedure): build a
+    source carrying BOTH delete kinds (an equality delete + a positional
+    delete over DELETE_PREDS), snapshot_table it — zero data bytes copied,
+    files referenced absolutely — then mutate ONLY the clone with a third
+    predicate delete and compact it into owned layout. In-gate asserts: the
+    source's disk bytes and scan are untouched by everything the clone did,
+    and the clone's own files are all root-relative after compaction. The
+    returned clone scan must equal the derivation minus all three
+    predicates."""
+    from olake_spark.icelite.clone import snapshot_table
+
+    tmp = tempfile.mkdtemp(prefix="olake-clone-")
+    try:
+        src = Table.create(
+            spark,
+            os.path.join(tmp, "src"),
+            datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("image_id", "bucket", 4),)),
+            identifier_fields=("image_id",),
+        )
+        src.append(images_from_documents(spark, sf_dir), max_records_per_file=64)
+        # equality delete (CDC-shaped): kills DELETE_PREDS[0] rows
+        src.row_delta(
+            None,
+            src.scan(columns=["image_id", "phash"])
+            .filter(DELETE_PREDS[0])
+            .select("image_id"),
+        )
+        src.delete_where(DELETE_PREDS[1])  # positional delete
+        before = {
+            tuple(r) for r in src.scan(columns=SCAN_COLS).collect()
+        }
+        dest = snapshot_table(src, os.path.join(tmp, "dest"))
+        dest.delete_where(CLONE_DELETE_PRED)
+        run_compaction(dest, "clone-compact", fill_ratio=1.0)
+        assert all(
+            not os.path.isabs(e.file_path) for e in dest.entries()
+        ), "compaction must migrate every by-reference file into owned layout"
+        after = {tuple(r) for r in src.scan(columns=SCAN_COLS).collect()}
+        assert after == before, "clone mutations leaked into the source"
+        return _materialize(dest.scan(columns=SCAN_COLS))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def clone_oracle_sql() -> str:
+    survive = " AND ".join(
+        f"NOT ({p})" for p in (*DELETE_PREDS, CLONE_DELETE_PRED)
+    )
+    return f"SELECT * FROM ({derive_images_sql()}) WHERE {survive}"
+
+
 def compact_filtered_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter-scoped compaction roundtrip (Iceberg RewriteDataFiles
     `filter`): fragment a fmt-identity-partitioned ingest, then compact ONLY
