@@ -142,6 +142,12 @@ def _q_delete_where_scan(spark, sf):
     return pipeline.delete_where_roundtrip(spark, sf)
 
 
+def _q_stream_table_feed(spark, sf):
+    # Iceberg streaming read: snapshot-id offsets, append-delta batches,
+    # rewrites invisible — via the PySpark 4 Python Data Source API
+    return pipeline.stream_feed_roundtrip(spark, sf)
+
+
 def _q_clone_table_scan(spark, sf):
     # Iceberg `snapshot` procedure: zero-copy clone, independently mutated
     # and compacted into owned layout; source asserted untouched in-gate
@@ -698,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_rules": _q_text_gopher_rules,
         "pack_sequences": _q_pack_sequences,
         "clone_table_scan": _q_clone_table_scan,
+        "stream_table_feed": _q_stream_table_feed,
     }
 
 
@@ -935,6 +942,9 @@ FROM ({pipeline.derive_images_sql()})
             + " FROM documents"
         ),
         "clone_table_scan": pipeline.clone_oracle_sql(),
+        # the drained feed must equal the full derivation (appends seen
+        # once, the compaction rewrite invisible)
+        "stream_table_feed": pipeline.derive_images_sql(),
         "pack_sequences": packmod.pack_sequences_sql(
             "documents", "doc_id", T.token_count_sql("text"),
             budget=PACK_BUDGET, n_buckets=PACK_BUCKETS,

@@ -281,6 +281,44 @@ def delete_where_oracle_sql() -> str:
     )
 
 
+def stream_feed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming table-source roundtrip (Iceberg streaming-read
+    parity via the PySpark 4 Python Data Source API): ingest the derivation
+    in two append commits, compact (a rewrite the feed must NOT re-surface),
+    then drain ``readStream.format("icelite")`` from `earliest` with
+    availableNow into a parquet sink. The drained rows must equal the
+    derivation exactly — every append seen once, the rewrite invisible."""
+    from olake_spark.streaming.table_source import read_table_stream
+
+    tmp = tempfile.mkdtemp(prefix="olake-feed-")
+    try:
+        t = Table.create(
+            spark,
+            os.path.join(tmp, "images"),
+            datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("image_id", "bucket", 4),)),
+            identifier_fields=("image_id",),
+        )
+        imgs = images_from_documents(spark, sf_dir)
+        t.append(imgs.filter("phash % 2 = 0"), max_records_per_file=64)
+        t.append(imgs.filter("phash % 2 != 0"), max_records_per_file=64)
+        run_compaction(t, "feed-compact", fill_ratio=1.0)
+        sink = os.path.join(tmp, "sink")
+        q = (
+            read_table_stream(spark, t.root)
+            .selectExpr(*SCAN_COLS)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return _materialize(spark.read.parquet(sink).select(*SCAN_COLS))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 CLONE_DELETE_PRED = "h = 16 AND fmt = 'jpeg'"  # applied to the CLONE only
 
 
