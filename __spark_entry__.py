@@ -148,6 +148,12 @@ def _q_stream_table_feed(spark, sf):
     return pipeline.stream_feed_roundtrip(spark, sf)
 
 
+def _q_stream_pipe_scan(spark, sf):
+    # table→table streaming pipeline: icelite SOURCE → icelite SINK
+    # (exactly-once txn commits), compacted, scanned
+    return pipeline.stream_pipe_roundtrip(spark, sf)
+
+
 def _q_clone_table_scan(spark, sf):
     # Iceberg `snapshot` procedure: zero-copy clone, independently mutated
     # and compacted into owned layout; source asserted untouched in-gate
@@ -705,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "clone_table_scan": _q_clone_table_scan,
         "stream_table_feed": _q_stream_table_feed,
+        "stream_pipe_scan": _q_stream_pipe_scan,
     }
 
 
@@ -945,6 +952,7 @@ FROM ({pipeline.derive_images_sql()})
         # the drained feed must equal the full derivation (appends seen
         # once, the compaction rewrite invisible)
         "stream_table_feed": pipeline.derive_images_sql(),
+        "stream_pipe_scan": pipeline.derive_images_sql(),
         "pack_sequences": packmod.pack_sequences_sql(
             "documents", "doc_id", T.token_count_sql("text"),
             budget=PACK_BUDGET, n_buckets=PACK_BUCKETS,

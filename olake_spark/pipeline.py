@@ -319,6 +319,40 @@ def stream_feed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def stream_pipe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-to-table streaming pipeline: tail table A with the icelite
+    streaming SOURCE and append into table B with the icelite streaming
+    SINK (executor-side Arrow parquet writes + one atomic idempotent-txn
+    snapshot commit per micro-batch). B's post-compaction scan must equal
+    the derivation — the full source→sink→maintenance loop is lossless."""
+    from olake_spark.operators.compact import run_compaction as _compact
+    from olake_spark.streaming import read_table_stream, write_table_stream
+
+    tmp = tempfile.mkdtemp(prefix="olake-pipe-")
+    try:
+        a = Table.create(
+            spark, os.path.join(tmp, "a"), datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("image_id", "bucket", 4),)),
+            identifier_fields=("image_id",),
+        )
+        a.append(images_from_documents(spark, sf_dir), max_records_per_file=64)
+        b = Table.create(
+            spark, os.path.join(tmp, "b"), datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("image_id", "bucket", 4),)),
+            identifier_fields=("image_id",),
+        )
+        q = write_table_stream(
+            read_table_stream(spark, a.root),
+            b.root, os.path.join(tmp, "ckpt"), txn_app="gate-pipe",
+        )
+        q.awaitTermination(300)
+        b.refresh()
+        _compact(b, "pipe-compact", fill_ratio=1.0)
+        return _materialize(b.scan(columns=SCAN_COLS))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 CLONE_DELETE_PRED = "h = 16 AND fmt = 'jpeg'"  # applied to the CLONE only
 
 
