@@ -163,6 +163,38 @@ def main() -> None:
         scrubbed = capped.withColumn(
             "text", curate.scrub_pii_col("text"))
         step("curate", sampled=sampled.count(), final=scrubbed.count())
+
+        # -- 7b. quality rules + sequence packing --------------------------
+        rules = docs.select("doc_id", *T.gopher_rules_cols("text"))
+        from olake_spark.operators import pack
+
+        packed = pack.pack_sequences(
+            docs, "doc_id", T.token_count_col("text"), budget=256
+        )
+        step("curate2", kept=rules.filter("keep = 1").count(),
+             sequences=packed.select("bucket", "seq").distinct().count())
+
+        # -- 8. zero-copy clone + streaming table→table pipeline ----------
+        #    snapshot_table references the maintained table's files with
+        #    zero bytes copied; the icelite streaming SOURCE tails it and
+        #    the icelite streaming SINK appends into a fresh table with
+        #    exactly-once per-batch commits
+        from olake_spark.icelite import snapshot_table
+        from olake_spark.streaming import read_table_stream, write_table_stream
+
+        dev = snapshot_table(t, os.path.join(wd, "dev-clone"))
+        mirror = Table.create(
+            spark, os.path.join(wd, "mirror"), t.schema,
+            t.spec, identifier_fields=tuple(t.identifier_fields),
+        )
+        q = write_table_stream(
+            read_table_stream(spark, dev.root),
+            mirror.root, os.path.join(wd, "pipe-ckpt"), txn_app="tour-pipe",
+        )
+        q.awaitTermination(300)
+        mirror.refresh()
+        step("clone_and_pipe", clone_rows=dev.scan().count(),
+             mirrored_rows=mirror.scan().count())
         step("done", warehouse=wd)
     finally:
         spark.stop()
