@@ -179,3 +179,44 @@ class TestRowLevelOpPlans:
         plan = plan_of(t.changelog_scan(start))
         assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRound3LatePlans:
+    def test_gopher_rules_pure_catalyst(self, spark):
+        from olake_spark.functions import text as T
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = plan_of(d.select("doc_id", *T.gopher_rules_cols("text")))
+        assert "EvalPython" not in plan  # no Python anywhere in the plan
+        assert "Exchange" not in plan  # map-only: scan → project
+
+    def test_pack_sequences_single_bucket_shuffle(self, spark):
+        from olake_spark.functions import text as T
+        from olake_spark.operators import pack
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = plan_of(
+            pack.pack_sequences(d, "doc_id", T.token_count_col("text"), 256)
+        )
+        # exactly ONE exchange (the bucket repartition); the per-bucket
+        # recurrence runs as grouped pandas over Arrow
+        assert plan.count("Exchange") == 1
+        assert "FlatMapGroupsInPandas" in plan
+
+    def test_stream_source_plans_metadata_only(self, spark, tmp_table_dir):
+        # partitions() must touch manifests/metadata only: no Spark job,
+        # no data-file read on the driver planning path
+        from olake_spark.streaming.table_source import IceliteStreamReader
+
+        t = Table.create(
+            spark, os.path.join(tmp_table_dir, "t"), datagen.IMAGES_SCHEMA,
+            identifier_fields=("image_id",),
+        )
+        t.append(datagen.gen_images_df(spark, 40), max_records_per_file=10)
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup() or [])
+        r = IceliteStreamReader(t.schema, {"path": t.root})
+        parts = r.partitions(r.initialOffset(), r.latestOffset())
+        after = len(tracker.getJobIdsForGroup() or [])
+        assert len(parts) == 4
+        assert after == before  # zero jobs: pure metadata planning
