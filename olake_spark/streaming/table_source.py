@@ -72,6 +72,13 @@ class IceliteStreamReader(DataSourceStreamReader):
             str(options.get("skip_delete_snapshots", "false")).lower() == "true"
         )
         self.columns = [f.name for f in schema.fields]
+        # rate limit (Iceberg's streaming-max-files-per-micro-batch): cap
+        # how many data files one micro-batch may plan. Applied by holding
+        # latestOffset back to the last snapshot that fits the budget, so
+        # each batch stays a clean snapshot range and the checkpoint
+        # contract is untouched. 0 = unbounded.
+        self.max_files = int(options.get("max_files_per_batch", 0))
+        self._last_planned: int | None = None  # driver-session memory only
 
     def _table(self) -> Table:
         # metadata-only view: snapshots / manifests / chain walks never
@@ -86,7 +93,35 @@ class IceliteStreamReader(DataSourceStreamReader):
         return {"snapshot_id": int(self.starting)}
 
     def latestOffset(self) -> dict:
-        return {"snapshot_id": self._table().current_snapshot_id or 0}
+        t = self._table()
+        cur = t.current_snapshot_id or 0
+        if not self.max_files or cur == 0:
+            return {"snapshot_id": cur}
+        start = self._last_planned
+        if start is None:
+            start = self.initialOffset()["snapshot_id"]
+        if start == cur:
+            return {"snapshot_id": cur}
+        budget = self.max_files
+        end = start
+        for snap in self._chain(t, start, cur):
+            n = (
+                sum(
+                    1
+                    for a in t._added_entries(snap)
+                    if a.content == DATA and a.record_count > 0
+                )
+                if snap["operation"] in _APPEND_OPS
+                else 0
+            )
+            if n > budget and end != start:
+                break  # budget exhausted: hold the offset back
+            budget -= n
+            end = snap["snapshot_id"]
+            if budget <= 0:
+                break
+        self._last_planned = end
+        return {"snapshot_id": end}
 
     def _chain(self, t: Table, start: int, end: int) -> list[dict]:
         if start == 0:

@@ -106,3 +106,58 @@ def test_batch_read_refused(spark, tbl):
     table_source.register(spark)
     with pytest.raises(Exception, match="Table.scan|batch|NotImplemented"):
         spark.read.format("icelite").option("path", tbl.root).load().collect()
+
+
+def test_max_files_per_batch_rate_limit(spark, tmp_table_dir):
+    """Iceberg's streaming-max-files-per-micro-batch analogue: latestOffset
+    is held back so no planned range exceeds the file budget; successive
+    calls walk the history in bounded steps and converge on current."""
+    from olake_spark.streaming.table_source import IceliteStreamReader
+
+    t = Table.create(
+        spark, os.path.join(tmp_table_dir, "rl"), datagen.IMAGES_SCHEMA,
+        identifier_fields=("image_id",),
+    )
+    for _ in range(4):
+        t.append(datagen.gen_images_df(spark, 20), max_records_per_file=10)
+    per_commit = len(t._added_entries(t.snapshot()))  # same every commit
+    total = len([e for e in t.entries() if e.content == 0])
+
+    # budget = one commit's files: each micro-batch plans exactly one commit
+    r = IceliteStreamReader(
+        t.schema, {"path": t.root, "max_files_per_batch": str(per_commit)}
+    )
+    seen_files = 0
+    start = r.initialOffset()
+    steps = 0
+    while True:
+        end = r.latestOffset()
+        if end == start:
+            break
+        parts = r.partitions(start, end)
+        assert len(parts) == per_commit
+        seen_files += len(parts)
+        start = end
+        steps += 1
+        assert steps < 10
+    assert seen_files == total  # every file seen exactly once
+    assert steps == 4  # genuinely chunked, one commit per batch
+    assert end["snapshot_id"] == t.current_snapshot_id
+
+
+def test_one_oversized_snapshot_still_fits_a_batch(spark, tmp_table_dir):
+    # a single commit above the budget cannot be split: it must be planned
+    # whole rather than stalling the stream
+    from olake_spark.streaming.table_source import IceliteStreamReader
+
+    t = Table.create(
+        spark, os.path.join(tmp_table_dir, "big"), datagen.IMAGES_SCHEMA,
+        identifier_fields=("image_id",),
+    )
+    t.append(datagen.gen_images_df(spark, 50), max_records_per_file=10)
+    n_files = len([e for e in t.entries() if e.content == 0])
+    assert n_files > 1
+    r = IceliteStreamReader(t.schema, {"path": t.root, "max_files_per_batch": "1"})
+    end = r.latestOffset()
+    assert len(r.partitions(r.initialOffset(), end)) == n_files
+    assert end["snapshot_id"] == t.current_snapshot_id
