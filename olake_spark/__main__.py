@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -118,6 +119,10 @@ def main(argv: list[str] | None = None) -> int:
                         "reference (metadata-only, zero copy)")
     p.add_argument("--allow-duplicates", action="store_true",
                    help="skip the already-referenced check")
+    p = sub.add_parser("clone")
+    p.add_argument("--table", required=True, help="source table root")
+    p.add_argument("--dest", required=True,
+                   help="destination root for the zero-copy clone")
     sub.add_parser("bench")
     args = ap.parse_args(argv)
 
@@ -149,8 +154,6 @@ def main(argv: list[str] | None = None) -> int:
     if args.verb == "sync":
         # the reference's main verb (protocol/root.go:73): chunked resumable
         # backfill, then bounded CDC drain — state in --log / --checkpoint
-        import os
-
         from olake_spark.checkpoint import MaintenanceLog
         from olake_spark.icelite import Table
         from olake_spark.sync import apply_cdc_stream, backfill
@@ -245,6 +248,18 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "snapshot_id": snap["snapshot_id"],
             "files_added": snap["summary"].get("added-files-by-reference", 0),
+        }))
+        return 0
+    if args.verb == "clone":
+        from olake_spark.icelite import Table, snapshot_table
+
+        dest = snapshot_table(Table.load(spark, args.table), args.dest)
+        print(json.dumps({
+            "dest": dest.root,
+            "rows": dest.total_records(),
+            "files_by_reference": sum(
+                1 for e in dest.entries() if os.path.isabs(e.file_path)
+            ),
         }))
         return 0
 

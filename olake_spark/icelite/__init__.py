@@ -24,6 +24,9 @@ parquet manifests readable as DataFrames for metadata-driven planning
 from olake_spark.icelite.fileio import (ConditionalPutFileIO,  # noqa: F401
                                         FakeObjectStoreFileIO, FaultInjected,
                                         FileIO, LocalFileIO, default_io)
+from olake_spark.icelite.catalog import (Catalog,  # noqa: F401
+                                         NoSuchTableError,
+                                         TableAlreadyExistsError)
 from olake_spark.icelite.clone import snapshot_table  # noqa: F401
 from olake_spark.icelite.spec import PartitionField, PartitionSpec  # noqa: F401
 from olake_spark.icelite.table import Table  # noqa: F401
