@@ -639,11 +639,17 @@ PACK_BUDGET = 256  # tokens per training sequence in the gate
 PACK_BUCKETS = 8
 
 
+# library defaults are the published Gopher thresholds (50..100k words);
+# the fixture corpus is 10-99 short synthetic docs, so the gate pins a
+# tighter band that splits it into both classes
+GOPHER_GATE = dict(min_words=30, max_words=90)
+
+
 def _q_text_gopher_rules(spark, sf):
     # Gopher/C4-style composite quality gate: every rule as a metric +
     # 0/1 flag column, `keep` the conjunction — pure Catalyst.
     d = _tbl(spark, sf, "documents")
-    return d.select("doc_id", *T.gopher_rules_cols("text"))
+    return d.select("doc_id", *T.gopher_rules_cols("text", **GOPHER_GATE))
 
 
 def _q_pack_sequences(spark, sf):
@@ -945,7 +951,7 @@ FROM ({pipeline.derive_images_sql()})
 """,
         "text_gopher_rules": (
             "SELECT doc_id, "
-            + ", ".join(T.gopher_rules_sql("text"))
+            + ", ".join(T.gopher_rules_sql("text", **GOPHER_GATE))
             + " FROM documents"
         ),
         "clone_table_scan": pipeline.clone_oracle_sql(),

@@ -19,21 +19,31 @@ from pyspark.sql import functions as F
 PPM = 1_000_000
 
 
-def hash_bucket_col(key_col: str) -> F.Column:
-    """Uniform [0, 1e6) bucket from a 60-bit md5 prefix of the key — the
-    cross-engine-exact hash both Spark (`conv(hex,16,10)`) and DuckDB
-    (`CAST('0x'||hex AS BIGINT)`) compute identically."""
+def hash_mod_col(key_col: str, modulus: int) -> F.Column:
+    """Uniform [0, modulus) bucket from a 60-bit md5 prefix of the key —
+    the ONE cross-engine-exact hash pair (Spark `conv(hex,16,10)` ≡ DuckDB
+    `CAST('0x'||hex AS BIGINT)`); every bucketing op shares this helper so
+    the exactness contract lives in exactly one place."""
     return (
         F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
-        .cast("bigint") % PPM
+        .cast("bigint") % modulus
     )
+
+
+def hash_mod_sql(key_col: str, modulus: int) -> str:
+    return (
+        f"(CAST(('0x' || substring(md5(CAST({key_col} AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % {modulus})"
+    )
+
+
+def hash_bucket_col(key_col: str) -> F.Column:
+    """Uniform [0, 1e6) ppm bucket (sampling / quota draws)."""
+    return hash_mod_col(key_col, PPM)
 
 
 def hash_bucket_sql(key_col: str) -> str:
-    return (
-        f"CAST(('0x' || substring(md5(CAST({key_col} AS VARCHAR)), 1, 15)) "
-        f"AS BIGINT) % {PPM}"
-    )
+    return hash_mod_sql(key_col, PPM)
 
 
 def hash_sample(df: DataFrame, key_col: str, rate_ppm: int) -> DataFrame:

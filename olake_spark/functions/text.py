@@ -181,9 +181,12 @@ def shingles_sql(toks: str, k: int = 3) -> str:
 # own metric column plus a 0/1 flag; `keep` is the conjunction. Pure
 # Catalyst — no Python in the plan.
 
+# library defaults = the published Gopher appendix-A1.1 thresholds (real
+# corpora); test fixtures pass tighter overrides that discriminate on their
+# short synthetic documents
 GOPHER_DEFAULTS = dict(
-    min_words=30,
-    max_words=90,
+    min_words=50,
+    max_words=100_000,
     min_word_len_ppm=3_000_000,   # mean word length in [3, 10] chars
     max_word_len_ppm=10_000_000,
     min_alpha_ppm=800_000,        # ≥80% of words contain a letter
@@ -194,7 +197,7 @@ GOPHER_DEFAULTS = dict(
 )
 
 _SYMBOL_RE = r"#|\.\.\."
-_BULLETS = ("-", "\\*", "•")  # '-', '*', '•'
+_BULLETS = ("-", "*", "•")  # literal prefixes (checked with startswith)
 
 
 def alpha_word_ratio_ppm_col(text: str) -> Column:
@@ -238,7 +241,7 @@ def _lines_col(text: str) -> str:
 
 
 def bullet_line_ratio_ppm_col(text: str) -> Column:
-    starts = " OR ".join(f"startswith(ltrim(t), '{b}')" for b in ("-", "*", "•"))
+    starts = " OR ".join(f"startswith(ltrim(t), '{b}')" for b in _BULLETS)
     return F.floor(
         F.expr(
             f"size(filter({_lines_col(text)}, t -> {starts})) * CAST({PPM} AS BIGINT) "
@@ -248,7 +251,7 @@ def bullet_line_ratio_ppm_col(text: str) -> Column:
 
 
 def bullet_line_ratio_ppm_sql(text: str) -> str:
-    starts = " OR ".join(f"starts_with(ltrim(t), '{b}')" for b in ("-", "*", "•"))
+    starts = " OR ".join(f"starts_with(ltrim(t), '{b}')" for b in _BULLETS)
     lines = f"string_split({text}, chr(10))"
     return (
         f"CAST(floor(len(list_filter({lines}, t -> {starts})) * {PPM}.0 / "

@@ -28,7 +28,6 @@ Semantics mirrored from HadoopCatalog:
 from __future__ import annotations
 
 import os
-import uuid
 
 from pyspark.sql.types import StructType
 
@@ -37,6 +36,7 @@ from .fileio import FileIO, LocalFileIO, default_io
 from .table import Table
 
 _DROPPED = "_dropped"
+_DROP_MARKER = "dropped.marker"
 
 
 class NoSuchTableError(KeyError):
@@ -73,9 +73,13 @@ class Catalog:
 
     @staticmethod
     def _is_table_dir(path: str) -> bool:
+        # the drop marker outranks the hint: a direct-path writer's commit
+        # re-writes version-hint.text (Table._write_hint), which must NOT
+        # resurrect a dropped catalog entry
+        meta = os.path.join(path, "metadata")
         return os.path.exists(
-            os.path.join(path, "metadata", "version-hint.text")
-        )
+            os.path.join(meta, "version-hint.text")
+        ) and not os.path.exists(os.path.join(meta, _DROP_MARKER))
 
     # ----------------------------------------------------------------- DDL
 
@@ -133,12 +137,11 @@ class Catalog:
         if purge:
             self.io.rmtree(path)
             return
-        hint = os.path.join(path, "metadata", "version-hint.text")
-        self.io.rename(
-            hint,
-            os.path.join(
-                path, "metadata", f"{_DROPPED}-{uuid.uuid4().hex}.hint"
-            ),
+        # a marker, not a hint move: Table._commit re-writes the hint on
+        # every direct-path commit, so hint absence alone would not be a
+        # durable un-catalog
+        self.io.write_text_atomic(
+            os.path.join(path, "metadata", _DROP_MARKER), identifier
         )
 
     def rename_table(self, src: str, dst: str) -> Table:

@@ -35,20 +35,10 @@ from pyspark.sql import functions as F
 _OUT_SCHEMA = "doc long, bucket long, seq long, seq_off long, tok_used long"
 
 
-def _bucket_col(key_col: str, n_buckets: int) -> F.Column:
-    """Uniform [0, n_buckets) bucket from a 60-bit md5 prefix — exactly
-    reproducible in DuckDB (see `_bucket_sql`)."""
-    return (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
-        .cast("long") % n_buckets
-    )
-
-
-def _bucket_sql(key_col: str, n_buckets: int) -> str:
-    return (
-        f"(CAST(('0x' || substring(md5(CAST({key_col} AS VARCHAR)), 1, 15)) "
-        f"AS BIGINT) % {n_buckets})"
-    )
+# the cross-engine-exact md5 bucket pair is shared with every other
+# bucketing op (one source of truth for the Spark≡DuckDB contract)
+from olake_spark.functions.curate import hash_mod_col as _bucket_col
+from olake_spark.functions.curate import hash_mod_sql as _bucket_sql
 
 
 def _pack_group(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:

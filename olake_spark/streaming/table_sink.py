@@ -65,14 +65,23 @@ class IceliteStreamWriter(DataSourceStreamArrowWriter):
         self.root = os.path.abspath(options["path"])
         self.txn_app = options.get("txn_app", "icelite-sink")
         self.columns = [f.name for f in schema.fields]
-        table_cols = {f.name for f in self._table().schema.fields}
-        missing = table_cols - set(self.columns)
-        extra = set(self.columns) - table_cols
+        table_fields = {f.name: f.dataType for f in self._table().schema.fields}
+        missing = set(table_fields) - set(self.columns)
+        extra = set(self.columns) - set(table_fields)
         if missing or extra:
             raise ValueError(
                 f"stream schema mismatch: missing {sorted(missing)}, "
                 f"unknown {sorted(extra)}"
             )
+        # types too: a name-only check would durably commit parquet the
+        # table's schema-enforced reader can't scan
+        drift = {
+            f.name: (str(f.dataType), str(table_fields[f.name]))
+            for f in schema.fields
+            if f.dataType != table_fields[f.name]
+        }
+        if drift:
+            raise ValueError(f"stream schema type mismatch: {drift}")
 
     def _table(self) -> Table:
         # metadata-only view (commit/abort never launch Spark jobs); the

@@ -33,7 +33,6 @@ Arrow-over-Python-worker path is not the bottleneck.
 
 from __future__ import annotations
 
-import json
 import os
 from collections.abc import Iterator, Sequence
 
@@ -78,7 +77,16 @@ class IceliteStreamReader(DataSourceStreamReader):
         # each batch stays a clean snapshot range and the checkpoint
         # contract is untouched. 0 = unbounded.
         self.max_files = int(options.get("max_files_per_batch", 0))
-        self._last_planned: int | None = None  # driver-session memory only
+        # rate-limit walk state. Spark only calls initialOffset() on a
+        # FRESH query; on a checkpoint restart the committed offset is
+        # recovered engine-side and never shown to latestOffset(). So the
+        # budget walk may only be seeded from initialOffset() when we SAW
+        # that call — after a restart the first batch runs unbounded (to
+        # current), and bounding resumes from there. Seeding from
+        # initialOffset() after a restart would plan an offset BEHIND the
+        # checkpoint: Spark would then call partitions(ckpt, older) and the
+        # ancestor walk would raise on every retry, wedging the query.
+        self._last_planned: int | None = None
 
     def _table(self) -> Table:
         # metadata-only view: snapshots / manifests / chain walks never
@@ -87,10 +95,13 @@ class IceliteStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         if self.starting == "earliest":
-            return {"snapshot_id": 0}
-        if self.starting == "latest":
-            return {"snapshot_id": self._table().current_snapshot_id or 0}
-        return {"snapshot_id": int(self.starting)}
+            off = {"snapshot_id": 0}
+        elif self.starting == "latest":
+            off = {"snapshot_id": self._table().current_snapshot_id or 0}
+        else:
+            off = {"snapshot_id": int(self.starting)}
+        self._last_planned = off["snapshot_id"]  # fresh query: safe seed
+        return off
 
     def latestOffset(self) -> dict:
         t = self._table()
@@ -98,22 +109,29 @@ class IceliteStreamReader(DataSourceStreamReader):
         if not self.max_files or cur == 0:
             return {"snapshot_id": cur}
         start = self._last_planned
-        if start is None:
-            start = self.initialOffset()["snapshot_id"]
+        if start is None:  # restart: checkpoint offset unknown — unbounded
+            self._last_planned = cur
+            return {"snapshot_id": cur}
         if start == cur:
             return {"snapshot_id": cur}
         budget = self.max_files
         end = start
-        for snap in self._chain(t, start, cur):
-            n = (
-                sum(
+        for i, snap in enumerate(self._chain(t, start, cur)):
+            if start == 0 and i == 0 and snap["operation"] not in _APPEND_OPS:
+                # expired-history root: partitions() emits its FULL state
+                n = sum(
+                    1
+                    for x in t.entries(snap["snapshot_id"])
+                    if x.content == DATA and x.record_count > 0
+                )
+            elif snap["operation"] in _APPEND_OPS:
+                n = sum(
                     1
                     for a in t._added_entries(snap)
                     if a.content == DATA and a.record_count > 0
                 )
-                if snap["operation"] in _APPEND_OPS
-                else 0
-            )
+            else:
+                n = 0
             if n > budget and end != start:
                 break  # budget exhausted: hold the offset back
             budget -= n
@@ -150,11 +168,38 @@ class IceliteStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         s, e = start["snapshot_id"], end["snapshot_id"]
+        # self-heal the rate-limit walk after planning (e is what the
+        # engine will checkpoint, so it is always a safe future seed)
+        if self._last_planned is None or e > 0:
+            self._last_planned = max(self._last_planned or 0, e)
         if s == e or e == 0:
             return []
         t = self._table()
-        parts: list[InputPartition] = []
-        for snap in self._chain(t, s, e):
+        parts: list[IceliteFilePartition] = []
+        chain = self._chain(t, s, e)
+        if s == 0 and chain and chain[0]["operation"] not in _APPEND_OPS:
+            # expired-history table: the oldest retained snapshot is a
+            # rewrite/delete commit, so "files it added" would silently
+            # drop the table's prior state. Its manifests carry the FULL
+            # state — emit them all, refusing if live delete files exist
+            # (raw data files would resurrect the rows they mask).
+            root = chain[0]
+            ents = t.entries(root["snapshot_id"])
+            if any(x.content != DATA for x in ents):
+                raise ValueError(
+                    f"oldest retained snapshot {root['snapshot_id']} "
+                    f"({root['operation']}) carries live delete files: "
+                    "streaming its raw data files would resurrect deleted "
+                    "rows. Compact (folds the marks in) or start from a "
+                    "later snapshot."
+                )
+            parts.extend(
+                IceliteFilePartition(t._abs(x.file_path), self.columns)
+                for x in ents
+                if x.record_count > 0
+            )
+            chain = chain[1:]
+        for snap in chain:
             if snap["operation"] in _DELETE_OPS:
                 if not self.skip_deletes:
                     raise ValueError(
@@ -201,15 +246,10 @@ class IceliteDataSource(DataSource):
         return "icelite"
 
     def schema(self) -> StructType:
-        root = os.path.abspath(self.options["path"])
-        meta_dir = os.path.join(root, "metadata")
-        with open(os.path.join(meta_dir, "version-hint.text")) as f:
-            v = int(f.read().strip())
-        with open(
-            os.path.join(meta_dir, f"v{v:05d}.metadata.json")
-        ) as f:
-            meta = json.load(f)
-        return StructType.fromJson(json.loads(meta["schema_json"]))
+        # resolve via Table.refresh (max version listing), never the
+        # version hint — the hint is an advisory cache that can lag a
+        # crash-interrupted commit or a schema evolution
+        return Table(None, os.path.abspath(self.options["path"])).refresh().schema
 
     def streamReader(self, schema: StructType) -> IceliteStreamReader:
         return IceliteStreamReader(schema, dict(self.options))

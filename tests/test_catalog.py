@@ -52,6 +52,11 @@ def test_drop_without_purge_preserves_bytes(spark, cat):
     # the dir stays occupied (bytes preserved) — purge frees the name
     with pytest.raises(FileExistsError):
         cat.create_table("a.t", datagen.IMAGES_SCHEMA)
+    # durability: a direct-path writer's commit re-writes the version hint
+    # — the drop must survive it (marker outranks hint)
+    Table.load(cat.spark, root).append(datagen.gen_images_df(cat.spark, 3))
+    assert not cat.table_exists("a.t")
+    assert cat.list_tables("a") == []
 
 
 def test_drop_purge_removes_tree(spark, cat):

@@ -77,7 +77,12 @@ def test_oversized_doc_capped(spark):
 
 def test_gopher_keep_is_conjunction(spark):
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    pdf = d.select("doc_id", *T.gopher_rules_cols("text")).toPandas()
+    pdf = d.select(
+        "doc_id",
+        # fixture docs are 10-99 words; tighten the published-default band
+        # so both classes appear (defaults stay the real Gopher values)
+        *T.gopher_rules_cols("text", min_words=30, max_words=90),
+    ).toPandas()
     flag_cols = [c for c in pdf.columns if c.startswith("ok_")]
     assert set(pdf[flag_cols].to_numpy().ravel()) <= {0, 1}
     assert (pdf["keep"] == pdf[flag_cols].min(axis=1)).all()

@@ -161,3 +161,68 @@ def test_one_oversized_snapshot_still_fits_a_batch(spark, tmp_table_dir):
     end = r.latestOffset()
     assert len(r.partitions(r.initialOffset(), end)) == n_files
     assert end["snapshot_id"] == t.current_snapshot_id
+
+
+def test_restart_with_rate_limit_never_plans_backwards(spark, tmp_table_dir):
+    """Checkpoint-restart regression: a fresh reader (no initialOffset
+    call — Spark recovers the offset engine-side) must not hold
+    latestOffset behind the checkpoint; the first batch runs unbounded,
+    bounding resumes after."""
+    from olake_spark.streaming.table_source import IceliteStreamReader
+
+    t = Table.create(
+        spark, os.path.join(tmp_table_dir, "rs"), datagen.IMAGES_SCHEMA,
+        identifier_fields=("image_id",),
+    )
+    snaps = []
+    for _ in range(3):
+        snaps.append(
+            t.append(datagen.gen_images_df(spark, 10), max_records_per_file=10)
+        )
+    ckpt_offset = {"snapshot_id": snaps[1]["snapshot_id"]}  # mid-history
+
+    r = IceliteStreamReader(
+        t.schema, {"path": t.root, "max_files_per_batch": "1"}
+    )
+    # restart path: latestOffset BEFORE any initialOffset call
+    end = r.latestOffset()
+    assert end["snapshot_id"] == t.current_snapshot_id  # never behind ckpt
+    parts = r.partitions(ckpt_offset, end)  # what Spark would plan
+    assert len(parts) == len(t._added_entries(t.snapshot()))
+    # bounding resumes for later batches
+    t.append(datagen.gen_images_df(spark, 10), max_records_per_file=10)
+    t.append(datagen.gen_images_df(spark, 10), max_records_per_file=10)
+    nxt = r.latestOffset()
+    assert nxt["snapshot_id"] != t.current_snapshot_id  # held back again
+
+
+def test_earliest_over_expired_history_streams_full_state(spark, tmp_table_dir):
+    """An expired-history table whose oldest retained snapshot is a rewrite
+    commit must stream its FULL state from earliest, not silently nothing."""
+    from olake_spark.streaming.table_source import IceliteStreamReader
+
+    t = Table.create(
+        spark, os.path.join(tmp_table_dir, "ex"), datagen.IMAGES_SCHEMA,
+        identifier_fields=("image_id",),
+    )
+    t.append(datagen.gen_images_df(spark, 60), max_records_per_file=15)
+    run_compaction(t, "ex-compact", fill_ratio=1.0)
+    t.expire_snapshots(keep_last=1)
+    assert t.snapshot()["operation"] == "compact"  # root is a rewrite
+
+    r = IceliteStreamReader(t.schema, {"path": t.root})
+    parts = r.partitions(r.initialOffset(), r.latestOffset())
+    assert sum(1 for _ in parts) >= 1
+    import pyarrow.parquet as pq
+
+    total = sum(pq.ParquetFile(p.path).metadata.num_rows for p in parts)
+    assert total == 60  # the full table state, exactly once
+
+    # with live delete files in the root state, raw files would resurrect
+    # deleted rows: must refuse loudly
+    assert t.delete_where("w = 32")["rows_deleted"] > 0
+    t2 = Table.load(spark, t.root)
+    r2 = IceliteStreamReader(t2.schema, {"path": t2.root})
+    t2.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="delete"):
+        r2.partitions(r2.initialOffset(), r2.latestOffset())
