@@ -22,6 +22,7 @@ from olake_spark.functions import curate
 from olake_spark.functions import text as T
 from olake_spark.operators import ann, dedup
 from olake_spark.operators import pack as packmod
+from olake_spark.operators import sessionize as sessmod
 
 ALL_TABLES = (
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -637,6 +638,14 @@ def _q_multimodal_decode_stats(spark, sf):
 
 PACK_BUDGET = 256  # tokens per training sequence in the gate
 PACK_BUCKETS = 8
+SESSION_GAP_S = 6 * 3600  # events fixture spans months; 6h splits streams
+
+
+def _q_events_sessionize(spark, sf):
+    # gap-based sessionization: one shuffle on user_id, pure window algebra
+    return sessmod.sessionize(
+        _tbl(spark, sf, "events"), "user_id", "ts", "event_id", SESSION_GAP_S
+    )
 
 
 # library defaults are the published Gopher thresholds (50..100k words);
@@ -718,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clone_table_scan": _q_clone_table_scan,
         "stream_table_feed": _q_stream_table_feed,
         "stream_pipe_scan": _q_stream_pipe_scan,
+        "events_sessionize": _q_events_sessionize,
     }
 
 
@@ -959,6 +969,9 @@ FROM ({pipeline.derive_images_sql()})
         # once, the compaction rewrite invisible)
         "stream_table_feed": pipeline.derive_images_sql(),
         "stream_pipe_scan": pipeline.derive_images_sql(),
+        "events_sessionize": sessmod.sessionize_sql(
+            "events", "user_id", "ts", "event_id", SESSION_GAP_S
+        ),
         "pack_sequences": packmod.pack_sequences_sql(
             "documents", "doc_id", T.token_count_sql("text"),
             budget=PACK_BUDGET, n_buckets=PACK_BUCKETS,

@@ -220,3 +220,12 @@ class TestRound3LatePlans:
         after = len(tracker.getJobIdsForGroup() or [])
         assert len(parts) == 4
         assert after == before  # zero jobs: pure metadata planning
+
+    def test_sessionize_single_shuffle_no_python(self, spark):
+        from olake_spark.operators.sessionize import sessionize
+
+        e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        plan = plan_of(sessionize(e, "user_id", "ts", "event_id", 3600))
+        # all four windows key on user (or user+session) → ONE exchange
+        assert plan.count("Exchange") == 1
+        assert "EvalPython" not in plan
