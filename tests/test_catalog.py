@@ -67,7 +67,10 @@ def test_drop_purge_removes_tree(spark, cat):
     cat.create_table("a.t", datagen.IMAGES_SCHEMA)  # name reusable
 
 
-def test_rename_local_only(spark, cat, tmp_table_dir):
+def test_rename_local_only(spark, tmp_table_dir):
+    # pin LocalFileIO: under OLAKE_FILEIO=objectstore the default-io catalog
+    # correctly refuses rename, which is the second half of this test
+    cat = Catalog(spark, os.path.join(tmp_table_dir, "wh"), io=LocalFileIO())
     t = cat.create_table("a.t", datagen.IMAGES_SCHEMA)
     t.append(datagen.gen_images_df(spark, 12))
     t2 = cat.rename_table("a.t", "b.t2")
