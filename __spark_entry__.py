@@ -482,6 +482,37 @@ def _q_dedup_phash_hamming(spark, sf):
     )
 
 
+# numeric node id for the phash corpus (twins carry an '~dup' suffix, so
+# string ids can't feed the min-label propagation): original → 2·id,
+# twin → 2·id+1. Same ANSI expression in both engines.
+_PH_NODE = (
+    "CAST(substring(image_id, 5, 12) AS BIGINT) * 2 + "
+    "(CASE WHEN image_id LIKE '%~dup' THEN 1 ELSE 0 END)"
+)
+
+
+def _q_dedup_phash_clusters(spark, sf):
+    # image near-dup GROUPS: hamming pairs over the planted-twin corpus →
+    # connected components → every image labeled with the smallest node id
+    # of its duplicate cluster (itself if unique). The full image-dedup
+    # pipeline an LLM-data curator runs, composed from two exact ops.
+    _v(spark, sf, "documents")
+    corpus = spark.sql(
+        f"SELECT {_PH_NODE} AS node, phash "
+        f"FROM ({_phash_corpus_sql('spark')}) ph"
+    )
+    pairs = dedup.hamming_pairs(corpus, "node", "phash", max_hamming=3, bits=64)
+    cc = dedup.connected_components(pairs.select("id_a", "id_b"))
+    return (
+        corpus.select("node")
+        .join(cc, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce(F.col("cluster"), F.col("node")).alias("cluster_id"),
+        )
+    )
+
+
 def _q_ann_lsh_topk(spark, sf):
     # n_planes pinned (the auto_planes sizing depends on |corpus|, which the
     # static oracle SQL can't) and exact_buckets=True: plane signs come from
@@ -728,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_table_feed": _q_stream_table_feed,
         "stream_pipe_scan": _q_stream_pipe_scan,
         "events_sessionize": _q_events_sessionize,
+        "dedup_phash_clusters": _q_dedup_phash_clusters,
     }
 
 
@@ -971,6 +1003,16 @@ FROM ({pipeline.derive_images_sql()})
         "stream_pipe_scan": pipeline.derive_images_sql(),
         "events_sessionize": sessmod.sessionize_sql(
             "events", "user_id", "ts", "event_id", SESSION_GAP_S
+        ),
+        "dedup_phash_clusters": dedup.connected_components_sql(
+            dedup.hamming_pairs_sql(
+                f"(SELECT {_PH_NODE} AS node, phash "
+                f"FROM ({_phash_corpus_sql('duckdb')}) ph) c",
+                "node", "phash", max_hamming=3,
+            ),
+            f"(SELECT {_PH_NODE} AS node "
+            f"FROM ({_phash_corpus_sql('duckdb')}) ph)",
+            "node",
         ),
         "pack_sequences": packmod.pack_sequences_sql(
             "documents", "doc_id", T.token_count_sql("text"),
