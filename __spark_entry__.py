@@ -22,6 +22,7 @@ from olake_spark.functions import curate
 from olake_spark.functions import text as T
 from olake_spark.operators import ann, dedup
 from olake_spark.operators import pack as packmod
+from olake_spark.operators import retrieval as retmod
 from olake_spark.operators import sessionize as sessmod
 
 ALL_TABLES = (
@@ -672,6 +673,17 @@ PACK_BUCKETS = 8
 SESSION_GAP_S = 6 * 3600  # events fixture spans months; 6h splits streams
 
 
+BM25_QUERY = "spark table merge window"
+
+
+def _q_text_bm25_topk(spark, sf):
+    # integer-exact BM25 retrieval (rational idf surrogate): explode only
+    # the query's terms, broadcast the O(|q|) df table, TakeOrdered(k)
+    return retmod.bm25_topk(
+        _tbl(spark, sf, "documents"), "doc_id", "text", BM25_QUERY, k=25
+    )
+
+
 def _q_events_sessionize(spark, sf):
     # gap-based sessionization: one shuffle on user_id, pure window algebra
     return sessmod.sessionize(
@@ -760,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_pipe_scan": _q_stream_pipe_scan,
         "events_sessionize": _q_events_sessionize,
         "dedup_phash_clusters": _q_dedup_phash_clusters,
+        "text_bm25_topk": _q_text_bm25_topk,
     }
 
 
@@ -1003,6 +1016,9 @@ FROM ({pipeline.derive_images_sql()})
         "stream_pipe_scan": pipeline.derive_images_sql(),
         "events_sessionize": sessmod.sessionize_sql(
             "events", "user_id", "ts", "event_id", SESSION_GAP_S
+        ),
+        "text_bm25_topk": retmod.bm25_topk_sql(
+            "documents", "doc_id", "text", BM25_QUERY, k=25
         ),
         "dedup_phash_clusters": dedup.connected_components_sql(
             dedup.hamming_pairs_sql(

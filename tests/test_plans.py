@@ -229,3 +229,12 @@ class TestRound3LatePlans:
         # all four windows key on user (or user+session) → ONE exchange
         assert plan.count("Exchange") == 1
         assert "EvalPython" not in plan
+
+    def test_bm25_prunes_before_explode_and_broadcasts_df(self, spark):
+        from olake_spark.operators.retrieval import bm25_topk
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = plan_of(bm25_topk(d, "doc_id", "text", "spark table", k=5))
+        assert "EvalPython" not in plan
+        assert "TakeOrderedAndProject" in plan  # top-k, never a full sort
+        assert "BroadcastHashJoin" in plan  # df/idf + stats ride broadcasts
