@@ -674,6 +674,16 @@ SESSION_GAP_S = 6 * 3600  # events fixture spans months; 6h splits streams
 
 
 BM25_QUERY = "spark table merge window"
+SPLIT_WEIGHTS = {"train": 900_000, "val": 50_000, "test": 50_000}
+
+
+def _q_curate_split(spark, sf):
+    # deterministic train/val/test assignment: pure function of the key
+    # (stable across runs/partitionings; new rows never move old ones)
+    d = _tbl(spark, sf, "documents")
+    return curate.split_by_hash(d, "doc_id", SPLIT_WEIGHTS).select(
+        "doc_id", "split"
+    )
 
 
 def _q_text_bm25_topk(spark, sf):
@@ -773,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "dedup_phash_clusters": _q_dedup_phash_clusters,
         "text_bm25_topk": _q_text_bm25_topk,
+        "curate_split": _q_curate_split,
     }
 
 
@@ -1019,6 +1030,11 @@ FROM ({pipeline.derive_images_sql()})
         ),
         "text_bm25_topk": retmod.bm25_topk_sql(
             "documents", "doc_id", "text", BM25_QUERY, k=25
+        ),
+        "curate_split": (
+            "SELECT doc_id, split FROM ("
+            + curate.split_by_hash_sql("documents", "doc_id", SPLIT_WEIGHTS)
+            + ") s"
         ),
         "dedup_phash_clusters": dedup.connected_components_sql(
             dedup.hamming_pairs_sql(

@@ -174,6 +174,16 @@ def main() -> None:
         step("curate2", kept=rules.filter("keep = 1").count(),
              sequences=packed.select("bucket", "seq").distinct().count())
 
+        # -- 7c. retrieval + sessionization --------------------------------
+        from olake_spark.operators.retrieval import bm25_topk
+        from olake_spark.operators.sessionize import sessionize
+
+        hits = bm25_topk(docs, "doc_id", "text", "spark table merge", k=5)
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        sess = sessionize(ev, "user_id", "ts", "event_id", 6 * 3600)
+        step("retrieve_sessionize", top_doc=hits.first()["doc"],
+             sessions=sess.select("user", "session_idx").distinct().count())
+
         # -- 8. zero-copy clone + streaming table→table pipeline ----------
         #    snapshot_table references the maintained table's files with
         #    zero bytes copied; the icelite streaming SOURCE tails it and

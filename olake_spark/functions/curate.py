@@ -123,3 +123,37 @@ def scrub_pii_sql(text_col: str) -> str:
         sql_pat = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{sql_pat}', '{repl}', 'g')"
     return expr
+
+
+def split_by_hash(
+    df: DataFrame, key_col: str, weights_ppm: dict[str, int]
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets the split
+    whose cumulative ppm band its key's hash bucket falls in — a pure
+    function of the key (stable across runs, machines, and re-shuffles;
+    adding rows never moves existing ones between splits). `weights_ppm`
+    must sum to 1e6. Narrow projection — no shuffle, no RNG state."""
+    if sum(weights_ppm.values()) != PPM:
+        raise ValueError(f"weights must sum to {PPM}: {weights_ppm}")
+    bucket = hash_bucket_col(key_col)
+    expr, lo = None, 0
+    for name, w in weights_ppm.items():
+        lo += w
+        cond = bucket < lo
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
+def split_by_hash_sql(
+    table: str, key_col: str, weights_ppm: dict[str, int]
+) -> str:
+    """DuckDB twin of :func:`split_by_hash`."""
+    if sum(weights_ppm.values()) != PPM:
+        raise ValueError(f"weights must sum to {PPM}: {weights_ppm}")
+    cases, lo = [], 0
+    for name, w in weights_ppm.items():
+        lo += w
+        cases.append(f"WHEN {hash_bucket_sql(key_col)} < {lo} THEN '{name}'")
+    return (
+        f"SELECT *, CASE {' '.join(cases)} END AS split FROM {table}"
+    )
