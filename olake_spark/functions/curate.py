@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-PPM = 1_000_000
+from olake_spark.functions.text import PPM  # one source of truth
 
 
 def hash_mod_col(key_col: str, modulus: int) -> F.Column:

@@ -7,22 +7,29 @@ Integer-exact BM25 variant: the classic BM25 shape
     score(d, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
 
 with every intermediate floored to integer ppm and one substitution — the
-log idf is replaced by the rational surrogate
+log idf is replaced by the BOUNDED rational surrogate
 
-    idf_ppm(t) = floor((N − df(t)) · 1e6 / (df(t) + 1))
+    idf_ppm(t) = floor((N − df(t)) · 1e6 / (N + df(t)))   ∈ [0, 1e6)
 
-(same monotonic rare-term/common-term ordering; no transcendental), so the
-whole score is BIGINT arithmetic both engines compute bit-identically —
-floats never appear, and the DuckDB oracle twin (`bm25_topk_sql`) uses the
-same `//` floor divisions. This is a declared variant, not textbook BM25:
-ranking behavior matches BM25's shape, absolute scores do not.
+(strictly decreasing in df, so rare-term/common-term ordering matches;
+bounded, so the arithmetic never outgrows BIGINT). The whole score is
+BIGINT arithmetic both engines compute bit-identically — floats never
+appear, and the DuckDB oracle twin (`bm25_topk_sql`) uses the same `//`
+floor divisions. This is a declared variant, not textbook BM25: ranking
+behavior matches BM25's shape, absolute scores do not.
+
+Overflow budget (int64 max ≈ 9.2e18), dividing before multiplying
+throughout: corpora to ~9e12 docs ((N−df)·1e6), documents to ~4e6 tokens
+(the tf·(k1+1)·1e6 numerator of the term weight; dl·1e12 in the length
+norm allows ~9e6) — the avgdl scalar splits its division
+(quot·1e6 + rem·1e6//n) so total corpus token count is unbounded. Each
+bound sits well past the 10^12-row / normal-document target.
 
 Plan shape (scales to 10^12 docs): tokenize → explode ONLY the query's
 terms (the filter prunes before the explode output is shuffled) → per-(doc,
 term) tf via map-side-combined aggregation → broadcast the O(|q|) df/idf
-table → per-doc sum → TakeOrdered(k). The corpus-global scalars (N, total
-token count for avgdl) ride in on a broadcast single-row join. No Python
-anywhere in the plan.
+table → per-doc sum → TakeOrdered(k). The corpus-global scalars (N, avgdl)
+ride in on a broadcast single-row join. No Python anywhere in the plan.
 """
 
 from __future__ import annotations
@@ -30,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-PPM = 1_000_000
+from olake_spark.functions.text import PPM  # one source of truth
 
 
 def _terms(query: str) -> list[str]:
@@ -60,12 +67,17 @@ def bm25_topk(
         F.split(F.col(text_col), " ").alias("toks"),
     ).withColumn("dl", F.size("toks").cast("long"))
 
-    # corpus scalars: N docs, avgdl in ppm (single tiny row, broadcast)
+    # corpus scalars: N docs, avgdl in ppm (single tiny row, broadcast).
+    # avgdl's division is split so total_dl·1e6 never has to exist.
     stats = base.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_dl"),
     ).withColumn(
-        "avgdl_ppm", F.expr(f"total_dl * {PPM} div n_docs").cast("long")
+        "avgdl_ppm",
+        F.expr(
+            f"(total_dl div n_docs) * CAST({PPM} AS BIGINT) + "
+            f"(total_dl % n_docs) * CAST({PPM} AS BIGINT) div n_docs"
+        ).cast("long"),
     )
 
     tf = (
@@ -82,7 +94,8 @@ def bm25_topk(
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .join(F.broadcast(stats), F.lit(True))
-        # rel_dl, K and the per-term score — all BIGINT floor arithmetic
+        # length norm, K and the per-term score — BIGINT floor arithmetic,
+        # every multiply preceded by the division that bounds it
         .withColumn(
             "rel_dl_ppm",
             F.expr(f"dl * CAST({PPM} AS BIGINT) * {PPM} div avgdl_ppm"),
@@ -96,15 +109,18 @@ def bm25_topk(
             ),
         )
         .withColumn(
-            "idf_ppm",
-            F.expr(f"(n_docs - df) * CAST({PPM} AS BIGINT) div (df + 1)"),
+            "idf_ppm",  # bounded: [0, 1e6)
+            F.expr(f"(n_docs - df) * CAST({PPM} AS BIGINT) div (n_docs + df)"),
         )
         .withColumn(
-            "score_ppm",
+            "tfw_ppm",  # tf·(k1+1)/(tf + K): ≤ (k1+1)·1e6 ≈ 2.2e12
             F.expr(
-                f"idf_ppm * tf * ({k1_ppm} + {PPM}) "
+                f"tf * CAST({k1_ppm} + {PPM} AS BIGINT) * {PPM} "
                 f"div (tf * CAST({PPM} AS BIGINT) + k_ppm)"
             ),
+        )
+        .withColumn(
+            "score_ppm", F.expr(f"idf_ppm * tfw_ppm div {PPM}")
         )
     )
     return (
@@ -135,7 +151,9 @@ WITH base AS (
   FROM {table}
 ), stats AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(dl) * {PPM} // count(*) AS BIGINT) AS avgdl_ppm
+         CAST((sum(dl) // count(*)) * {PPM}
+              + (sum(dl) % count(*)) * {PPM} // count(*) AS BIGINT)
+           AS avgdl_ppm
   FROM base
 ), tf AS (
   SELECT doc, dl, term, CAST(count(*) AS BIGINT) AS tf
@@ -146,14 +164,15 @@ WITH base AS (
   SELECT term, CAST(count(DISTINCT doc) AS BIGINT) AS df FROM tf GROUP BY term
 ), scored AS (
   SELECT tf.doc,
-         ((n_docs - df) * CAST({PPM} AS BIGINT) // (df + 1)) * tf
-           * ({k1_ppm} + {PPM})
-           // (tf * CAST({PPM} AS BIGINT)
-               + (CAST({k1_ppm} AS BIGINT)
-                  * ({PPM} - {b_ppm}
-                     + ({b_ppm} * (dl * CAST({PPM} AS BIGINT) * {PPM}
-                                   // avgdl_ppm) // {PPM}))
-                  // {PPM})) AS score_ppm
+         ((n_docs - df) * CAST({PPM} AS BIGINT) // (n_docs + df))
+           * (tf * CAST({k1_ppm} + {PPM} AS BIGINT) * {PPM}
+              // (tf * CAST({PPM} AS BIGINT)
+                  + (CAST({k1_ppm} AS BIGINT)
+                     * ({PPM} - {b_ppm}
+                        + ({b_ppm} * (dl * CAST({PPM} AS BIGINT) * {PPM}
+                                      // avgdl_ppm) // {PPM}))
+                     // {PPM})))
+           // {PPM} AS score_ppm
   FROM tf, dfreq, stats
   WHERE tf.term = dfreq.term
 )

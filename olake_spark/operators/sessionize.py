@@ -1,7 +1,8 @@
 """Gap-based event sessionization — the standard clickstream/telemetry
-operator: group a user's events into sessions separated by ≥`gap_s` seconds
-of silence, assign (user, session index) identity plus within-session
-ordinals and session aggregates.
+operator: group a user's events into sessions, starting a new session when
+MORE than `gap_s` seconds separate consecutive events (a delta of exactly
+`gap_s` stays in-session), and assign (user, session index) identity plus
+within-session ordinals and session aggregates.
 
 Spark shape (one shuffle total): both windows — the lag/gap flag and the
 running session index — partition by the SAME key (`user_id`), so Catalyst
