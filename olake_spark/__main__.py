@@ -123,6 +123,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True, help="source table root")
     p.add_argument("--dest", required=True,
                    help="destination root for the zero-copy clone")
+    p = sub.add_parser("catalog")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--op", required=True,
+                   choices=["list", "create", "drop", "rename", "snapshot"])
+    p.add_argument("--name", default=None, help="[ns.]table identifier")
+    p.add_argument("--to", default=None, help="target for rename/snapshot")
+    p.add_argument("--like", default=None,
+                   help="create: parquet path whose schema the table copies")
+    p.add_argument("--id-fields", default="", dest="cat_id_fields")
+    p.add_argument("--purge", action="store_true")
     sub.add_parser("bench")
     args = ap.parse_args(argv)
 
@@ -249,6 +259,34 @@ def main(argv: list[str] | None = None) -> int:
             "snapshot_id": snap["snapshot_id"],
             "files_added": snap["summary"].get("added-files-by-reference", 0),
         }))
+        return 0
+    if args.verb == "catalog":
+        from olake_spark.icelite import Catalog
+
+        cat = Catalog(spark, args.warehouse)
+        if args.op == "list":
+            out = {
+                ns: cat.list_tables(ns) for ns in cat.list_namespaces()
+            }
+            print(json.dumps(out))
+        elif args.op == "create":
+            if not (args.name and args.like):
+                ap.error("catalog create needs --name and --like")
+            schema = spark.read.parquet(args.like).schema
+            ids = tuple(x for x in args.cat_id_fields.split(",") if x)
+            t = cat.create_table(args.name, schema, identifier_fields=ids)
+            print(json.dumps({"created": args.name, "root": t.root}))
+        elif args.op == "drop":
+            cat.drop_table(args.name, purge=args.purge)
+            print(json.dumps({"dropped": args.name, "purged": args.purge}))
+        elif args.op == "rename":
+            t = cat.rename_table(args.name, args.to)
+            print(json.dumps({"renamed": args.name, "to": args.to,
+                              "root": t.root}))
+        else:  # snapshot
+            t = cat.snapshot_table(args.name, args.to)
+            print(json.dumps({"cloned": args.name, "to": args.to,
+                              "rows": t.total_records()}))
         return 0
     if args.verb == "clone":
         from olake_spark.icelite import Table, snapshot_table
