@@ -2094,10 +2094,33 @@ class Table:
 
         return self._commit(build)
 
-    def expire_snapshots(self, keep_last: int = 1, older_than_ms: int | None = None) -> dict:
+    def expire_snapshots(
+        self,
+        keep_last: int | None = None,
+        older_than_ms: int | None = None,
+    ) -> dict:
         """Drop old snapshots from metadata (current and TAGGED snapshots
         always kept). Data/delete/manifest files become orphans, reaped by
-        `remove_orphan_files`."""
+        `remove_orphan_files`.
+
+        Arguments left as None fall back to the table's retention
+        properties — Iceberg's `history.expire.min-snapshots-to-keep` and
+        `history.expire.max-snapshot-age-ms` (age measured from now), so a
+        nightly `maintain --ops expire` can run argument-less and still
+        honor a per-table policy; with no properties either, keep_last=1.
+        """
+        if keep_last is None:
+            keep_last = int(
+                self.meta["properties"].get(
+                    "history.expire.min-snapshots-to-keep", 1
+                )
+            )
+        if older_than_ms is None:
+            age = self.meta["properties"].get(
+                "history.expire.max-snapshot-age-ms"
+            )
+            if age is not None:
+                older_than_ms = int(time.time() * 1000) - int(age)
         expired = {"n": 0}
 
         def build(meta: dict) -> dict:

@@ -25,7 +25,7 @@ from olake_spark.icelite.table import Table
 
 def run_expire(
     table: Table,
-    keep_last: int = 1,
+    keep_last: int | None = None,  # None → table retention properties
     older_than_ms: int | None = None,
     grace_seconds: float = 0.0,
     reap_orphans: bool = True,

@@ -460,3 +460,44 @@ class TestBranches:
             t.append_to_branch("nope", datagen.gen_images_df(spark, 1))
         with pytest.raises(KeyError):
             t.fast_forward("nope")
+
+
+class TestRetentionProperties:
+    def test_expire_honors_table_retention_properties(self, spark, tmp_table_dir):
+        """Iceberg history.expire.* parity: an argument-less expire applies
+        the per-table policy — keep min-snapshots, plus everything younger
+        than max-age."""
+        import os
+        import time as _t
+
+        from olake_spark import datagen
+        from olake_spark.icelite import Table
+
+        t = Table.create(
+            spark, os.path.join(tmp_table_dir, "ret"), datagen.IMAGES_SCHEMA,
+            identifier_fields=("image_id",),
+            properties={
+                "history.expire.min-snapshots-to-keep": "2",
+                # huge age → nothing qualifies as old → everything survives
+                "history.expire.max-snapshot-age-ms": str(10**12),
+            },
+        )
+        for _ in range(5):
+            t.append(datagen.gen_images_df(spark, 5))
+        assert t.expire_snapshots()["expired"] == 0  # all younger than cutoff
+
+        # age 0 → every snapshot is "old": only min-snapshots-to-keep survive
+        t._commit(lambda m: {
+            **m,
+            "properties": {
+                **m["properties"], "history.expire.max-snapshot-age-ms": "0",
+            },
+        })
+        t.expire_snapshots()
+        assert len(t.snapshots()) == 2
+
+        # explicit arguments override the policy: a future cutoff makes
+        # every snapshot "old", so only keep_last=1 survives
+        t.append(datagen.gen_images_df(spark, 5))
+        t.expire_snapshots(keep_last=1, older_than_ms=int(_t.time() * 1000) + 10**7)
+        assert len(t.snapshots()) == 1
