@@ -144,6 +144,18 @@ def _q_delete_where_scan(spark, sf):
     return pipeline.delete_where_roundtrip(spark, sf)
 
 
+def _q_wap_publish_scan(spark, sf):
+    # write-audit-publish: staged commit invisible pre-publish (asserted
+    # in-gate), atomic flip, final scan = full derivation
+    return pipeline.wap_publish_roundtrip(spark, sf)
+
+
+def _q_rollback_scan(spark, sf):
+    # rollback_to: bad append abandoned, scan = good half only, incremental
+    # feed clean (asserted in-gate)
+    return pipeline.rollback_roundtrip(spark, sf)
+
+
 def _q_stream_table_feed(spark, sf):
     # Iceberg streaming read: snapshot-id offsets, append-delta batches,
     # rewrites invisible — via the PySpark 4 Python Data Source API
@@ -784,6 +796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_phash_clusters": _q_dedup_phash_clusters,
         "text_bm25_topk": _q_text_bm25_topk,
         "curate_split": _q_curate_split,
+        "wap_publish_scan": _q_wap_publish_scan,
+        "rollback_scan": _q_rollback_scan,
     }
 
 
@@ -1024,6 +1038,8 @@ FROM ({pipeline.derive_images_sql()})
         # the drained feed must equal the full derivation (appends seen
         # once, the compaction rewrite invisible)
         "stream_table_feed": pipeline.derive_images_sql(),
+        "wap_publish_scan": pipeline.derive_images_sql(),
+        "rollback_scan": pipeline.half_derivation_oracle_sql(),
         "stream_pipe_scan": pipeline.derive_images_sql(),
         "events_sessionize": sessmod.sessionize_sql(
             "events", "user_id", "ts", "event_id", SESSION_GAP_S

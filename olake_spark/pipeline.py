@@ -281,6 +281,71 @@ def delete_where_oracle_sql() -> str:
     )
 
 
+WAP_SPLIT_PRED = "phash % 2 = 0"  # first append; complement staged
+
+
+def wap_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish roundtrip: half the derivation lands as a normal
+    append, the other half is STAGED (committed but not current), audited
+    while invisible to readers (asserted in-gate), then published
+    atomically. The final scan must equal the full derivation."""
+    tmp = tempfile.mkdtemp(prefix="olake-wap-")
+    try:
+        t = Table.create(
+            spark, os.path.join(tmp, "images"), datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("image_id", "bucket", 4),)),
+            identifier_fields=("image_id",),
+        )
+        imgs = images_from_documents(spark, sf_dir)
+        t.append(imgs.filter(WAP_SPLIT_PRED), max_records_per_file=64)
+        n_visible = t.scan().count()
+        staged = t.stage_append(
+            imgs.filter(f"NOT ({WAP_SPLIT_PRED})"), max_records_per_file=64
+        )
+        # audit phase: the staged rows are scannable BY ID but invisible to
+        # plain readers until publish
+        assert t.scan().count() == n_visible, "staged rows leaked pre-publish"
+        audit = t.scan(snapshot_id=staged["snapshot_id"]).count()
+        assert audit > n_visible, "stage audit scan missing staged rows"
+        t.publish_snapshot(staged["snapshot_id"])
+        return _materialize(t.scan(columns=SCAN_COLS))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def rollback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback roundtrip: good state → bad append → rollback_to the good
+    snapshot. The post-rollback scan must equal the good half only, and the
+    abandoned branch must be invisible to incremental readers (asserted
+    in-gate via the ancestor chain)."""
+    tmp = tempfile.mkdtemp(prefix="olake-rb-")
+    try:
+        t = Table.create(
+            spark, os.path.join(tmp, "images"), datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("image_id", "bucket", 4),)),
+            identifier_fields=("image_id",),
+        )
+        imgs = images_from_documents(spark, sf_dir)
+        good = t.append(imgs.filter(WAP_SPLIT_PRED), max_records_per_file=64)
+        t.append(imgs.filter(f"NOT ({WAP_SPLIT_PRED})"))  # the bad batch
+        t.rollback_to(good["snapshot_id"])
+        # the abandoned branch never surfaces in the incremental feed: the
+        # window (good, current] holds only the rollback commit, which
+        # moves no logical rows
+        assert t.incremental_scan(good["snapshot_id"]).count() == 0, (
+            "rolled-back rows resurfaced in the incremental feed"
+        )
+        return _materialize(t.scan(columns=SCAN_COLS))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def half_derivation_oracle_sql() -> str:
+    return (
+        f"SELECT * FROM ({derive_images_sql()}) WHERE {WAP_SPLIT_PRED}"
+    )
+
+
 def stream_feed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming table-source roundtrip (Iceberg streaming-read
     parity via the PySpark 4 Python Data Source API): ingest the derivation
