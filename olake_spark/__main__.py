@@ -87,7 +87,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--curve", default="hilbert")
     p.add_argument("--target-bytes", type=int, default=None)
     p.add_argument("--verify", action="store_true")
-    p.add_argument("--keep-last", type=int, default=3)
+    # default None → the table's history.expire.* retention properties
+    # decide (falling back to keep_last=1); an explicit flag overrides
+    p.add_argument("--keep-last", type=int, default=None)
     p.add_argument("--grace-seconds", type=float, default=3 * 24 * 3600)
     p = sub.add_parser("inspect")
     p.add_argument("--table", required=True)
@@ -264,14 +266,18 @@ def main(argv: list[str] | None = None) -> int:
         from olake_spark.icelite import Catalog
 
         cat = Catalog(spark, args.warehouse)
+        if args.op in ("create", "drop", "rename", "snapshot") and not args.name:
+            ap.error(f"catalog {args.op} needs --name")
+        if args.op in ("rename", "snapshot") and not args.to:
+            ap.error(f"catalog {args.op} needs --to")
         if args.op == "list":
             out = {
                 ns: cat.list_tables(ns) for ns in cat.list_namespaces()
             }
             print(json.dumps(out))
         elif args.op == "create":
-            if not (args.name and args.like):
-                ap.error("catalog create needs --name and --like")
+            if not args.like:
+                ap.error("catalog create needs --like")
             schema = spark.read.parquet(args.like).schema
             ids = tuple(x for x in args.cat_id_fields.split(",") if x)
             t = cat.create_table(args.name, schema, identifier_fields=ids)

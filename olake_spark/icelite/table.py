@@ -2115,6 +2115,9 @@ class Table:
                     "history.expire.min-snapshots-to-keep", 1
                 )
             )
+        # keep_last=0 would make snaps[-0:] select EVERY snapshot (a silent
+        # no-op retention); Iceberg likewise enforces a minimum of 1
+        keep_last = max(1, keep_last)
         if older_than_ms is None:
             age = self.meta["properties"].get(
                 "history.expire.max-snapshot-age-ms"

@@ -21,9 +21,10 @@ behavior matches BM25's shape, absolute scores do not.
 Overflow budget (int64 max ≈ 9.2e18), dividing before multiplying
 throughout: corpora to ~9e12 docs ((N−df)·1e6), documents to ~4e6 tokens
 (the tf·(k1+1)·1e6 numerator of the term weight; dl·1e12 in the length
-norm allows ~9e6) — the avgdl scalar splits its division
-(quot·1e6 + rem·1e6//n) so total corpus token count is unbounded. Each
-bound sits well past the 10^12-row / normal-document target.
+norm allows ~9e6), total corpus token count to ~9.2e18 (Spark's sum(dl)
+is itself BIGINT — the split avgdl division removes the ·1e6 blow-up but
+not the sum). Each bound sits well past the 10^12-row / normal-document
+target.
 
 Plan shape (scales to 10^12 docs): tokenize → explode ONLY the query's
 terms (the filter prunes before the explode output is shuffled) → per-(doc,
@@ -126,6 +127,9 @@ def bm25_topk(
     return (
         scored.groupBy("doc")
         .agg(F.sum("score_ppm").cast("long").alias("score_ppm"))
+        # a doc whose matches all floored to idf 0 carries no relevance
+        # signal: never let zero-score rows pad the top-k
+        .filter(F.col("score_ppm") > 0)
         .orderBy(F.col("score_ppm").desc(), F.col("doc"))
         .limit(k)
     )
@@ -178,6 +182,7 @@ WITH base AS (
 )
 SELECT doc, CAST(sum(score_ppm) AS BIGINT) AS score_ppm
 FROM scored GROUP BY doc
+HAVING sum(score_ppm) > 0
 ORDER BY score_ppm DESC, doc
 LIMIT {k}
 """.strip()
