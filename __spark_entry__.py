@@ -706,6 +706,25 @@ def _q_text_bm25_topk(spark, sf):
     )
 
 
+def _q_text_vocab_topk(spark, sf):
+    # corpus vocabulary: exact top-k tokens by document frequency then
+    # total frequency — the tokenizer-training / stopword-mining primitive.
+    # One explode + one map-side-combined aggregation + TakeOrdered(k).
+    d = _tbl(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(T.tokens_col("text")).alias("term")
+    )
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.countDistinct("doc_id").cast("long").alias("df"),
+        )
+        .orderBy(F.col("df").desc(), F.col("tf").desc(), F.col("term"))
+        .limit(20)
+    )
+
+
 def _q_events_sessionize(spark, sf):
     # gap-based sessionization: one shuffle on user_id, pure window algebra
     return sessmod.sessionize(
@@ -798,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_split": _q_curate_split,
         "wap_publish_scan": _q_wap_publish_scan,
         "rollback_scan": _q_rollback_scan,
+        "text_vocab_topk": _q_text_vocab_topk,
     }
 
 
@@ -1040,6 +1060,14 @@ FROM ({pipeline.derive_images_sql()})
         "stream_table_feed": pipeline.derive_images_sql(),
         "wap_publish_scan": pipeline.derive_images_sql(),
         "rollback_scan": pipeline.half_derivation_oracle_sql(),
+        "text_vocab_topk": """
+SELECT term, CAST(count(*) AS BIGINT) AS tf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+GROUP BY term
+ORDER BY df DESC, tf DESC, term
+LIMIT 20
+""",
         "stream_pipe_scan": pipeline.derive_images_sql(),
         "events_sessionize": sessmod.sessionize_sql(
             "events", "user_id", "ts", "event_id", SESSION_GAP_S
