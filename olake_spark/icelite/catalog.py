@@ -15,9 +15,9 @@ the ``default`` namespace.
 Semantics mirrored from HadoopCatalog:
   * ``create_table`` is atomic: `Table.create`'s O_EXCL metadata write is
     the commit — two racing creates cannot both win.
-  * ``drop_table(purge=False)`` un-catalogs but preserves bytes (the dir
-    moves under ``_dropped/``, invisible to listings); ``purge=True``
-    removes the tree.
+  * ``drop_table(purge=False)`` un-catalogs but preserves bytes (a
+    ``dropped.marker`` file makes the entry invisible to listings/loads
+    while the tree stays intact); ``purge=True`` removes the tree.
   * ``rename_table`` is supported only on POSIX filesystems (one atomic
     directory rename); on object-store FileIO it REFUSES, exactly like
     HadoopCatalog's UnsupportedOperationException — an object-store rename
@@ -35,7 +35,6 @@ from .clone import snapshot_table
 from .fileio import FileIO, LocalFileIO, default_io
 from .table import Table
 
-_DROPPED = "_dropped"
 _DROP_MARKER = "dropped.marker"
 
 
@@ -89,6 +88,17 @@ class Catalog:
         path = self._path(identifier)
         if self._is_table_dir(path):
             raise TableAlreadyExistsError(identifier)
+        if os.path.exists(os.path.join(path, "metadata", _DROP_MARKER)):
+            # soft-dropped: bytes (and old metadata versions) still live at
+            # the path, so a fresh create would collide with v0 metadata —
+            # and even if it won, the marker would keep the new table
+            # invisible. Refuse with the actionable fix instead of letting
+            # Table.create surface an opaque FileExistsError.
+            raise TableAlreadyExistsError(
+                f"{identifier}: identifier was dropped without purge — its "
+                "data is preserved on disk. drop_table(purge=True) it (or "
+                "move the directory aside) before re-creating."
+            )
         return Table.create(
             self.spark, path, schema, io=self.io, **create_kwargs
         )
@@ -127,10 +137,12 @@ class Catalog:
 
     def drop_table(self, identifier: str, purge: bool = False) -> None:
         """purge=True removes the tree; purge=False un-catalogs but
-        preserves every byte — the version hint (the file whose presence IS
-        the catalog entry) moves aside in ONE single-key rename, which both
-        FileIO flavors support (no directory move, which object stores
-        don't have)."""
+        preserves every byte — ONE atomic single-key marker write
+        (``metadata/dropped.marker``), which both FileIO flavors support
+        (no directory move, which object stores don't have). The marker
+        outranks the version hint so a direct-path commit (which re-writes
+        the hint) cannot resurrect the entry; re-creating the identifier
+        requires a purge first."""
         path = self._path(identifier)
         if not self._is_table_dir(path):
             raise NoSuchTableError(identifier)

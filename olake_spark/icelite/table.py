@@ -1278,8 +1278,18 @@ class Table:
             return self._commit(build)
         except TxnAlreadyApplied:
             if added:
+                # Discard only files this op STAGED (root-relative manifest
+                # paths). Absolute paths are by-reference imports
+                # (add_files of external parquet) — the engine never wrote
+                # them and must never delete them, even on a raced replay
+                # that loses the in-CAS txn check after the pre-staging
+                # _txn_applied check passed.
                 self.io.remove_many(
-                    [self._abs(e.file_path) for e in added]
+                    [
+                        self._abs(e.file_path)
+                        for e in added
+                        if not os.path.isabs(e.file_path)
+                    ]
                 )
             self.refresh()
             return {

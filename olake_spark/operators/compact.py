@@ -57,23 +57,35 @@ def purge_dead_deletes(table: Table) -> int:
     dead = [e for e in entries if e.content == EQ_DELETES and e.seq <= min_seq]
     live_paths = sorted(e.file_path for e in entries if e.content == DATA)
     live_set = set(live_paths)
+    def _refs_live(e: FileEntry) -> bool:
+        # exact check: read the referenced-path set (small file,
+        # dictionary-encoded path column)
+        refd = set(
+            _pq.read_table(table._abs(e.file_path), columns=["file_path"])
+            .column("file_path")
+            .to_pylist()
+        )
+        return not refd.isdisjoint(live_set)
+
     for e in entries:
         if e.content != POS_DELETES:
             continue
+        if not live_paths:
+            dead.append(e)  # no live data files at all — provably dead
+            continue
         lo, hi = e.mins.get("file_path"), e.maxs.get("file_path")
-        if live_paths and lo is not None and hi is not None:
-            i = bisect.bisect_left(live_paths, lo)
-            if i < len(live_paths) and live_paths[i] <= hi:
-                # range overlap — exact check on the referenced set
-                refd = set(
-                    _pq.read_table(
-                        table._abs(e.file_path), columns=["file_path"]
-                    )
-                    .column("file_path")
-                    .to_pylist()
-                )
-                if not refd.isdisjoint(live_set):
-                    continue
+        if lo is None or hi is None:
+            # stats-less delete file: same conservative default as
+            # Table._apply_pos_deletes — decide by exact read, never
+            # assume dead (purging a live mark resurrects deleted rows)
+            if not _refs_live(e):
+                dead.append(e)
+            continue
+        i = bisect.bisect_left(live_paths, lo)
+        if i < len(live_paths) and live_paths[i] <= hi:
+            # range overlap — exact check on the referenced set
+            if _refs_live(e):
+                continue
         dead.append(e)
     if dead:
         table.rewrite_files(

@@ -87,6 +87,30 @@ class TestAddFiles:
         assert skipped.get("skipped")
         assert t.scan().count() == N
 
+    def test_txn_replay_race_never_deletes_external_files(
+        self, spark, tmp_table_dir
+    ):
+        """A replayed import that loses the in-CAS txn check (pre-staging
+        _txn_applied raced past a concurrent commit) must NOT physically
+        delete the user's external source files — the engine never deletes
+        files it didn't write (round-3 ADVICE defect: the skip-path cleanup
+        removed every `added` path, including by-reference absolute ones)."""
+        lake = _lake(spark, tmp_table_dir)
+        t = _table(spark, tmp_table_dir)
+        t.add_files(lake, txn=("app", 1))
+        files_before = _files(lake)
+        # force the race window: pre-staging check passes, CAS check fires
+        t._txn_applied = lambda txn: None
+        try:
+            skipped = t.add_files(
+                lake, check_duplicate_files=False, txn=("app", 1)
+            )
+        finally:
+            del t._txn_applied
+        assert skipped.get("skipped")
+        assert _files(lake) == files_before  # external bytes untouched
+        assert t.scan().count() == N
+
     def test_incremental_scan_counts_import(self, spark, tmp_table_dir):
         lake = _lake(spark, tmp_table_dir)
         t = _table(spark, tmp_table_dir)

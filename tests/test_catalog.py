@@ -49,8 +49,10 @@ def test_drop_without_purge_preserves_bytes(spark, cat):
     # bytes preserved: direct-path access still works (un-cataloged,
     # not destroyed — Iceberg drop-without-purge semantics)
     assert Table.load(spark, root).scan().count() == 10
-    # the dir stays occupied (bytes preserved) — purge frees the name
-    with pytest.raises(FileExistsError):
+    # the dir stays occupied (bytes preserved) — purge frees the name,
+    # and the refusal says so (not an opaque FileExistsError from v0
+    # metadata collision)
+    with pytest.raises(TableAlreadyExistsError, match="dropped without purge"):
         cat.create_table("a.t", datagen.IMAGES_SCHEMA)
     # durability: a direct-path writer's commit re-writes the version hint
     # — the drop must survive it (marker outranks hint)

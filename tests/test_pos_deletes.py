@@ -127,6 +127,35 @@ class TestPosDeleteMaintenance:
         assert purge_dead_deletes(t) == 0
         assert any(e.content == POS_DELETES for e in t.entries())
 
+    def test_purge_keeps_stats_less_live_pos_deletes(self, images_table):
+        """A pos-delete entry with no file_path min/max stats must get the
+        same conservative default as Table._apply_pos_deletes: decide by
+        exact read, never assume dead — purging a live mark resurrects
+        deleted rows (round-3 ADVICE defect)."""
+        import dataclasses
+
+        t = images_table
+        before = _ids(t)
+        t.delete_where(f"{NUM} % 5 = 0")
+        survivors = _ids(t)
+        assert survivors < before
+        real_entries = t.entries()
+
+        def _stripped():
+            return [
+                dataclasses.replace(e, mins={}, maxs={})
+                if e.content == POS_DELETES else e
+                for e in real_entries
+            ]
+
+        t.entries = _stripped  # simulate footer stats gone missing
+        try:
+            assert purge_dead_deletes(t) == 0
+        finally:
+            del t.entries
+        assert any(e.content == POS_DELETES for e in t.entries())
+        assert _ids(t) == survivors  # no resurrection
+
     def test_eq_and_pos_deletes_compose(self, spark, images_table):
         t = images_table
         # equality delete via rowdelta (CDC path) ...

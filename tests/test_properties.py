@@ -192,6 +192,46 @@ class TestAnnIvfRecall:
         assert hits >= int(0.85 * nq), f"IVF recall {hits}/{nq} < 0.85"
 
 
+    def test_kmeans_kernel_memory_bounded_at_scale_config(self):
+        """The Lloyd trainer must never materialize the (N × C × dim)
+        distance tensor: at this config (8192 × 4096 × 768 float64) that
+        tensor is ~206 GB and OOMs the 128 GiB box — the round-3 bug.
+        The chunked ‖x‖²−2xCᵀ+‖C‖² kernel's peak per-chunk allocation is
+        O(chunk × cells) under the 64 MB budget; completing at all IS the
+        assertion, plus tracemalloc pins the traced peak well under 1 GiB
+        (numpy ≥1.22 registers array allocations with tracemalloc)."""
+        import tracemalloc
+
+        from olake_spark.operators.ann import _lloyd_kmeans
+
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal((8192, 768))
+        tracemalloc.start()
+        try:
+            cents = _lloyd_kmeans(x, n_cells=4096, iters=2, seed=3)
+            _, peak = tracemalloc.get_traced_memory()
+        finally:
+            tracemalloc.stop()
+        assert cents.shape == (4096, 768)
+        assert np.isfinite(cents).all()
+        # generous bound: input copy + chunk×cells distance blocks + sums;
+        # the old tensor path would exceed this by ~200×
+        assert peak < 1 << 30, f"traced peak {peak / 2**20:.0f} MiB ≥ 1 GiB"
+
+    def test_kmeans_chunked_assignment_matches_dense(self):
+        """Chunked-matmul assignment must equal the dense per-point argmin
+        (the semantics the round-3 tensor code had) on a small instance."""
+        from olake_spark.operators.ann import _lloyd_kmeans
+
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((500, 8))
+        # budget forcing many chunks (500 rows → chunks of ~8 rows)
+        got = _lloyd_kmeans(x, n_cells=16, iters=5, seed=9,
+                            budget_bytes=8 * 16 * 8)
+        ref = _lloyd_kmeans(x, n_cells=16, iters=5, seed=9)
+        assert np.allclose(got, ref)
+
+
 class TestCurateProperties:
     def test_hash_sample_rate_and_determinism(self, spark):
         from olake_spark.functions import curate
