@@ -168,6 +168,14 @@ def _q_stream_pipe_scan(spark, sf):
     return pipeline.stream_pipe_roundtrip(spark, sf)
 
 
+def _q_stream_upsert_scan(spark, sf):
+    # streaming UPSERT sink (the reference's default destination mode):
+    # two checkpointed micro-batches of equality-delete-before-insert
+    # commits; compaction retires the delete debt (asserted in-gate);
+    # final scan = batch MERGE derivation
+    return pipeline.stream_upsert_roundtrip(spark, sf)
+
+
 def _q_clone_table_scan(spark, sf):
     # Iceberg `snapshot` procedure: zero-copy clone, independently mutated
     # and compacted into owned layout; source asserted untouched in-gate
@@ -818,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wap_publish_scan": _q_wap_publish_scan,
         "rollback_scan": _q_rollback_scan,
         "text_vocab_topk": _q_text_vocab_topk,
+        "stream_upsert_scan": _q_stream_upsert_scan,
     }
 
 
@@ -1069,6 +1078,8 @@ ORDER BY df DESC, tf DESC, term
 LIMIT 20
 """,
         "stream_pipe_scan": pipeline.derive_images_sql(),
+        # streaming upsert sink: last update per key wins across batches
+        "stream_upsert_scan": pipeline.stream_upsert_oracle_sql(),
         "events_sessionize": sessmod.sessionize_sql(
             "events", "user_id", "ts", "event_id", SESSION_GAP_S
         ),

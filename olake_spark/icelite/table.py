@@ -869,7 +869,23 @@ class Table:
 
     def _apply_deletes(self, df: DataFrame, dels: list[FileEntry]) -> DataFrame:
         keys = self.identifier_fields
-        ddf = self.spark.read.parquet(*[self._abs(e.file_path) for e in dels])
+        # The authoritative delete sequence is the MANIFEST entry's seq (one
+        # read per distinct seq, the same pattern the data side uses): batch
+        # writers bake a matching _delete_seq column into the rows, but the
+        # streaming upsert sink cannot — executor tasks write key files
+        # before the commit seq exists — so the column is informational only.
+        by_seq: dict[int, list[str]] = {}
+        for e in dels:
+            by_seq.setdefault(e.seq, []).append(self._abs(e.file_path))
+        parts = [
+            self.spark.read.parquet(*paths)
+            .select(*keys)
+            .withColumn("_delete_seq", F.lit(seq))
+            for seq, paths in sorted(by_seq.items())
+        ]
+        ddf = parts[0]
+        for p in parts[1:]:
+            ddf = ddf.unionByName(p)
         # one aggregated row per key: the newest delete's sequence number
         agg = ddf.groupBy(*keys).agg(F.max("_delete_seq").alias("_max_del_seq"))
         est_rows = sum(e.record_count for e in dels)

@@ -33,6 +33,7 @@ from pyspark.sql.types import (IntegerType, LongType, StringType, StructField,
 from olake_spark import datagen
 from olake_spark.checkpoint import MaintenanceLog
 from olake_spark.icelite import PartitionField, PartitionSpec, Table
+from olake_spark.icelite.table import EQ_DELETES
 from olake_spark.operators.cluster import run_cluster_rewrite
 from olake_spark.operators.compact import run_compaction
 from olake_spark.operators.expire import run_expire
@@ -416,6 +417,84 @@ def stream_pipe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(b.scan(columns=SCAN_COLS))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def stream_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT sink roundtrip — the reference's DEFAULT streaming
+    destination shape (equality-delete-before-insert per micro-batch;
+    IcebergTableWriterFactory.java:45-58, BaseDeltaTaskWriter.java:50-61):
+    two checkpointed micro-batches of change rows flow through
+    ``icelite-sink`` with ``mode=upsert``; each batch's keys kill
+    strictly-older rows while the batch's own rows survive (delete seq =
+    data seq, committed atomically as one rowdelta snapshot), so the later
+    batch's re-update wins. The post-compaction scan must equal the batch
+    MERGE derivation — and compaction's fresh sequence numbers make every
+    eq-delete dead, so the steady-state table carries zero reconciliation
+    debt (asserted in-gate)."""
+    from olake_spark.operators.compact import run_compaction as _compact
+    from olake_spark.streaming import write_table_stream
+
+    tmp = tempfile.mkdtemp(prefix="olake-upsert-")
+    try:
+        t = Table.create(
+            spark, os.path.join(tmp, "t"), datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("image_id", "bucket", 4),)),
+            identifier_fields=("image_id",),
+        )
+        t.append(images_from_documents(spark, sf_dir), max_records_per_file=64)
+        register_views(spark, sf_dir, ("documents",))
+        feed = os.path.join(tmp, "feed")
+        ckpt = os.path.join(tmp, "ckpt")
+
+        def _drain(batch_df: DataFrame) -> None:
+            _attach_bytes(batch_df).write.mode("append").parquet(feed)
+            q = write_table_stream(
+                spark.readStream.schema(datagen.IMAGES_SCHEMA).parquet(feed),
+                t.root, ckpt, txn_app="gate-upsert", mode="upsert",
+            )
+            q.awaitTermination(300)
+
+        # batch 1: updates (%10=3) + inserts (%10=5, shifted ids)
+        _drain(spark.sql(
+            derive_images_sql(
+                "doc_id", "'updated ' || text", "WHERE doc_id % 10 = 3"
+            )
+            + " UNION ALL "
+            + derive_images_sql(
+                f"(doc_id + {_NEW_ID_BASE})", "'inserted ' || text",
+                "WHERE doc_id % 10 = 5",
+            )
+        ))
+        # batch 2 (checkpoint resume): re-update half of them — latest wins
+        _drain(spark.sql(
+            derive_images_sql(
+                "doc_id", "'updated2 ' || text", "WHERE doc_id % 20 = 3"
+            )
+        ))
+        t.refresh()
+        _compact(t, "upsert-compact", fill_ratio=1.0)
+        t.refresh()
+        assert not any(e.content == EQ_DELETES for e in t.entries()), (
+            "compaction must retire every streaming eq-delete"
+        )
+        return _materialize(t.scan(columns=SCAN_COLS))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def stream_upsert_oracle_sql() -> str:
+    """Oracle: base rows with the LAST update winning per key (%20=3 beats
+    %10=3), plus the inserted rows."""
+    kept = derive_images_sql(
+        "doc_id",
+        "CASE WHEN doc_id % 20 = 3 THEN 'updated2 ' || text "
+        "WHEN doc_id % 10 = 3 THEN 'updated ' || text ELSE text END",
+    )
+    inserted = derive_images_sql(
+        f"(doc_id + {_NEW_ID_BASE})", "'inserted ' || text",
+        "WHERE doc_id % 10 = 5",
+    )
+    return f"{kept} UNION ALL {inserted}"
 
 
 CLONE_DELETE_PRED = "h = 16 AND fmt = 'jpeg'"  # applied to the CLONE only

@@ -115,6 +115,102 @@ def test_schema_mismatch_refused(spark, dst):
         IceliteStreamWriter(bad, {"path": dst.root})
 
 
+def _feed(spark, df, feed_dir, ckpt, dst_root):
+    """Drain one availableNow micro-batch of `df` through the upsert sink."""
+    os.makedirs(feed_dir, exist_ok=True)
+    df.write.mode("append").parquet(feed_dir)
+    stream = spark.readStream.schema(datagen.IMAGES_SCHEMA).parquet(feed_dir)
+    q = write_table_stream(stream, dst_root, ckpt, txn_app="ups",
+                           mode="upsert")
+    q.awaitTermination(180)
+
+
+def test_upsert_sink_delete_before_insert(spark, dst, tmp_table_dir):
+    """mode=upsert mirrors the reference's default streaming destination
+    (IcebergTableWriterFactory.java:45-58 / BaseDeltaTaskWriter.java:50-61):
+    each batch's keys equality-delete prior rows, the batch's own rows
+    survive, and a second batch's re-update wins over the first."""
+    dst.append(datagen.gen_images_df(spark, 40), max_records_per_file=10)
+    feed = os.path.join(tmp_table_dir, "feed")
+    ckpt = os.path.join(tmp_table_dir, "ck-ups")
+
+    upd1 = (
+        datagen.gen_images_df(spark, 10)  # keys img-0..9 (overlap)
+        .withColumn("caption", F.concat(F.col("caption"), F.lit("-v2")))
+    )
+    new1 = datagen.gen_images_df(spark, 110).filter(
+        F.col("image_id") >= "img-000000000100"
+    )  # keys img-100..109 (fresh)
+    _feed(spark, upd1.unionByName(new1), feed, ckpt, dst.root)
+    dst.refresh()
+    got = {r[0]: r[1] for r in dst.scan(columns=["image_id", "caption"]).collect()}
+    assert len(got) == 50  # 40 base − 10 replaced + 10 updated + 10 new
+    for i in range(10):
+        assert got[f"img-{i:012d}"].endswith("-v2")
+
+    # resume with a second batch: update 5..14 again — latest wins
+    upd2 = (
+        datagen.gen_images_df(spark, 15)
+        .filter(F.col("image_id") >= "img-000000000005")
+        .withColumn("caption", F.concat(F.col("caption"), F.lit("-v3")))
+    )
+    _feed(spark, upd2, feed, ckpt, dst.root)
+    dst.refresh()
+    got = {r[0]: r[1] for r in dst.scan(columns=["image_id", "caption"]).collect()}
+    assert len(got) == 50
+    for i in range(5):
+        assert got[f"img-{i:012d}"].endswith("-v2")
+    for i in range(5, 15):
+        assert got[f"img-{i:012d}"].endswith("-v3")
+    # equals the batch MERGE result: upserts applied key-by-key, last wins
+    base = {r[0] for r in dst.scan(columns=["image_id"]).collect()}
+    assert base == {f"img-{i:012d}" for i in range(40)} | {
+        f"img-{i:012d}" for i in range(100, 110)
+    }
+
+
+def test_upsert_replay_is_noop_and_cleans_both_files(spark, dst):
+    dst.append(datagen.gen_images_df(spark, 10))
+    w = IceliteStreamWriter(
+        dst.schema, {"path": dst.root, "txn_app": "u1", "mode": "upsert"}
+    )
+    os.makedirs(os.path.join(dst.root, "deletes"), exist_ok=True)
+
+    def msg(tag):
+        dp = f"data/u-{tag}.parquet"
+        ep = f"deletes/u-{tag}.parquet"
+        open(os.path.join(dst.root, dp), "wb").close()
+        open(os.path.join(dst.root, ep), "wb").close()
+        return IceliteCommitMessage(
+            dp, 3, 30, {}, {}, {},
+            delete_rel_path=ep, delete_record_count=3,
+            delete_file_size_bytes=20, delete_mins={}, delete_maxs={},
+            delete_nulls={},
+        )
+
+    w.commit([msg("a")], batchId=0)
+    dst.refresh()
+    n = len(dst.snapshots())
+    w.commit([msg("b")], batchId=0)  # replay after crash
+    dst.refresh()
+    assert len(dst.snapshots()) == n
+    assert not os.path.exists(os.path.join(dst.root, "data", "u-b.parquet"))
+    assert not os.path.exists(
+        os.path.join(dst.root, "deletes", "u-b.parquet")
+    )
+
+
+def test_upsert_requires_identifier_fields(spark, tmp_table_dir):
+    t = Table.create(
+        spark, os.path.join(tmp_table_dir, "noid"), datagen.IMAGES_SCHEMA,
+        PartitionSpec(()),
+    )
+    with pytest.raises(ValueError, match="identifier_fields"):
+        IceliteStreamWriter(
+            t.schema, {"path": t.root, "txn_app": "u2", "mode": "upsert"}
+        )
+
+
 def test_streamed_table_is_maintainable(spark, src, dst, tmp_table_dir):
     _pipe(spark, src.root, dst.root, os.path.join(tmp_table_dir, "c"))
     dst.refresh()
