@@ -126,8 +126,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dest", required=True,
                    help="destination root for the zero-copy clone")
     p = sub.add_parser("catalog")
-    p.add_argument("--warehouse", required=True)
-    p.add_argument("--op", required=True,
+    p.add_argument("--warehouse", default=None)
+    p.add_argument("--uri", default=None,
+                   help="REST catalog service URI (use instead of "
+                        "--warehouse to go through the HTTP backend)")
+    p.add_argument("--serve", action="store_true",
+                   help="run the REST catalog service over --warehouse "
+                        "(blocks; use --port)")
+    p.add_argument("--port", type=int, default=8181)
+    p.add_argument("--op", default=None,
                    choices=["list", "create", "drop", "rename", "snapshot"])
     p.add_argument("--name", default=None, help="[ns.]table identifier")
     p.add_argument("--to", default=None, help="target for rename/snapshot")
@@ -264,8 +271,23 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.verb == "catalog":
         from olake_spark.icelite import Catalog
+        from olake_spark.icelite.restcatalog import RestCatalog
+        from olake_spark.icelite.restcatalog import main as _serve_main
 
-        cat = Catalog(spark, args.warehouse)
+        if args.serve:
+            if not args.warehouse:
+                ap.error("catalog --serve needs --warehouse")
+            _serve_main(["--warehouse", args.warehouse,
+                         "--port", str(args.port)])
+            return 0
+        if args.uri:
+            cat = RestCatalog(spark, args.uri)
+        elif args.warehouse:
+            cat = Catalog(spark, args.warehouse)
+        else:
+            ap.error("catalog needs --warehouse or --uri")
+        if not args.op:
+            ap.error("catalog needs --op (or --serve)")
         if args.op in ("create", "drop", "rename", "snapshot") and not args.name:
             ap.error(f"catalog {args.op} needs --name")
         if args.op in ("rename", "snapshot") and not args.to:
