@@ -688,6 +688,85 @@ def _q_multimodal_decode_stats(spark, sf):
     )
 
 
+def _q_audio_features_stats(spark, sf):
+    # REAL audio path end-to-end: deterministic PCM WAV payloads encoded
+    # executor-side (stdlib wave codec), decoded by the audio_features
+    # kernel, features projected to the integer-exact subset. The waveform
+    # is a modular-arithmetic sawtooth (datagen.audio_waveform) so the
+    # DuckDB oracle can re-derive every sample in SQL with zero libm: the
+    # energy sum is integer-exact (< 2^53) in both engines, making
+    # floor(sqrt(e/n)*1000) bit-identical. Spectral centroid (rfft) stays
+    # in the kernel under pytest — FFTs don't have a SQL twin.
+    from olake_spark import datagen as dg
+    from olake_spark.functions.audiocodec import encode_wav
+    from olake_spark.operators.multimodal import audio_features
+
+    ids = (
+        _tbl(spark, sf, "documents")
+        .filter(F.col("doc_id") % 40 == 0)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for cid in b["doc_id"]:
+                s = dg.audio_waveform(int(cid))
+                rows.append({
+                    "clip_id": f"clip-{int(cid):08d}",
+                    "bytes": encode_wav(s, dg.AUDIO_SR),
+                })
+            yield pd.DataFrame(rows)
+
+    clips = ids.mapInPandas(
+        synth,
+        "clip_id string, bytes binary",
+    )
+    return audio_features(clips).select(
+        "clip_id",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.expr(f"n_samples * 1000 div {dg.AUDIO_SR}").cast("long")
+        .alias("duration_ms"),
+        F.floor(F.col("rms") * 1000).cast("long").alias("rms_milli"),
+        F.col("zero_crossings").cast("long").alias("zero_crossings"),
+        F.col("peak").cast("long").alias("peak"),
+    )
+
+
+AUDIO_ORACLE_SQL = """
+WITH clips AS (
+  SELECT doc_id AS cid,
+         1600 + (doc_id % 7) * 320 AS n,
+         3 + doc_id % 11 AS k
+  FROM documents WHERE doc_id % 40 = 0
+),
+vals AS (
+  SELECT cid, n, i,
+         ((i * k + cid) % 65536) - 32768 AS v
+  FROM (SELECT cid, n, k, unnest(range(n)) AS i FROM clips)
+),
+feat AS (
+  SELECT cid, n,
+         CAST(SUM(v * v) AS BIGINT) AS e,
+         CAST(SUM(CASE WHEN v * lag_v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zc,
+         CAST(MAX(ABS(v)) AS BIGINT) AS pk
+  FROM (SELECT cid, n, v,
+               lag(v) OVER (PARTITION BY cid ORDER BY i) AS lag_v
+        FROM vals)
+  GROUP BY cid, n
+)
+SELECT 'clip-' || lpad(CAST(cid AS VARCHAR), 8, '0') AS clip_id,
+       CAST(n AS BIGINT)                             AS n_samples,
+       CAST(n * 1000 // 16000 AS BIGINT)             AS duration_ms,
+       CAST(floor(sqrt(CAST(e AS DOUBLE) / n) * 1000) AS BIGINT) AS rms_milli,
+       zc                                            AS zero_crossings,
+       pk                                            AS peak
+FROM feat
+"""
+
+
 PACK_BUDGET = 256  # tokens per training sequence in the gate
 PACK_BUCKETS = 8
 SESSION_GAP_S = 6 * 3600  # events fixture spans months; 6h splits streams
@@ -827,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollback_scan": _q_rollback_scan,
         "text_vocab_topk": _q_text_vocab_topk,
         "stream_upsert_scan": _q_stream_upsert_scan,
+        "audio_features_stats": _q_audio_features_stats,
     }
 
 
@@ -1080,6 +1160,8 @@ LIMIT 20
         "stream_pipe_scan": pipeline.derive_images_sql(),
         # streaming upsert sink: last update per key wins across batches
         "stream_upsert_scan": pipeline.stream_upsert_oracle_sql(),
+        # audio features recomputed sample-by-sample in SQL (integer-exact)
+        "audio_features_stats": AUDIO_ORACLE_SQL,
         "events_sessionize": sessmod.sessionize_sql(
             "events", "user_id", "ts", "event_id", SESSION_GAP_S
         ),

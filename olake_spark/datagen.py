@@ -166,3 +166,58 @@ def fragmented_append(table, df: DataFrame, n_rows: int, n_files: int = 200) -> 
     """Write with small-file debt for compaction tests (FIXTURES.md F1:
     'fragmented writer mode', maxRecordsPerFile ≈ rows/n_files)."""
     table.append(df, max_records_per_file=max(1, n_rows // n_files))
+
+
+# ------------------------------------------------------------ audio fixture
+
+AUDIO_SR = 16000
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType(), False),
+        StructField("bytes", BinaryType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+    ]
+)
+
+
+def audio_waveform(cid: int) -> "np.ndarray":
+    """Deterministic int16 mono waveform for clip `cid` — a modular-arithmetic
+    sawtooth, chosen over sinusoids so every sample is INTEGER-EXACT in both
+    numpy and ANSI SQL (no libm, no rounding divergence — the same
+    cross-engine-exactness principle as BM25's rational idf):
+
+        s[i] = ((i * k + cid) % 65536) - 32768,   k = 3 + cid % 11
+
+    Length varies per clip: n = 1600 + (cid % 7) * 320 samples at 16 kHz."""
+    n = 1600 + (cid % 7) * 320
+    k = 3 + cid % 11
+    i = np.arange(n, dtype=np.int64)
+    return (((i * k + cid) % 65536) - 32768).astype(np.int16)
+
+
+def gen_audio_df(spark: SparkSession, n: int,
+                 parallelism: int | None = None) -> DataFrame:
+    """The audio clips table as a distributed DataFrame: PCM WAV payloads
+    encoded executor-side with the stdlib codec (functions/audiocodec.py)."""
+    from olake_spark.functions.audiocodec import encode_wav
+
+    rng_free = spark.range(
+        0, n, 1, parallelism or spark.sparkContext.defaultParallelism
+    )
+
+    def gen(batches):
+        for b in batches:
+            rows = []
+            for cid in b["id"]:
+                s = audio_waveform(int(cid))
+                rows.append({
+                    "clip_id": f"clip-{int(cid):08d}",
+                    "bytes": encode_wav(s, AUDIO_SR),
+                    "sample_rate": AUDIO_SR,
+                    "n_samples": len(s),
+                })
+            yield pd.DataFrame(rows)
+
+    return rng_free.mapInPandas(gen, AUDIO_SCHEMA)

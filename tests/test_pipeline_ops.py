@@ -177,15 +177,57 @@ class TestMultimodal:
         for r in out:
             assert decode_image(bytes(r["bytes"])).shape == (8, 8, 3)
 
-    def test_audio_video_stubs_raise(self, spark):
-        from olake_spark.operators.multimodal import audio_features, sample_frames
+    def test_video_stub_raises(self, spark):
+        from olake_spark.operators.multimodal import sample_frames
 
-        clips = spark.createDataFrame([("c1", b"xx")], ["clip_id", "bytes"])
-        with pytest.raises(Exception, match="NotImplementedError|decode"):
-            audio_features(clips).collect()
         vids = spark.createDataFrame([("v1", b"xx")], ["video_id", "bytes"])
         with pytest.raises(Exception, match="NotImplementedError|decode"):
             sample_frames(vids).collect()
+
+    def test_wav_codec_roundtrip(self):
+        import numpy as np
+
+        from olake_spark.functions.audiocodec import decode_wav, encode_wav
+
+        s = (np.arange(-100, 100, dtype=np.int64) * 127).astype(np.int16)
+        out, sr = decode_wav(encode_wav(s, 8000))
+        assert sr == 8000
+        assert np.array_equal(out, s)
+        with pytest.raises(ValueError, match="int16"):
+            encode_wav(s.astype(np.float64), 8000)
+
+    def test_audio_features_real_kernel(self, spark):
+        import numpy as np
+
+        from olake_spark import datagen
+        from olake_spark.operators.multimodal import audio_features
+
+        clips = datagen.gen_audio_df(spark, 8)
+        # one undecodable payload must flag, not poison the batch
+        bad = spark.createDataFrame(
+            [("clip-bad", bytearray(b"not a wav"), 0, 0)],
+            datagen.AUDIO_SCHEMA,
+        )
+        out = {r["clip_id"]: r for r in
+               audio_features(clips.unionByName(bad)).collect()}
+        assert len(out) == 9
+        assert not out["clip-bad"]["decode_ok"]
+        for cid in range(8):
+            r = out[f"clip-{cid:08d}"]
+            s = datagen.audio_waveform(cid).astype(np.float64)
+            assert r["decode_ok"] and r["sample_rate"] == datagen.AUDIO_SR
+            assert r["n_samples"] == len(s)
+            assert r["duration_s"] == pytest.approx(len(s) / datagen.AUDIO_SR)
+            assert r["rms"] == pytest.approx(
+                float(np.sqrt((s * s).mean())), rel=1e-12
+            )
+            assert r["zero_crossings"] == int(((s[1:] * s[:-1]) < 0).sum())
+            assert r["peak"] == int(np.abs(s).max())
+            # sawtooth fundamental = k*sr/65536; centroid sits above it
+            # (energy in harmonics) but far below Nyquist
+            k = 3 + cid % 11
+            fund = k * datagen.AUDIO_SR / 65536
+            assert fund < r["spectral_centroid_hz"] < datagen.AUDIO_SR / 2
 
 
 class TestBoundedStreaming:
