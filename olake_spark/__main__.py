@@ -125,6 +125,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True, help="source table root")
     p.add_argument("--dest", required=True,
                    help="destination root for the zero-copy clone")
+    p = sub.add_parser("export")
+    p.add_argument("--table", required=True, help="icelite table root")
+    p.add_argument("--dest", required=True,
+                   help="destination dir for spec-v2 Iceberg metadata "
+                        "(metadata.json + Avro manifests; zero-copy)")
     p = sub.add_parser("catalog")
     p.add_argument("--warehouse", default=None)
     p.add_argument("--uri", default=None,
@@ -268,6 +273,13 @@ def main(argv: list[str] | None = None) -> int:
             "snapshot_id": snap["snapshot_id"],
             "files_added": snap["summary"].get("added-files-by-reference", 0),
         }))
+        return 0
+    if args.verb == "export":
+        from olake_spark.icelite import Table
+        from olake_spark.icelite.export import export_iceberg
+
+        out = export_iceberg(Table.load(spark, args.table), args.dest)
+        print(json.dumps(out))
         return 0
     if args.verb == "catalog":
         from olake_spark.icelite import Catalog

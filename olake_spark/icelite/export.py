@@ -1,0 +1,439 @@
+"""One-way Iceberg-spec exporter: materialize an icelite table's CURRENT
+snapshot as spec-v2 Iceberg metadata — `metadata.json` + Avro manifest list
++ Avro manifests (via the in-repo Avro codec, avro.py) — referencing the
+ORIGINAL parquet data files by absolute URI, zero bytes copied.
+
+The reference's output IS spec-Iceberg (manifest building:
+IcebergUtil.java:139-217; catalog metadata swing iceberg_utils.go:197-260);
+icelite's native dialect (JSON metadata + parquet manifests) is internally
+consistent but not spec-readable. This module closes that believability gap
+one way: every spec-required field is emitted with spec names, spec field
+IDs, and the spec's single-value binary encoding for column bounds.
+
+Conformance matrix (spec area → status):
+  table metadata v2 required fields        → all emitted (see _metadata_json)
+  schema JSON (struct/field-id/required)   → emitted; ids assigned pre-order
+  partition spec JSON                      → emitted; field-ids 1000+i
+    identity / truncate[W]                 → value encodings MATCH the spec
+    bucket[N]                              → structure matches; icelite
+                                             buckets with xxhash64, not
+                                             murmur3 — values differ (doc'd)
+    year/month/day/hour                    → structure matches; icelite
+                                             stores formatted strings, not
+                                             the spec's int encodings
+  manifest list (Avro, field-ids 500-519)  → emitted
+  manifest_entry / data_file (ids 0-4,     → emitted; eq-delete manifests
+    100-142)                                 carry equality_ids
+  bounds maps (key = field-id, value =     → int/long LE, float/double LE,
+    single-value binary, Appendix D)         string UTF-8; other types omitted
+  positional-delete manifests              → content=1 manifests with the
+                                             spec's (file_path, pos) schema
+                                             reference (files stay parquet)
+  snapshot summary / refs / logs           → emitted (current snapshot only;
+                                             history is icelite-native)
+
+Not emitted: prior snapshots (one-way CURRENT-state export), Puffin stats,
+metrics beyond counts/bounds/nulls. No external Iceberg reader ships in
+this container, so the round-trip test reads the export back through the
+codec's own decoder and re-verifies counts against the live table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import types as T
+
+from .avro import write_ocf
+from .table import DATA, EQ_DELETES, POS_DELETES, Table
+
+_FMT = "PARQUET"
+
+
+# ----------------------------------------------------- schema (field ids)
+
+
+def _assign_ids(schema: T.StructType):
+    """Pre-order field-id assignment (stable: by schema position)."""
+    counter = {"next": 1}
+
+    def walk_struct(st: T.StructType) -> list[dict]:
+        fields = []
+        heads = []
+        for f in st.fields:
+            fid = counter["next"]
+            counter["next"] += 1
+            heads.append((fid, f))
+        for fid, f in heads:
+            fields.append({
+                "id": fid,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": walk_type(f.dataType),
+            })
+        return fields
+
+    def walk_type(dt: T.DataType):
+        if isinstance(dt, T.StructType):
+            return {"type": "struct", "fields": walk_struct(dt)}
+        if isinstance(dt, T.ArrayType):
+            eid = counter["next"]
+            counter["next"] += 1
+            return {
+                "type": "list",
+                "element-id": eid,
+                "element": walk_type(dt.elementType),
+                "element-required": not dt.containsNull,
+            }
+        if isinstance(dt, T.MapType):
+            kid = counter["next"]
+            vid = counter["next"] + 1
+            counter["next"] += 2
+            return {
+                "type": "map",
+                "key-id": kid,
+                "key": walk_type(dt.keyType),
+                "value-id": vid,
+                "value": walk_type(dt.valueType),
+                "value-required": not dt.valueContainsNull,
+            }
+        simple = {
+            T.StringType: "string", T.LongType: "long", T.IntegerType: "int",
+            T.DoubleType: "double", T.FloatType: "float",
+            T.BooleanType: "boolean", T.BinaryType: "binary",
+            T.DateType: "date", T.TimestampType: "timestamptz",
+            T.ShortType: "int", T.ByteType: "int",
+        }
+        for k, v in simple.items():
+            if isinstance(dt, k):
+                return v
+        if isinstance(dt, T.DecimalType):
+            return f"decimal({dt.precision}, {dt.scale})"
+        raise ValueError(f"no Iceberg mapping for Spark type {dt}")
+
+    fields = walk_struct(schema)
+    return fields, counter["next"] - 1
+
+
+def _top_level_ids(fields: list[dict]) -> dict[str, int]:
+    return {f["name"]: f["id"] for f in fields}
+
+
+def _top_level_types(schema: T.StructType) -> dict[str, T.DataType]:
+    return {f.name: f.dataType for f in schema.fields}
+
+
+# ------------------------------------------- single-value binary (App. D)
+
+
+def _bound_bytes(dt: T.DataType, v) -> bytes | None:
+    import struct as _s
+
+    try:
+        if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+            return _s.pack("<i", int(v))
+        if isinstance(dt, T.LongType):
+            return _s.pack("<q", int(v))
+        if isinstance(dt, T.FloatType):
+            return _s.pack("<f", float(v))
+        if isinstance(dt, T.DoubleType):
+            return _s.pack("<d", float(v))
+        if isinstance(dt, T.StringType):
+            return str(v).encode("utf-8")
+    except (ValueError, TypeError, OverflowError):
+        return None
+    return None  # other types: bounds omitted (allowed — metrics optional)
+
+
+# ------------------------------------------------------ Avro schemas (spec)
+
+
+def _kv_array(name: str, kid: int, vid: int, vtype) -> dict:
+    """Iceberg's Avro rendering of map<int, ...>: array of key/value records
+    (Avro map keys must be strings), logicalType map."""
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": kid},
+                {"name": "value", "type": vtype, "field-id": vid},
+            ],
+        },
+    }
+
+
+def _partition_avro_schema(spec_fields: list[dict]) -> dict:
+    return {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": f["name"],
+                "type": ["null", "string"],
+                "default": None,
+                "field-id": f["field-id"],
+            }
+            for f in spec_fields
+        ],
+    }
+
+
+def _manifest_entry_schema(partition_schema: dict) -> dict:
+    df_fields = [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition", "type": partition_schema, "field-id": 102},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {"name": "null_value_counts",
+         "type": ["null", _kv_array("k110_v111", 121, 122, "long")],
+         "default": None, "field-id": 110},
+        {"name": "lower_bounds",
+         "type": ["null", _kv_array("k126_v127", 126, 127, "bytes")],
+         "default": None, "field-id": 125},
+        {"name": "upper_bounds",
+         "type": ["null", _kv_array("k129_v130", 129, 130, "bytes")],
+         "default": None, "field-id": 128},
+        {"name": "split_offsets",
+         "type": ["null", {"type": "array", "items": "long",
+                           "element-id": 133}],
+         "default": None, "field-id": 132},
+        {"name": "equality_ids",
+         "type": ["null", {"type": "array", "items": "int",
+                           "element-id": 136}],
+         "default": None, "field-id": 135},
+        {"name": "sort_order_id", "type": ["null", "int"],
+         "default": None, "field-id": 140},
+    ]
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 4},
+            {"name": "data_file",
+             "type": {"type": "record", "name": "r2", "fields": df_fields},
+             "field-id": 2},
+        ],
+    }
+
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {"name": "key_metadata", "type": ["null", "bytes"],
+         "default": None, "field-id": 519},
+    ],
+}
+
+
+# ------------------------------------------------------------------ export
+
+
+def export_iceberg(table: Table, dest_dir: str) -> dict:
+    """Write spec-v2 Iceberg metadata for `table`'s current snapshot under
+    `dest_dir/metadata/`; data files are referenced in place by absolute
+    path. Returns {"metadata_json": path, "manifest_list": path,
+    "manifests": [paths], "data_files": n, "delete_files": n}."""
+    table.refresh()
+    meta_dir = os.path.join(os.path.abspath(dest_dir), "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+
+    fields, last_col_id = _assign_ids(table.schema)
+    ids = _top_level_ids(fields)
+    dts = _top_level_types(table.schema)
+    spec_fields = []
+    for i, pf in enumerate(table.spec.fields):
+        transform = pf.transform
+        if transform in ("bucket", "truncate"):
+            transform = f"{transform}[{pf.n}]"
+        spec_fields.append({
+            "name": pf.name,
+            "transform": transform,
+            "source-id": ids[pf.source],
+            "field-id": 1000 + i,
+        })
+
+    snap_id = table.current_snapshot_id or 0
+    seq = table.meta["last_sequence_number"]
+    entries = table.entries()
+    part_schema = _partition_avro_schema(spec_fields)
+    entry_schema = _manifest_entry_schema(part_schema)
+
+    def _bounds(e, which):
+        src = e.mins if which == "lower" else e.maxs
+        out = []
+        for col, v in src.items():
+            if col in ids and v is not None:
+                b = _bound_bytes(dts[col], v)
+                if b is not None:
+                    out.append({"key": ids[col], "value": b})
+        return sorted(out, key=lambda d: d["key"]) or None
+
+    def _entry_rec(e):
+        return {
+            "status": 1,  # ADDED in the exported snapshot
+            "snapshot_id": snap_id,
+            "sequence_number": e.seq,
+            "file_sequence_number": e.seq,
+            "data_file": {
+                "content": e.content,
+                "file_path": table._abs(e.file_path),
+                "file_format": _FMT,
+                "partition": {
+                    f["name"]: e.partition.get(f["name"])
+                    for f in spec_fields
+                },
+                "record_count": e.record_count,
+                "file_size_in_bytes": e.file_size_bytes,
+                "null_value_counts": sorted(
+                    ({"key": ids[c], "value": int(n)}
+                     for c, n in e.nulls.items() if c in ids),
+                    key=lambda d: d["key"],
+                ) or None,
+                "lower_bounds": _bounds(e, "lower"),
+                "upper_bounds": _bounds(e, "upper"),
+                "split_offsets": None,
+                "equality_ids": (
+                    [ids[c] for c in table.identifier_fields]
+                    if e.content == EQ_DELETES else None
+                ),
+                "sort_order_id": 0 if e.content == DATA else None,
+            },
+        }
+
+    manifests: list[str] = []
+    list_entries: list[dict] = []
+    groups = [
+        ("data", [e for e in entries if e.content == DATA], 0),
+        ("eq-deletes", [e for e in entries if e.content == EQ_DELETES], 1),
+        ("pos-deletes", [e for e in entries if e.content == POS_DELETES], 1),
+    ]
+    for tag, group, content in groups:
+        if not group:
+            continue
+        path = os.path.join(meta_dir, f"manifest-{tag}-{snap_id}.avro")
+        blob = write_ocf(entry_schema, [_entry_rec(e) for e in group])
+        with open(path, "wb") as f:
+            f.write(blob)
+        manifests.append(path)
+        list_entries.append({
+            "manifest_path": path,
+            "manifest_length": len(blob),
+            "partition_spec_id": 0,
+            "content": content,
+            "sequence_number": max(e.seq for e in group),
+            "min_sequence_number": min(e.seq for e in group),
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(group),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(e.record_count for e in group),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "key_metadata": None,
+        })
+
+    mlist_path = os.path.join(
+        meta_dir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
+    )
+    with open(mlist_path, "wb") as f:
+        f.write(write_ocf(_MANIFEST_FILE_SCHEMA, list_entries))
+
+    now_ms = int(time.time() * 1000)
+    cur = next(
+        (s for s in table.meta["snapshots"] if s["snapshot_id"] == snap_id),
+        None,
+    )
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": (cur or {}).get("timestamp_ms", now_ms),
+        "summary": {
+            "operation": "append",
+            "exported-from": "icelite",
+            "source-operation": (cur or {}).get("operation", ""),
+        },
+        "manifest-list": mlist_path,
+        "schema-id": 0,
+    }
+    metadata = {
+        "format-version": 2,
+        "table-uuid": table.meta.get("table_uuid", uuid.uuid4().hex),
+        "location": os.path.abspath(dest_dir),
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": last_col_id,
+        "current-schema-id": 0,
+        "schemas": [{
+            "type": "struct",
+            "schema-id": 0,
+            "identifier-field-ids": [
+                ids[c] for c in table.identifier_fields
+            ],
+            "fields": fields,
+        }],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 1000 + len(spec_fields) - 1
+        if spec_fields else 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{
+            "order-id": 0,
+            "fields": [
+                {"transform": "identity", "source-id": ids[c],
+                 "direction": "asc", "null-order": "nulls-first"}
+                for c in table.sort_order if c in ids
+            ],
+        }],
+        "properties": {
+            k: str(v) for k, v in table.meta["properties"].items()
+        },
+        "current-snapshot-id": snap_id,
+        "refs": {
+            "main": {"snapshot-id": snap_id, "type": "branch"},
+        },
+        "snapshots": [snapshot],
+        "snapshot-log": [{
+            "snapshot-id": snap_id, "timestamp-ms": now_ms,
+        }],
+        "metadata-log": [],
+    }
+    mjson = os.path.join(meta_dir, "v1.metadata.json")
+    with open(mjson, "w") as f:
+        json.dump(metadata, f, indent=2)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("1")
+    return {
+        "metadata_json": mjson,
+        "manifest_list": mlist_path,
+        "manifests": manifests,
+        "data_files": sum(1 for e in entries if e.content == DATA),
+        "delete_files": sum(1 for e in entries if e.content != DATA),
+    }

@@ -1,0 +1,190 @@
+"""Iceberg-spec export: Avro codec round-trips + spec-field conformance of
+the one-way exporter (metadata.json + Avro manifest list + manifests)."""
+
+import json
+import os
+import struct
+
+import pytest
+
+from olake_spark import datagen
+from olake_spark.icelite import PartitionField, PartitionSpec, Table
+from olake_spark.icelite.avro import read_ocf, write_ocf
+from olake_spark.icelite.export import export_iceberg
+
+
+class TestAvroCodec:
+    def test_roundtrip_all_types(self):
+        schema = {
+            "type": "record",
+            "name": "t",
+            "fields": [
+                {"name": "b", "type": "boolean"},
+                {"name": "i", "type": "int"},
+                {"name": "l", "type": "long"},
+                {"name": "f", "type": "float"},
+                {"name": "d", "type": "double"},
+                {"name": "s", "type": "string"},
+                {"name": "by", "type": "bytes"},
+                {"name": "u", "type": ["null", "long"]},
+                {"name": "arr", "type": {"type": "array", "items": "long"}},
+                {"name": "m", "type": {"type": "map", "values": "string"}},
+                {"name": "nested", "type": {
+                    "type": "record", "name": "inner",
+                    "fields": [{"name": "x", "type": ["null", "string"]}],
+                }},
+            ],
+        }
+        recs = [
+            {"b": True, "i": -7, "l": 2**40, "f": 1.5, "d": -3.25,
+             "s": "héllo", "by": b"\x00\xff", "u": None,
+             "arr": [1, -2, 3], "m": {"a": "x", "b": "y"},
+             "nested": {"x": "deep"}},
+            {"b": False, "i": 0, "l": -(2**40), "f": 0.0, "d": 0.0,
+             "s": "", "by": b"", "u": 99,
+             "arr": [], "m": {}, "nested": {"x": None}},
+        ]
+        got_schema, got = read_ocf(write_ocf(schema, recs))
+        assert got_schema == schema
+        assert got == recs
+
+    def test_zigzag_extremes(self):
+        schema = {"type": "record", "name": "z",
+                  "fields": [{"name": "v", "type": "long"}]}
+        vals = [0, 1, -1, 2**62, -(2**62), 2**63 - 1, -(2**63)]
+        _, got = read_ocf(write_ocf(schema, [{"v": v} for v in vals]))
+        assert [r["v"] for r in got] == vals
+
+    def test_empty_file(self):
+        schema = {"type": "record", "name": "e",
+                  "fields": [{"name": "v", "type": "string"}]}
+        s, recs = read_ocf(write_ocf(schema, []))
+        assert s == schema and recs == []
+
+
+# spec v2 required table-metadata fields (Iceberg table spec, "Table
+# Metadata Fields", format-version 2 requirements)
+REQUIRED_METADATA_FIELDS = [
+    "format-version", "table-uuid", "location", "last-sequence-number",
+    "last-updated-ms", "last-column-id", "schemas", "current-schema-id",
+    "partition-specs", "default-spec-id", "last-partition-id",
+    "sort-orders", "default-sort-order-id",
+]
+
+REQUIRED_DATA_FILE_FIELDS = [
+    "content", "file_path", "file_format", "partition", "record_count",
+    "file_size_in_bytes",
+]
+
+
+@pytest.fixture()
+def exported(spark, tmp_table_dir):
+    t = Table.create(
+        spark, os.path.join(tmp_table_dir, "imgs"), datagen.IMAGES_SCHEMA,
+        PartitionSpec((PartitionField("image_id", "bucket", 4),)),
+        identifier_fields=("image_id",),
+    )
+    t.append(datagen.gen_images_df(spark, 120), max_records_per_file=40)
+    # both delete kinds so all three manifest groups exist
+    t.row_delta(
+        None,
+        t.scan(columns=["image_id"]).limit(5).select("image_id"),
+    )
+    t.delete_where("image_id like '%7'")
+    dest = os.path.join(tmp_table_dir, "iceberg-export")
+    return t, export_iceberg(t, dest)
+
+
+class TestExportConformance:
+    def test_metadata_json_required_fields(self, exported):
+        t, out = exported
+        meta = json.load(open(out["metadata_json"]))
+        for k in REQUIRED_METADATA_FIELDS:
+            assert k in meta, f"spec-required field missing: {k}"
+        assert meta["format-version"] == 2
+        schema = meta["schemas"][meta["current-schema-id"]]
+        names = [f["name"] for f in schema["fields"]]
+        assert names == [f.name for f in datagen.IMAGES_SCHEMA.fields]
+        fids = [f["id"] for f in schema["fields"]]
+        assert fids == sorted(fids) and len(set(fids)) == len(fids)
+        assert meta["last-column-id"] == max(fids)
+        # identifier fields resolve to real field ids
+        id_ids = schema["identifier-field-ids"]
+        assert id_ids == [
+            f["id"] for f in schema["fields"] if f["name"] == "image_id"
+        ]
+        # partition spec: bucket[4] over image_id, field-id 1000
+        spec = meta["partition-specs"][meta["default-spec-id"]]
+        pf = spec["fields"][0]
+        assert pf["transform"] == "bucket[4]"
+        assert pf["source-id"] == id_ids[0]
+        assert pf["field-id"] == 1000
+        assert meta["last-partition-id"] == 1000
+        assert meta["refs"]["main"]["snapshot-id"] == \
+            meta["current-snapshot-id"]
+
+    def test_manifest_list_and_manifests_decode(self, exported):
+        t, out = exported
+        meta = json.load(open(out["metadata_json"]))
+        snap = meta["snapshots"][0]
+        assert snap["manifest-list"] == out["manifest_list"]
+        _, mlist = read_ocf(open(out["manifest_list"], "rb").read())
+        # data + eq-deletes + pos-deletes
+        assert sorted(m["content"] for m in mlist) == [0, 1, 1]
+        for m in mlist:
+            assert os.path.getsize(m["manifest_path"]) == \
+                m["manifest_length"]
+            _, entries = read_ocf(open(m["manifest_path"], "rb").read())
+            assert len(entries) == m["added_files_count"]
+            assert sum(e["data_file"]["record_count"] for e in entries) == \
+                m["added_rows_count"]
+            for e in entries:
+                df = e["data_file"]
+                for k in REQUIRED_DATA_FILE_FIELDS:
+                    assert k in df
+                assert df["file_format"] == "PARQUET"
+                assert os.path.exists(df["file_path"])  # zero-copy refs
+        # data rows in the export == live data rows in the table
+        data_m = next(m for m in mlist if m["content"] == 0)
+        _, data_entries = read_ocf(
+            open(data_m["manifest_path"], "rb").read()
+        )
+        from olake_spark.icelite.table import DATA
+        assert sum(e["data_file"]["record_count"] for e in data_entries) \
+            == sum(x.record_count for x in t.entries() if x.content == DATA)
+
+    def test_bounds_use_single_value_binary(self, exported):
+        t, out = exported
+        meta = json.load(open(out["metadata_json"]))
+        schema = meta["schemas"][0]
+        by_id = {f["id"]: f for f in schema["fields"]}
+        _, mlist = read_ocf(open(out["manifest_list"], "rb").read())
+        data_m = next(m for m in mlist if m["content"] == 0)
+        _, entries = read_ocf(open(data_m["manifest_path"], "rb").read())
+        e = entries[0]["data_file"]
+        lowers = {kv["key"]: kv["value"] for kv in e["lower_bounds"]}
+        uppers = {kv["key"]: kv["value"] for kv in e["upper_bounds"]}
+        for fid, lo in lowers.items():
+            f = by_id[fid]
+            if f["type"] == "int":
+                assert len(lo) == 4
+                assert struct.unpack("<i", lo)[0] <= \
+                    struct.unpack("<i", uppers[fid])[0]
+            elif f["type"] == "long":
+                assert len(lo) == 8
+            elif f["type"] == "string":
+                lo.decode("utf-8")
+        # eq-delete manifest carries equality_ids = identifier field ids
+        eqm = [m for m in mlist if m["content"] == 1]
+        for m in eqm:
+            _, dels = read_ocf(open(m["manifest_path"], "rb").read())
+            for d in dels:
+                if d["data_file"]["equality_ids"] is not None:
+                    assert d["data_file"]["equality_ids"] == \
+                        schema["identifier-field-ids"]
+
+    def test_export_is_readonly_on_source(self, spark, exported):
+        t, _ = exported
+        before = t.scan().count()
+        t.refresh()
+        assert t.scan().count() == before  # source untouched
