@@ -232,6 +232,53 @@ class TestAnnIvfRecall:
         assert np.allclose(got, ref)
 
 
+class TestSessionizeHotUser:
+    def test_hot_user_single_exchange_and_correct(self, spark):
+        """One user owning ~10% of ALL events (the skew a 10^9-user stream
+        WILL have): the plan must still show exactly ONE shuffle (every
+        window keyed on user — skew lands in one task whose WINDOW SPILLS,
+        bounded by spark.sql.windowExec.buffer.spill.threshold, not by
+        memory), and the hot user's sessions must be exactly right."""
+        from olake_spark.operators.sessionize import sessionize
+
+        n, gap = 20_000, 100
+        base = spark.range(n).selectExpr(
+            "id AS event_id",
+            # hot user 7 owns every 10th event; others spread over 1k users
+            "CASE WHEN id % 10 = 0 THEN 7 ELSE 100 + id % 1000 END AS user_id",
+            # hot user's events: bursts of 5 spaced inside the gap, then a
+            # jump past it → n/50 sessions expected
+            "timestamp_seconds(CASE WHEN id % 10 = 0 "
+            "THEN (id DIV 10) * 30 + (id DIV 500) * 1000 "
+            "ELSE id END) AS ts",
+        )
+        out = sessionize(base, "user_id", "ts", "event_id", gap)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, f"expected ONE shuffle, plan has {n_exchanges}"
+        hot = [r for r in out.collect() if r["user"] == 7]
+        assert len(hot) == n // 10
+        # pure-python reference for the hot user
+        ts = sorted((i // 10) * 30 + (i // 500) * 1000
+                    for i in range(0, n, 10))
+        sess_breaks = sum(
+            1 for a, b in zip(ts, ts[1:]) if b - a > gap
+        )
+        got_sessions = {r["session_idx"] for r in hot}
+        assert got_sessions == set(range(sess_breaks + 1))
+        # per-event correctness on the largest session
+        biggest = max(
+            got_sessions,
+            key=lambda s: sum(1 for r in hot if r["session_idx"] == s),
+        )
+        rows = sorted(
+            (r for r in hot if r["session_idx"] == biggest),
+            key=lambda r: (r["ts_epoch"], r["event"]),
+        )
+        assert [r["event_seq"] for r in rows] == list(range(len(rows)))
+        assert all(r["session_events"] == len(rows) for r in rows)
+
+
 class TestCurateProperties:
     def test_hash_sample_rate_and_determinism(self, spark):
         from olake_spark.functions import curate
