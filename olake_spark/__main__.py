@@ -130,6 +130,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dest", required=True,
                    help="destination dir for spec-v2 Iceberg metadata "
                         "(metadata.json + Avro manifests; zero-copy)")
+    p = sub.add_parser("import")
+    p.add_argument("--metadata", required=True,
+                   help="spec-v2 Iceberg metadata.json (from `export`)")
+    p.add_argument("--dest", required=True, help="new icelite table root")
     p = sub.add_parser("catalog")
     p.add_argument("--warehouse", default=None)
     p.add_argument("--uri", default=None,
@@ -280,6 +284,18 @@ def main(argv: list[str] | None = None) -> int:
 
         out = export_iceberg(Table.load(spark, args.table), args.dest)
         print(json.dumps(out))
+        return 0
+    if args.verb == "import":
+        from olake_spark.icelite.export import import_iceberg
+
+        t = import_iceberg(spark, args.metadata, args.dest)
+        print(json.dumps({
+            "dest": t.root,
+            "rows": t.total_records(),
+            "files_by_reference": sum(
+                1 for e in t.entries() if os.path.isabs(e.file_path)
+            ),
+        }))
         return 0
     if args.verb == "catalog":
         from olake_spark.icelite import Catalog

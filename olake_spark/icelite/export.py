@@ -1,4 +1,4 @@
-"""One-way Iceberg-spec exporter: materialize an icelite table's CURRENT
+"""Iceberg-spec exporter + importer: materialize an icelite table's CURRENT
 snapshot as spec-v2 Iceberg metadata — `metadata.json` + Avro manifest list
 + Avro manifests (via the in-repo Avro codec, avro.py) — referencing the
 ORIGINAL parquet data files by absolute URI, zero bytes copied.
@@ -32,10 +32,13 @@ Conformance matrix (spec area → status):
   snapshot summary / refs / logs           → emitted (current snapshot only;
                                              history is icelite-native)
 
-Not emitted: prior snapshots (one-way CURRENT-state export), Puffin stats,
+Not emitted: prior snapshots (CURRENT-state export only), Puffin stats,
 metrics beyond counts/bounds/nulls. No external Iceberg reader ships in
-this container, so the round-trip test reads the export back through the
-codec's own decoder and re-verifies counts against the live table.
+this container, so the interop proof is the in-repo ROUND TRIP:
+`import_iceberg` below reads an export (metadata.json + Avro manifests)
+back into a brand-new icelite table — schema, identifier fields, partition
+spec, per-entry sequence numbers, bounds, and BOTH delete kinds survive,
+and the imported table's scan equals the source's (tests/test_export.py).
 """
 
 from __future__ import annotations
@@ -48,7 +51,7 @@ import uuid
 from pyspark.sql import types as T
 
 from .avro import write_ocf
-from .table import DATA, EQ_DELETES, POS_DELETES, Table
+from .table import DATA, EQ_DELETES, POS_DELETES, FileEntry, Table
 
 _FMT = "PARQUET"
 
@@ -437,3 +440,210 @@ def export_iceberg(table: Table, dest_dir: str) -> dict:
         "data_files": sum(1 for e in entries if e.content == DATA),
         "delete_files": sum(1 for e in entries if e.content != DATA),
     }
+
+
+# ------------------------------------------------------------------ import
+
+
+_SIMPLE_TO_SPARK = {
+    "string": T.StringType, "long": T.LongType, "int": T.IntegerType,
+    "double": T.DoubleType, "float": T.FloatType, "boolean": T.BooleanType,
+    "binary": T.BinaryType, "date": T.DateType, "timestamptz": T.TimestampType,
+}
+
+
+def _iceberg_type_to_spark(t):
+    if isinstance(t, str):
+        if t in _SIMPLE_TO_SPARK:
+            return _SIMPLE_TO_SPARK[t]()
+        if t.startswith("decimal("):
+            p, s = t[8:-1].split(",")
+            return T.DecimalType(int(p), int(s))
+        raise ValueError(f"no Spark mapping for Iceberg type {t!r}")
+    kind = t["type"]
+    if kind == "struct":
+        return T.StructType([
+            T.StructField(
+                f["name"], _iceberg_type_to_spark(f["type"]),
+                not f.get("required", False),
+            )
+            for f in t["fields"]
+        ])
+    if kind == "list":
+        return T.ArrayType(
+            _iceberg_type_to_spark(t["element"]),
+            not t.get("element-required", False),
+        )
+    if kind == "map":
+        return T.MapType(
+            _iceberg_type_to_spark(t["key"]),
+            _iceberg_type_to_spark(t["value"]),
+            not t.get("value-required", False),
+        )
+    raise ValueError(f"no Spark mapping for Iceberg type {t!r}")
+
+
+def _bound_value(dt: T.DataType, raw: bytes):
+    import struct as _s
+
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+        return _s.unpack("<i", raw)[0]
+    if isinstance(dt, T.LongType):
+        return _s.unpack("<q", raw)[0]
+    if isinstance(dt, T.FloatType):
+        return _s.unpack("<f", raw)[0]
+    if isinstance(dt, T.DoubleType):
+        return _s.unpack("<d", raw)[0]
+    if isinstance(dt, T.StringType):
+        return raw.decode("utf-8")
+    return None
+
+
+def import_iceberg(spark, metadata_json: str, dest_root: str, io=None) -> Table:
+    """Reverse direction: build a NEW icelite table at `dest_root` from a
+    spec-v2 Iceberg export (metadata.json + Avro manifests) — the proof the
+    exported manifests are not write-only. Data and equality-delete files
+    are registered by reference (zero copy, absolute manifest paths);
+    positional-delete files are re-written with row keys remapped to the
+    importer's absolute-path tagging (same mechanics as clone.py). Eq-delete
+    reconciliation needs no `_delete_seq` column — the manifest entry's
+    sequence number is authoritative (table.py:_apply_deletes)."""
+    from .avro import read_ocf
+    from .spec import PartitionField, PartitionSpec
+
+    meta = json.load(open(metadata_json))
+    if meta.get("format-version") != 2:
+        raise ValueError("import_iceberg reads format-version 2 metadata")
+    schema_json = meta["schemas"][meta["current-schema-id"]]
+    by_id = {f["id"]: f["name"] for f in schema_json["fields"]}
+    types_by_id = {
+        f["id"]: _iceberg_type_to_spark(f["type"])
+        for f in schema_json["fields"]
+        if isinstance(f["type"], str) or f["type"].get("type") != "struct"
+    }
+    schema = T.StructType([
+        T.StructField(
+            f["name"], _iceberg_type_to_spark(f["type"]),
+            not f.get("required", False),
+        )
+        for f in schema_json["fields"]
+    ])
+    ident = tuple(
+        by_id[i] for i in schema_json.get("identifier-field-ids", [])
+    )
+    spec_json = meta["partition-specs"][meta["default-spec-id"]]
+    pfields = []
+    for f in spec_json["fields"]:
+        tr = f["transform"]
+        n = 0
+        if "[" in tr:
+            tr, arg = tr[:-1].split("[")
+            n = int(arg)
+        pfields.append(PartitionField(by_id[f["source-id"]], tr, n))
+
+    snap_id = meta["current-snapshot-id"]
+    snap = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == snap_id
+    )
+    _, mlist = read_ocf(open(snap["manifest-list"], "rb").read())
+
+    def _decode_bounds(kvs):
+        out = {}
+        for kv in kvs or []:
+            name = by_id.get(kv["key"])
+            dt = types_by_id.get(kv["key"])
+            if name is not None and dt is not None:
+                v = _bound_value(dt, kv["value"])
+                if v is not None:
+                    out[name] = v
+        return out
+
+    dest = Table.create(
+        spark, dest_root, schema,
+        partition_spec=PartitionSpec(tuple(pfields)),
+        identifier_fields=ident,
+        properties={
+            **meta.get("properties", {}),
+            "imported-from": os.path.abspath(metadata_json),
+        },
+        io=io,
+    )
+
+    raw_entries: list[tuple[int, dict, int]] = []
+    for m in mlist:
+        _, recs = read_ocf(open(m["manifest_path"], "rb").read())
+        for r in recs:
+            raw_entries.append(
+                (r["sequence_number"] or 0, r["data_file"], m["content"])
+            )
+    if not raw_entries:
+        return dest
+
+    # rel → abs map for positional-delete row-key remapping: every data
+    # path in the export is absolute; relative row keys are suffixes
+    data_abs = [
+        df["file_path"] for _, df, _ in raw_entries if df["content"] == DATA
+    ]
+    by_suffix: dict[str, str] = {}
+    for a in data_abs:
+        parts = a.split(os.sep)
+        for cut in range(len(parts) - 1, 0, -1):
+            by_suffix.setdefault(os.sep.join(parts[cut:]), a)
+
+    entries: list[FileEntry] = []
+    for seq, df, _mcontent in raw_entries:
+        nulls = {
+            by_id[kv["key"]]: kv["value"]
+            for kv in (df["null_value_counts"] or [])
+            if kv["key"] in by_id
+        }
+        mins = _decode_bounds(df["lower_bounds"])
+        maxs = _decode_bounds(df["upper_bounds"])
+        partition = {
+            k: v for k, v in (df["partition"] or {}).items() if v is not None
+        }
+        if df["content"] == POS_DELETES:
+            # rewrite row keys to the importer's tagging (clone.py pattern)
+            import uuid as _uuid
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(df["file_path"])
+            cols = t.to_pydict()
+            cols["file_path"] = [
+                p if os.path.isabs(p) else by_suffix.get(p, p)
+                for p in cols["file_path"]
+            ]
+            rel = os.path.join(
+                "deletes", f"posdel-import-{_uuid.uuid4().hex}.parquet"
+            )
+            pq.write_table(
+                pa.table(cols, schema=t.schema),
+                os.path.join(dest.root, rel),
+            )
+            entries.append(FileEntry(
+                POS_DELETES, rel, partition, seq,
+                df["record_count"], df["file_size_in_bytes"],
+                {**mins, "file_path": min(cols["file_path"], default=None)},
+                {**maxs, "file_path": max(cols["file_path"], default=None)},
+                nulls,
+            ))
+        else:
+            entries.append(FileEntry(
+                df["content"], df["file_path"], partition, seq,
+                df["record_count"], df["file_size_in_bytes"],
+                mins, maxs, nulls,
+            ))
+
+    dest._commit_snapshot(
+        "append", entries,
+        seq_used=max(e.seq for e in entries),
+        extra_summary={
+            "imported-snapshot-id": snap_id,
+            "added-files-by-reference": sum(
+                1 for e in entries if os.path.isabs(e.file_path)
+            ),
+        },
+    )
+    return dest.refresh()

@@ -188,3 +188,38 @@ class TestExportConformance:
         before = t.scan().count()
         t.refresh()
         assert t.scan().count() == before  # source untouched
+
+
+class TestImportRoundTrip:
+    def test_export_import_scan_equality(self, spark, exported, tmp_table_dir):
+        """Full interop loop: icelite → spec-v2 Iceberg (Avro manifests) →
+        fresh icelite table. The imported table's scan must equal the
+        source's (both delete kinds applied), files shared by reference."""
+        from olake_spark.icelite.export import import_iceberg
+
+        t, out = exported
+        imp = import_iceberg(
+            spark, out["metadata_json"],
+            os.path.join(tmp_table_dir, "imported"),
+        )
+        cols = ["image_id", "w", "h", "fmt", "caption", "phash"]
+        src_rows = {tuple(r) for r in t.scan(columns=cols).collect()}
+        imp_rows = {tuple(r) for r in imp.scan(columns=cols).collect()}
+        assert imp_rows == src_rows
+        assert imp.identifier_fields == list(t.identifier_fields) or \
+            tuple(imp.identifier_fields) == tuple(t.identifier_fields)
+        # schema and partition spec survived the trip
+        assert [f.name for f in imp.schema.fields] == \
+            [f.name for f in t.schema.fields]
+        assert [(p.source, p.transform, p.n) for p in imp.spec.fields] == \
+            [(p.source, p.transform, p.n) for p in t.spec.fields]
+        # data + eq-delete files are shared by reference (zero copy)
+        from olake_spark.icelite.table import DATA, EQ_DELETES
+        for e in imp.entries():
+            if e.content in (DATA, EQ_DELETES):
+                assert os.path.isabs(e.file_path)
+        # and the import is maintainable: compaction folds it into owned files
+        from olake_spark.operators.compact import run_compaction
+        run_compaction(imp, "post-import", fill_ratio=1.0)
+        imp.refresh()
+        assert {tuple(r) for r in imp.scan(columns=cols).collect()} == src_rows
