@@ -265,6 +265,11 @@ def export_iceberg(table: Table, dest_dir: str) -> dict:
     path. Returns {"metadata_json": path, "manifest_list": path,
     "manifests": [paths], "data_files": n, "delete_files": n}."""
     table.refresh()
+    if table.current_snapshot_id is None:
+        raise ValueError(
+            "export_iceberg: table has no current snapshot (nothing to "
+            "export) — append data first"
+        )
     meta_dir = os.path.join(os.path.abspath(dest_dir), "metadata")
     os.makedirs(meta_dir, exist_ok=True)
 
