@@ -154,6 +154,15 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("bench")
     args = ap.parse_args(argv)
 
+    if args.verb == "catalog" and getattr(args, "serve", False):
+        # pure stdlib HTTP service — never boot a Spark JVM for it
+        from olake_spark.icelite.restcatalog import main as _serve_main
+
+        if not args.warehouse:
+            ap.error("catalog --serve needs --warehouse")
+        _serve_main(["--warehouse", args.warehouse, "--port", str(args.port)])
+        return 0
+
     if args.verb == "spec":
         print(json.dumps(_spec(), indent=2))
         return 0
@@ -300,14 +309,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.verb == "catalog":
         from olake_spark.icelite import Catalog
         from olake_spark.icelite.restcatalog import RestCatalog
-        from olake_spark.icelite.restcatalog import main as _serve_main
 
-        if args.serve:
-            if not args.warehouse:
-                ap.error("catalog --serve needs --warehouse")
-            _serve_main(["--warehouse", args.warehouse,
-                         "--port", str(args.port)])
-            return 0
         if args.uri:
             cat = RestCatalog(spark, args.uri)
         elif args.warehouse:

@@ -46,6 +46,23 @@ class TableAlreadyExistsError(FileExistsError):
     pass
 
 
+def split_identifier(identifier: str) -> tuple[str, str]:
+    """``"ns.table"`` or bare ``"table"`` (default namespace)."""
+    parts = identifier.split(".")
+    if len(parts) == 1:
+        return "default", parts[0]
+    if len(parts) == 2:
+        return parts[0], parts[1]
+    raise ValueError(f"identifier must be [ns.]table: {identifier!r}")
+
+
+def check_not_reserved(identifier: str) -> tuple[str, str]:
+    ns, name = split_identifier(identifier)
+    if ns.startswith("_") or name.startswith("_"):
+        raise ValueError(f"reserved identifier: {identifier!r}")
+    return ns, name
+
+
 class Catalog:
     def __init__(self, spark, warehouse: str, io: FileIO | None = None):
         self.spark = spark
@@ -55,19 +72,10 @@ class Catalog:
 
     # ------------------------------------------------------------ identity
 
-    @staticmethod
-    def _split(identifier: str) -> tuple[str, str]:
-        parts = identifier.split(".")
-        if len(parts) == 1:
-            return "default", parts[0]
-        if len(parts) == 2:
-            return parts[0], parts[1]
-        raise ValueError(f"identifier must be [ns.]table: {identifier!r}")
+    _split = staticmethod(split_identifier)
 
     def _path(self, identifier: str) -> str:
-        ns, name = self._split(identifier)
-        if ns.startswith("_") or name.startswith("_"):
-            raise ValueError(f"reserved identifier: {identifier!r}")
+        ns, name = check_not_reserved(identifier)
         return os.path.join(self.warehouse, ns, name)
 
     @staticmethod

@@ -13,14 +13,24 @@ IDs, and the spec's single-value binary encoding for column bounds.
 Conformance matrix (spec area → status):
   table metadata v2 required fields        → all emitted (see _metadata_json)
   schema JSON (struct/field-id/required)   → emitted; ids assigned pre-order
-  partition spec JSON                      → emitted; field-ids 1000+i
-    identity / truncate[W]                 → value encodings MATCH the spec
-    bucket[N]                              → structure matches; icelite
-                                             buckets with xxhash64, not
-                                             murmur3 — values differ (doc'd)
-    year/month/day/hour                    → structure matches; icelite
-                                             stores formatted strings, not
-                                             the spec's int encodings
+  partition spec JSON                      → emitted; field-ids 1000+i;
+                                             transform names (identity,
+                                             bucket[N], truncate[W], year…)
+                                             match the spec
+  partition VALUES in manifests            → typed as optional STRING in the
+                                             partition Avro record — this is
+                                             icelite's value encoding, NOT
+                                             the spec's (which types each
+                                             field by its transform result:
+                                             int for bucket/year, source
+                                             type for identity…). Only
+                                             identity/truncate over string
+                                             sources coincide; bucket also
+                                             differs in hash (xxhash64, not
+                                             murmur3). A spec reader can
+                                             scan the files (partition
+                                             pruning aside); import_iceberg
+                                             round-trips them exactly.
   manifest list (Avro, field-ids 500-519)  → emitted
   manifest_entry / data_file (ids 0-4,     → emitted; eq-delete manifests
     100-142)                                 carry equality_ids
@@ -519,7 +529,10 @@ def import_iceberg(spark, metadata_json: str, dest_root: str, io=None) -> Table:
     meta = json.load(open(metadata_json))
     if meta.get("format-version") != 2:
         raise ValueError("import_iceberg reads format-version 2 metadata")
-    schema_json = meta["schemas"][meta["current-schema-id"]]
+    schema_json = next(
+        sc for sc in meta["schemas"]
+        if sc.get("schema-id") == meta["current-schema-id"]
+    )
     by_id = {f["id"]: f["name"] for f in schema_json["fields"]}
     types_by_id = {
         f["id"]: _iceberg_type_to_spark(f["type"])
@@ -536,7 +549,10 @@ def import_iceberg(spark, metadata_json: str, dest_root: str, io=None) -> Table:
     ident = tuple(
         by_id[i] for i in schema_json.get("identifier-field-ids", [])
     )
-    spec_json = meta["partition-specs"][meta["default-spec-id"]]
+    spec_json = next(
+        sp for sp in meta["partition-specs"]
+        if sp.get("spec-id") == meta["default-spec-id"]
+    )
     pfields = []
     for f in spec_json["fields"]:
         tr = f["transform"]
@@ -568,7 +584,12 @@ def import_iceberg(spark, metadata_json: str, dest_root: str, io=None) -> Table:
         partition_spec=PartitionSpec(tuple(pfields)),
         identifier_fields=ident,
         properties={
-            **meta.get("properties", {}),
+            # txn.* markers are the SOURCE table's idempotent-writer state:
+            # inheriting them would make a same-txn_app stream silently skip
+            # its first batches against the new table (and delete their
+            # staged files)
+            **{k: v for k, v in meta.get("properties", {}).items()
+               if not k.startswith("txn.")},
             "imported-from": os.path.abspath(metadata_json),
         },
         io=io,

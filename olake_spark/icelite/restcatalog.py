@@ -51,7 +51,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql.types import StructType
 
-from .catalog import NoSuchTableError, TableAlreadyExistsError
+from .catalog import (NoSuchTableError, TableAlreadyExistsError,
+                      check_not_reserved, split_identifier)
 from .clone import snapshot_table as _snapshot_table
 from .fileio import FileIO, LocalFileIO, default_io
 from .table import Table
@@ -388,19 +389,10 @@ class RestCatalog:
             raise ConnectionError(f"catalog service unreachable at {uri}")
         self.warehouse = cfg["warehouse"]
 
-    @staticmethod
-    def _split(identifier: str) -> tuple[str, str]:
-        parts = identifier.split(".")
-        if len(parts) == 1:
-            return "default", parts[0]
-        if len(parts) == 2:
-            return parts[0], parts[1]
-        raise ValueError(f"identifier must be [ns.]table: {identifier!r}")
+    _split = staticmethod(split_identifier)
 
     def _ident(self, identifier: str) -> str:
-        ns, name = self._split(identifier)
-        if ns.startswith("_") or name.startswith("_"):
-            raise ValueError(f"reserved identifier: {identifier!r}")
+        ns, name = check_not_reserved(identifier)
         return f"{ns}.{name}"
 
     # ----------------------------------------------------------------- DDL
@@ -444,7 +436,10 @@ class RestCatalog:
         )
 
     def table_exists(self, identifier: str) -> bool:
-        ns, name = self._split(identifier)
+        try:
+            ns, name = check_not_reserved(identifier)
+        except ValueError:
+            return False
         code, _ = self._http.call(
             "GET", f"/v1/namespaces/{ns}/tables/{name}"
         )
@@ -463,7 +458,7 @@ class RestCatalog:
         )
 
     def drop_table(self, identifier: str, purge: bool = False) -> None:
-        ns, name = self._split(identifier)
+        ns, name = check_not_reserved(identifier)
         q = "?purgeRequested=true" if purge else ""
         code, _ = self._http.call(
             "DELETE", f"/v1/namespaces/{ns}/tables/{name}{q}"

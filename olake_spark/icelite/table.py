@@ -34,6 +34,7 @@ import os
 import threading
 import time
 import uuid
+import dataclasses
 from dataclasses import dataclass
 from typing import Any, Callable, Iterable
 
@@ -1163,8 +1164,22 @@ class Table:
         require_live_paths: set[str] | None = None,
         branch: str | None = None,
         txn: tuple[str, int] | None = None,
+        restamp_seq: bool = False,
     ) -> dict:
-        """`txn` = (app_id, version): idempotent-writer transaction (the
+        """`restamp_seq`: re-stamp every `added` entry with the sequence
+        number computed from FRESH metadata on each CAS attempt. Without it,
+        a commit that loses the CAS race to a concurrent writer retries with
+        its pre-computed (now stale) seq — the winner and the retry then
+        share one sequence number, and an equality delete in this commit no
+        longer kills the concurrent commit's rows ("strictly older" compares
+        equal). Any commit whose entries all belong to ONE new sequence
+        number (append, rowdelta, the streaming sinks) should pass it;
+        commits that must PRESERVE per-entry seqs (clone, import,
+        cherry-pick) must not. Restamping the manifest is sufficient: delete
+        reconciliation takes the sequence from the manifest entry, not from
+        file contents (_apply_deletes).
+
+        `txn` = (app_id, version): idempotent-writer transaction (the
         Iceberg/Delta txnAppId/txnVersion pattern a streaming foreachBatch
         sink needs — a micro-batch replayed after a crash between commit and
         checkpoint must not apply twice). The version is recorded in table
@@ -1202,6 +1217,10 @@ class Table:
                         f"(recorded {recorded})"
                     )
             seq = seq_used if seq_used is not None else meta["last_sequence_number"] + 1
+            entries = added
+            if restamp_seq:
+                seq = meta["last_sequence_number"] + 1
+                entries = [dataclasses.replace(e, seq=seq) for e in added]
             snap_id = meta["last_snapshot_id"] + 1
             if branch is not None:
                 head = meta.get("branch_refs", {}).get(branch)
@@ -1259,11 +1278,11 @@ class Table:
                     raise CommitConflict(f"files no longer live: {sorted(missing)[:3]}…")
                 manifests = keep
             if added:
-                manifests.append(self._new_manifest(added))
+                manifests.append(self._new_manifest(entries))
             summary = {
-                "added-files": len(added),
+                "added-files": len(entries),
                 "removed-files": len(removed_paths),
-                "added-records": sum(e.record_count for e in added),
+                "added-records": sum(e.record_count for e in entries),
                 # marker lets time-travel resolution skip un-merged branch
                 # commits the same way it skips unpublished stage-appends
                 **({"branch": branch} if branch is not None else {}),
@@ -1342,7 +1361,9 @@ class Table:
             return {**skip, "operation": "append"}
         seq = self.meta["last_sequence_number"] + 1
         entries = self._stage_write(df, seq, max_records_per_file, sort_within_by)
-        return self._commit_snapshot("append", entries, seq_used=seq, txn=txn)
+        return self._commit_snapshot(
+            "append", entries, seq_used=seq, txn=txn, restamp_seq=True
+        )
 
     def add_files(
         self,
@@ -1481,7 +1502,9 @@ class Table:
             entries += self._write_delete_files(delete_keys_df, seq)
         if data_df is not None:
             entries += self._stage_write(data_df, seq)
-        return self._commit_snapshot("rowdelta", entries, seq_used=seq, txn=txn)
+        return self._commit_snapshot(
+            "rowdelta", entries, seq_used=seq, txn=txn, restamp_seq=True
+        )
 
     def delete_where(self, condition, retries: int = 5) -> dict:
         """Merge-on-read DELETE: mark rows matching `condition` deleted by

@@ -192,10 +192,15 @@ class IceliteStreamWriter(DataSourceStreamArrowWriter):
         # commit even when empty: the txn version must still advance, or a
         # replay of a later non-empty batch could double-apply after a
         # crash that lost only the empty batch's checkpoint entry
+        # restamp_seq: if this commit loses the CAS to a concurrent writer
+        # (e.g. nightly compaction), the retry re-stamps data AND delete
+        # entries from fresh metadata — without it the eq-delete would share
+        # a sequence number with the winner and stop killing its rows
         t._commit_snapshot(
             "rowdelta" if self.upsert else "append", entries, seq_used=seq,
             txn=(self.txn_app, batchId),
             extra_summary={"streaming-batch-id": batchId},
+            restamp_seq=True,
         )
 
     def abort(self, messages, batchId: int) -> None:

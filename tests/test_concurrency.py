@@ -122,3 +122,48 @@ class TestRewriteDeleteConflict:
         assert not errors
         t.refresh()
         assert t.scan().select(F.countDistinct("image_id")).collect()[0][0] == 90
+
+
+class TestRowDeltaSeqRace:
+    def test_lost_cas_restamps_delete_seq(self, spark, tmp_table_dir):
+        """A row_delta (upsert) that loses the commit CAS to a concurrent
+        append must RE-STAMP its sequence number on retry: without
+        restamp_seq the eq-delete and the concurrent winner share one seq,
+        'strictly older' compares equal, and the keys it upserts survive
+        twice (round-4 review finding)."""
+        t = Table.create(
+            spark, os.path.join(tmp_table_dir, "race"), datagen.IMAGES_SCHEMA,
+            PartitionSpec(()), identifier_fields=("image_id",),
+        )
+        t.append(datagen.gen_images_df(spark, 20))
+        t2 = Table.load(spark, t.root)
+
+        real_create = t.io.atomic_create_json
+        fired = {"done": False}
+
+        def racing_create(target, meta):
+            if not fired["done"] and "metadata.json" in target:
+                fired["done"] = True
+                # concurrent writer commits FIRST, inside t's race window
+                # (after t refreshed, before its CAS) — re-appending the
+                # same 20 keys at what t thought would be its seq
+                t2.append(datagen.gen_images_df(spark, 20))
+            return real_create(target, meta)
+
+        t.io.atomic_create_json = racing_create  # t2 has its own io instance
+        try:
+            upd = datagen.gen_images_df(spark, 20).withColumn(
+                "caption", F.concat(F.lit("new "), F.col("caption"))
+            )
+            t.row_delta(upd, upd.select("image_id"))
+        finally:
+            t.io.atomic_create_json = real_create
+        t.refresh()
+        rows = t.scan(columns=["image_id", "caption"]).collect()
+        # every key exactly once, and the upsert's caption won over the
+        # concurrently re-appended copy
+        assert len(rows) == 20
+        assert {r["image_id"] for r in rows} == {
+            f"img-{i:012d}" for i in range(20)
+        }
+        assert all(r["caption"].startswith("new ") for r in rows)
