@@ -176,6 +176,14 @@ def _q_stream_upsert_scan(spark, sf):
     return pipeline.stream_upsert_roundtrip(spark, sf)
 
 
+def _q_stream_changelog_feed(spark, sf):
+    # STREAMING delete-aware CDC read: mode=changelog on the icelite
+    # source — pos-delete before-images resolved executor-side (pyarrow
+    # take on referenced parent files, zero Spark jobs in planning),
+    # rewrites invisible; must equal the batch changelog feed exactly
+    return pipeline.stream_changelog_roundtrip(spark, sf)
+
+
 def _q_clone_table_scan(spark, sf):
     # Iceberg `snapshot` procedure: zero-copy clone, independently mutated
     # and compacted into owned layout; source asserted untouched in-gate
@@ -907,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_topk": _q_text_vocab_topk,
         "stream_upsert_scan": _q_stream_upsert_scan,
         "audio_features_stats": _q_audio_features_stats,
+        "stream_changelog_feed": _q_stream_changelog_feed,
     }
 
 
@@ -1162,6 +1171,8 @@ LIMIT 20
         "stream_upsert_scan": pipeline.stream_upsert_oracle_sql(),
         # audio features recomputed sample-by-sample in SQL (integer-exact)
         "audio_features_stats": AUDIO_ORACLE_SQL,
+        # the streamed changelog must equal the batch changelog derivation
+        "stream_changelog_feed": pipeline.changelog_oracle_sql(),
         "events_sessionize": sessmod.sessionize_sql(
             "events", "user_id", "ts", "event_id", SESSION_GAP_S
         ),

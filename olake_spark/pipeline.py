@@ -924,6 +924,56 @@ def changelog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def stream_changelog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING changelog roundtrip — the same scenario as the batch
+    changelog gate (delete_where at ordinal 1, update_where at ordinal 2, a
+    compaction that must stay invisible), consumed through
+    ``format("icelite") mode=changelog`` instead of ``changelog_scan``.
+    Both change commits are positional-delete-based, so the stream's
+    executor-side before-image resolution (read the referenced parent files,
+    take the marked ordinals — no Spark job, no parent-snapshot join) must
+    reproduce the batch feed EXACTLY; `_change_ordinal` is recovered from
+    the emitted `_commit_snapshot_id` (dense: start+k → k)."""
+    from olake_spark.streaming import read_table_stream
+
+    tmp = tempfile.mkdtemp(prefix="olake-sclog-")
+    try:
+        t = Table.create(
+            spark,
+            os.path.join(tmp, "images"),
+            datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("image_id", "bucket", 4),)),
+            identifier_fields=("image_id",),
+        )
+        t.append(images_from_documents(spark, sf_dir))
+        start = t.current_snapshot_id
+        t.delete_where(DELETE_PREDS[0])
+        t.update_where(UPDATE_PRED, UPDATE_SET)
+        run_compaction(t, "sclog-compact", fill_ratio=1.0)
+        out_dir = os.path.join(tmp, "out")
+        q = (
+            read_table_stream(spark, t.root, starting=str(start),
+                              mode="changelog")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.read.parquet(out_dir)
+        return _materialize(
+            out.select(
+                *SCAN_COLS,
+                "_change_type",
+                (F.col("_commit_snapshot_id") - F.lit(start))
+                .cast("int").alias("_change_ordinal"),
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def branch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Branch + fast-forward roundtrip: half the derivation lands on main,
     the other half arrives through an isolated branch in two commits (main

@@ -23,6 +23,18 @@ Contract (mirrors Iceberg's SparkMicroBatchStream):
     driver (O(new files) per micro-batch), reads are Arrow record batches
     straight out of parquet on the executors — no row-at-a-time Python.
 
+``option("mode", "changelog")`` turns the feed delete-aware (the streaming
+counterpart of :meth:`Table.changelog_scan`): every change commit emits its
+added data files as ``_change_type='insert'`` rows, its positional-delete
+files as FULL before-image ``'delete'`` rows (the referenced parent files
+are read executor-side and the marked ordinals taken — pure pyarrow, no
+Spark job, bounded by the files the commit touched), and its equality-delete
+files as KEYED ``'delete'`` rows (identifier columns populated, the rest
+null — the reference's Mongo CDC delete envelope is key-only the same way,
+cdc.go:81-84; full eq-delete before-images need the batch read's
+parent-snapshot join). Rows carry ``_commit_snapshot_id``; rewrites remain
+invisible; the mode never refuses delete snapshots.
+
 Scale shape: the per-batch work is proportional to the DELTA (files added
 since the last offset), never to table size; a 10^12-row table tails as
 cheaply as a small one. Batch analytics should keep using ``Table.scan``
@@ -40,7 +52,7 @@ from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
                                     InputPartition)
 from pyspark.sql.types import StructType
 
-from olake_spark.icelite.table import DATA, Table
+from olake_spark.icelite.table import DATA, EQ_DELETES, POS_DELETES, Table
 
 _APPEND_OPS = ("append", "rowdelta", "stage-append", "cherrypick", "clone")
 # retraction-carrying commits (merge-on-read DELETE / UPDATE): refused by
@@ -56,6 +68,44 @@ class IceliteFilePartition(InputPartition):
         self.columns = columns
 
 
+class IceliteChangePartition(InputPartition):
+    """One changelog work unit: an added data file (kind='insert'), an added
+    equality-delete key file (kind='delete_keys'), or an added
+    positional-delete file (kind='delete_pos' — resolved against the
+    referenced parent data files executor-side). Holds only plain values."""
+
+    def __init__(self, kind: str, path: str, root: str, snap_id: int,
+                 columns: list[str], col_types: list[str],
+                 key_cols: list[str]):
+        self.kind = kind
+        self.path = path
+        self.root = root
+        self.snap_id = snap_id
+        self.columns = columns
+        self.col_types = col_types  # Spark simpleString per column
+        self.key_cols = key_cols
+
+
+def _pa_type(spark_simple: str):
+    """Spark simpleString → pyarrow type (the primitives icelite tables
+    use; extend as schemas grow)."""
+    import pyarrow as pa
+
+    m = {
+        "string": pa.string(), "bigint": pa.int64(), "int": pa.int32(),
+        "smallint": pa.int16(), "tinyint": pa.int8(),
+        "double": pa.float64(), "float": pa.float32(),
+        "boolean": pa.bool_(), "binary": pa.binary(),
+        "date": pa.date32(), "timestamp": pa.timestamp("us", tz="UTC"),
+    }
+    if spark_simple not in m:
+        raise ValueError(
+            f"changelog stream: no arrow mapping for column type "
+            f"{spark_simple!r}"
+        )
+    return m[spark_simple]
+
+
 class IceliteStreamReader(DataSourceStreamReader):
     """Driver-side planning over table metadata; executor-side Arrow reads.
 
@@ -66,11 +116,26 @@ class IceliteStreamReader(DataSourceStreamReader):
 
     def __init__(self, schema: StructType, options: dict):
         self.root = os.path.abspath(options["path"])
+        self.changelog = (
+            str(options.get("mode", "append")).lower() == "changelog"
+        )
         self.starting = options.get("starting", "earliest")
         self.skip_deletes = (
             str(options.get("skip_delete_snapshots", "false")).lower() == "true"
         )
-        self.columns = [f.name for f in schema.fields]
+        self.columns = [
+            f.name for f in schema.fields
+            if f.name not in ("_change_type", "_commit_snapshot_id")
+        ]
+        t = self._table()
+        by_name = {f.name: f.dataType.simpleString() for f in t.schema.fields}
+        self.col_types = [by_name[c] for c in self.columns]
+        self.key_cols = list(t.identifier_fields)
+        if self.changelog and not self.key_cols:
+            raise ValueError(
+                "mode=changelog needs identifier_fields on the table "
+                "(equality-delete retractions are keyed rows)"
+            )
         # rate limit (Iceberg's streaming-max-files-per-micro-batch): cap
         # how many data files one micro-batch may plan. Applied by holding
         # latestOffset back to the last snapshot that fits the budget, so
@@ -175,6 +240,8 @@ class IceliteStreamReader(DataSourceStreamReader):
         if s == e or e == 0:
             return []
         t = self._table()
+        if self.changelog:
+            return self._changelog_partitions(t, s, e)
         parts: list[IceliteFilePartition] = []
         chain = self._chain(t, s, e)
         if s == 0 and chain and chain[0]["operation"] not in _APPEND_OPS:
@@ -228,14 +295,141 @@ class IceliteStreamReader(DataSourceStreamReader):
             )
         return parts
 
-    def read(self, partition: IceliteFilePartition) -> Iterator:
+    def _changelog_partitions(
+        self, t: Table, s: int, e: int
+    ) -> Sequence[InputPartition]:
+        """The delete-aware feed: every append-class, delete, or overwrite
+        commit in (s, e] contributes its added data files as inserts, its
+        added equality-delete files as keyed retractions, and its added
+        positional-delete files as full before-image retractions (resolved
+        against the referenced parent files executor-side). Rewrites are
+        skipped — bytes move, logical rows don't. Divergence from the batch
+        changelog_scan (documented): equality-delete retractions carry the
+        KEY columns with other columns null — the reference's Mongo CDC
+        delete envelope is key-only too (cdc.go:81-84); full before-images
+        for eq-deletes need the batch read (parent-snapshot join)."""
+        parts: list[IceliteChangePartition] = []
+
+        def mk(kind: str, path: str, snap_id: int) -> IceliteChangePartition:
+            return IceliteChangePartition(
+                kind, path, self.root, snap_id,
+                self.columns, self.col_types, self.key_cols,
+            )
+
+        chain = self._chain(t, s, e)
+        if s == 0 and chain and chain[0]["operation"] not in _APPEND_OPS:
+            root = chain[0]
+            ents = t.entries(root["snapshot_id"])
+            if any(x.content != DATA for x in ents):
+                raise ValueError(
+                    f"oldest retained snapshot {root['snapshot_id']} "
+                    f"({root['operation']}) carries live delete files: "
+                    "its raw data files would resurrect deleted rows. "
+                    "Compact first or start from a later snapshot."
+                )
+            parts.extend(
+                mk("insert", t._abs(x.file_path), root["snapshot_id"])
+                for x in ents
+                if x.record_count > 0
+            )
+            chain = chain[1:]
+        change_ops = _APPEND_OPS + _DELETE_OPS
+        for snap in chain:
+            if snap["operation"] not in change_ops:
+                continue  # rewrites: invisible
+            sid = snap["snapshot_id"]
+            for a in t._added_entries(snap):
+                if a.record_count == 0:
+                    continue
+                if a.content == DATA:
+                    parts.append(mk("insert", t._abs(a.file_path), sid))
+                elif a.content == EQ_DELETES:
+                    parts.append(mk("delete_keys", t._abs(a.file_path), sid))
+                elif a.content == POS_DELETES:
+                    parts.append(mk("delete_pos", t._abs(a.file_path), sid))
+        return parts
+
+    def read(self, partition) -> Iterator:
         import pyarrow.parquet as pq
 
+        if isinstance(partition, IceliteChangePartition):
+            yield from _read_change_partition(partition)
+            return
         pf = pq.ParquetFile(partition.path)
         yield from pf.iter_batches(columns=partition.columns)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the query checkpoint; nothing to release
+
+
+
+
+def _read_change_partition(p: "IceliteChangePartition") -> "Iterator":
+    """Executor-side changelog materialization — pure pyarrow, no Spark.
+
+    insert:      stream the data file's batches, append the change columns.
+    delete_keys: stream the equality-delete key file; key columns populated,
+                 every other column null (keyed retraction).
+    delete_pos:  read the (file_path, pos) marks, group by referenced file,
+                 take those row ordinals from each parent data file — full
+                 before-image retractions. Work is bounded by the files the
+                 commit actually touched.
+    """
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = pa.schema(
+        [pa.field(c, _pa_type(t)) for c, t in zip(p.columns, p.col_types)]
+        + [pa.field("_change_type", pa.string()),
+           pa.field("_commit_snapshot_id", pa.int64())]
+    )
+
+    def out_batch(cols_by_name: dict, n: int, kind: str) -> pa.RecordBatch:
+        arrays = []
+        for f in target:
+            if f.name == "_change_type":
+                arrays.append(pa.array([kind] * n, f.type))
+            elif f.name == "_commit_snapshot_id":
+                arrays.append(pa.array([p.snap_id] * n, f.type))
+            elif f.name in cols_by_name:
+                arrays.append(cols_by_name[f.name].cast(f.type))
+            else:
+                arrays.append(pa.nulls(n, f.type))
+        return pa.RecordBatch.from_arrays(arrays, schema=target)
+
+    if p.kind == "insert":
+        for b in pq.ParquetFile(p.path).iter_batches(columns=p.columns):
+            yield out_batch(
+                {c: b.column(i) for i, c in enumerate(b.schema.names)},
+                b.num_rows, "insert",
+            )
+    elif p.kind == "delete_keys":
+        for b in pq.ParquetFile(p.path).iter_batches(columns=p.key_cols):
+            yield out_batch(
+                {c: b.column(i) for i, c in enumerate(b.schema.names)},
+                b.num_rows, "delete",
+            )
+    elif p.kind == "delete_pos":
+        marks = pq.read_table(p.path, columns=["file_path", "pos"])
+        by_file: dict[str, list[int]] = {}
+        for fp, pos in zip(
+            marks.column("file_path").to_pylist(),
+            marks.column("pos").to_pylist(),
+        ):
+            by_file.setdefault(fp, []).append(pos)
+        for fp, positions in sorted(by_file.items()):
+            ref = fp if _os.path.isabs(fp) else _os.path.join(p.root, fp)
+            rows = pq.read_table(ref, columns=p.columns).take(
+                sorted(positions)
+            )
+            yield out_batch(
+                {c: rows.column(c).combine_chunks() for c in rows.schema.names},
+                rows.num_rows, "delete",
+            )
+    else:  # pragma: no cover
+        raise ValueError(f"unknown change partition kind {p.kind!r}")
 
 
 class IceliteDataSource(DataSource):
@@ -249,7 +443,19 @@ class IceliteDataSource(DataSource):
         # resolve via Table.refresh (max version listing), never the
         # version hint — the hint is an advisory cache that can lag a
         # crash-interrupted commit or a schema evolution
-        return Table(None, os.path.abspath(self.options["path"])).refresh().schema
+        base = Table(
+            None, os.path.abspath(self.options["path"])
+        ).refresh().schema
+        if str(self.options.get("mode", "append")).lower() == "changelog":
+            from pyspark.sql.types import (LongType, StringType, StructField,
+                                           StructType as _St)
+
+            return _St(
+                list(base.fields)
+                + [StructField("_change_type", StringType(), False),
+                   StructField("_commit_snapshot_id", LongType(), False)]
+            )
+        return base
 
     def streamReader(self, schema: StructType) -> IceliteStreamReader:
         return IceliteStreamReader(schema, dict(self.options))
@@ -267,13 +473,17 @@ def register(spark) -> None:
 
 
 def read_table_stream(spark, root: str, starting: str = "earliest",
-                      skip_delete_snapshots: bool = False):
-    """Convenience: register + readStream.load over a table root."""
+                      skip_delete_snapshots: bool = False,
+                      mode: str = "append"):
+    """Convenience: register + readStream.load over a table root.
+    mode="changelog" streams the delete-aware CDC feed (rows +
+    _change_type + _commit_snapshot_id) instead of the append-only one."""
     register(spark)
     return (
         spark.readStream.format("icelite")
         .option("path", root)
         .option("starting", starting)
         .option("skip_delete_snapshots", str(skip_delete_snapshots).lower())
+        .option("mode", mode)
         .load()
     )

@@ -226,3 +226,74 @@ def test_earliest_over_expired_history_streams_full_state(spark, tmp_table_dir):
     t2.expire_snapshots(keep_last=1)
     with pytest.raises(ValueError, match="delete"):
         r2.partitions(r2.initialOffset(), r2.latestOffset())
+
+
+class TestChangelogStream:
+    def test_matches_batch_changelog_and_resumes(self, spark, tbl,
+                                                 tmp_table_dir):
+        """mode=changelog must reproduce the batch changelog for
+        pos-delete-based commits (full before-images, resolved
+        executor-side) and emit keyed retractions for eq-delete commits;
+        rewrites stay invisible; checkpoint resume reads only the delta."""
+        start = tbl.current_snapshot_id
+        tbl.delete_where(f"{NUM} % 6 = 0")  # pos-deletes (10 rows)
+        upd = datagen.gen_images_df(spark, 8).withColumn(
+            "caption", F.concat(F.lit("v2 "), F.col("caption"))
+        ).filter(f"NOT ({NUM} % 6 = 0)")
+        tbl.row_delta(upd, upd.select("image_id"))  # eq-del + insert
+        run_compaction(tbl, "clog", fill_ratio=1.0)  # must be invisible
+
+        ckpt = os.path.join(tmp_table_dir, "clog-ck")
+        out_dir = os.path.join(tmp_table_dir, "clog-out")
+        got = _drain(spark, tbl.root, ckpt, out_dir,
+                     starting=str(start), mode="changelog")
+        # pos-delete retractions: full before-images = batch changelog's
+        batch = tbl.changelog_scan(start).filter("_change_type = 'delete'")
+        batch_pos = {
+            tuple(r) for r in batch.filter("_change_ordinal = 1")
+            .select("image_id", "caption").collect()
+        }
+        got_pos = {
+            tuple(r) for r in got
+            .filter("_change_type = 'delete' AND caption IS NOT NULL")
+            .select("image_id", "caption").collect()
+        }
+        assert got_pos == batch_pos and len(got_pos) == 10
+        # eq-delete retractions: key-only rows (documented divergence)
+        eq = got.filter("_change_type = 'delete' AND caption IS NULL")
+        assert eq.count() == upd.count()
+        assert {r[0] for r in eq.select("image_id").collect()} == {
+            r[0] for r in upd.select("image_id").collect()
+        }
+        # inserts = the rowdelta's new versions; compaction contributed 0
+        ins = got.filter("_change_type = 'insert'")
+        assert {r[0] for r in ins.select("caption").collect()} == {
+            r[0] for r in upd.select("caption").collect()
+        }
+        assert got.select("_commit_snapshot_id").distinct().count() == 2
+
+        # resume: one more upsert while the stream is down → only the delta
+        upd2 = datagen.gen_images_df(spark, 3).withColumn(
+            "caption", F.concat(F.lit("v3 "), F.col("caption"))
+        )
+        tbl.row_delta(upd2, upd2.select("image_id"))
+        got2 = _drain(spark, tbl.root, ckpt, out_dir,
+                      starting=str(start), mode="changelog")
+        assert got2.count() == got.count() + 6  # 3 keyed deletes + 3 inserts
+
+    def test_changelog_requires_identifier_fields(self, spark,
+                                                  tmp_table_dir):
+        t = Table.create(
+            spark, os.path.join(tmp_table_dir, "noid"),
+            datagen.IMAGES_SCHEMA, PartitionSpec(()),
+        )
+        t.append(datagen.gen_images_df(spark, 5))
+        with pytest.raises(Exception, match="identifier_fields"):
+            _drain(spark, t.root, os.path.join(tmp_table_dir, "c2"),
+                   os.path.join(tmp_table_dir, "o2"), mode="changelog")
+
+    def test_changelog_schema_has_change_columns(self, spark, tbl):
+        df = read_table_stream(spark, tbl.root, mode="changelog")
+        names = [f.name for f in df.schema.fields]
+        assert names[-2:] == ["_change_type", "_commit_snapshot_id"]
+        assert names[:-2] == [f.name for f in datagen.IMAGES_SCHEMA.fields]
