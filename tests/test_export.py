@@ -223,3 +223,49 @@ class TestImportRoundTrip:
         run_compaction(imp, "post-import", fill_ratio=1.0)
         imp.refresh()
         assert {tuple(r) for r in imp.scan(columns=cols).collect()} == src_rows
+
+
+class TestAvroCodecProperties:
+    def test_random_values_roundtrip(self):
+        """Hypothesis: any value assignment for a compound schema survives
+        encode→decode byte-exactly (ints full 64-bit range, unicode incl.
+        surrogates-free text, bytes, optionals, lists, maps)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        schema = {
+            "type": "record", "name": "prop",
+            "fields": [
+                {"name": "l", "type": "long"},
+                {"name": "i", "type": "int"},
+                {"name": "s", "type": "string"},
+                {"name": "by", "type": "bytes"},
+                {"name": "d", "type": "double"},
+                {"name": "b", "type": "boolean"},
+                {"name": "u", "type": ["null", "string"]},
+                {"name": "arr", "type": {"type": "array", "items": "long"}},
+                {"name": "m", "type": {"type": "map", "values": "long"}},
+            ],
+        }
+        rec = st.fixed_dictionaries({
+            "l": st.integers(-(2**63), 2**63 - 1),
+            "i": st.integers(-(2**31), 2**31 - 1),
+            "s": st.text(max_size=50),
+            "by": st.binary(max_size=50),
+            "d": st.floats(allow_nan=False),
+            "b": st.booleans(),
+            "u": st.none() | st.text(max_size=20),
+            "arr": st.lists(st.integers(-(2**63), 2**63 - 1), max_size=8),
+            "m": st.dictionaries(st.text(min_size=1, max_size=10),
+                                 st.integers(-(2**63), 2**63 - 1),
+                                 max_size=6),
+        })
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(rec, max_size=10))
+        def check(records):
+            got_schema, got = read_ocf(write_ocf(schema, records))
+            assert got_schema == schema
+            assert got == records
+
+        check()
