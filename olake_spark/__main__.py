@@ -78,7 +78,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--checkpoint", default=None,
                    help="streaming checkpoint dir (CDC resume cursor)")
     p = sub.add_parser("maintain")
-    p.add_argument("--table", required=True)
+    p.add_argument("--table", default=None,
+                   help="icelite table root (or use --name with "
+                        "--uri/--warehouse for catalog addressing)")
+    p.add_argument("--name", default=None, help="[ns.]table identifier")
+    p.add_argument("--uri", default=None, help="REST catalog service URI")
+    p.add_argument("--warehouse", default=None,
+                   help="filesystem catalog warehouse")
     p.add_argument("--ops", required=True,
                    help="comma list: compact,cluster,manifests,"
                         "rewrite-deletes,analyze,expire")
@@ -367,7 +373,21 @@ def main(argv: list[str] | None = None) -> int:
     from olake_spark.operators.expire import run_expire
     from olake_spark.operators.manifests import rewrite_manifests
 
-    table = Table.load(spark, args.table)
+    if args.name:
+        if args.uri:
+            from olake_spark.icelite.restcatalog import RestCatalog
+
+            table = RestCatalog(spark, args.uri).load_table(args.name)
+        elif args.warehouse:
+            from olake_spark.icelite import Catalog
+
+            table = Catalog(spark, args.warehouse).load_table(args.name)
+        else:
+            ap.error("maintain --name needs --uri or --warehouse")
+    elif args.table:
+        table = Table.load(spark, args.table)
+    else:
+        ap.error("maintain needs --table, or --name with --uri/--warehouse")
     log = MaintenanceLog(spark, args.log) if args.log else None
     results: dict = {}
     for op in args.ops.split(","):

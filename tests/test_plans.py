@@ -221,6 +221,34 @@ class TestRound3LatePlans:
         assert len(parts) == 4
         assert after == before  # zero jobs: pure metadata planning
 
+    def test_changelog_stream_plans_metadata_only(self, spark,
+                                                  tmp_table_dir):
+        # the delete-aware mode keeps the same contract: partitions() for a
+        # window carrying pos-deletes AND eq-deletes plans from manifests
+        # alone — zero Spark jobs; before-image reads happen executor-side
+        from olake_spark.streaming.table_source import IceliteStreamReader
+
+        t = Table.create(
+            spark, os.path.join(tmp_table_dir, "tc"), datagen.IMAGES_SCHEMA,
+            identifier_fields=("image_id",),
+        )
+        t.append(datagen.gen_images_df(spark, 40), max_records_per_file=10)
+        start = t.current_snapshot_id
+        t.delete_where("image_id like '%3'")
+        keys = datagen.gen_images_df(spark, 5)
+        t.row_delta(keys, keys.select("image_id"))
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup() or [])
+        r = IceliteStreamReader(
+            t.schema, {"path": t.root, "mode": "changelog",
+                       "starting": str(start)},
+        )
+        parts = r.partitions(r.initialOffset(), r.latestOffset())
+        after = len(tracker.getJobIdsForGroup() or [])
+        kinds = sorted({p.kind for p in parts})
+        assert kinds == ["delete_keys", "delete_pos", "insert"]
+        assert after == before  # zero jobs: pure metadata planning
+
     def test_sessionize_single_shuffle_no_python(self, spark):
         from olake_spark.operators.sessionize import sessionize
 
