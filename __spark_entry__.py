@@ -184,6 +184,14 @@ def _q_stream_changelog_feed(spark, sf):
     return pipeline.stream_changelog_roundtrip(spark, sf)
 
 
+def _q_mirror_table_scan(spark, sf):
+    # live table->table replication (the reference's backfill+CDC program,
+    # lake-to-lake): changelog stream -> per-key collapse -> atomic
+    # row-delta per micro-batch, exactly-once txns, checkpoint resume;
+    # src==dst asserted in-gate, dst scan oracled here
+    return pipeline.mirror_roundtrip(spark, sf)
+
+
 def _q_clone_table_scan(spark, sf):
     # Iceberg `snapshot` procedure: zero-copy clone, independently mutated
     # and compacted into owned layout; source asserted untouched in-gate
@@ -916,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_upsert_scan": _q_stream_upsert_scan,
         "audio_features_stats": _q_audio_features_stats,
         "stream_changelog_feed": _q_stream_changelog_feed,
+        "mirror_table_scan": _q_mirror_table_scan,
     }
 
 
@@ -1173,6 +1182,8 @@ LIMIT 20
         "audio_features_stats": AUDIO_ORACLE_SQL,
         # the streamed changelog must equal the batch changelog derivation
         "stream_changelog_feed": pipeline.changelog_oracle_sql(),
+        # replicated destination = base minus deletes, latest upsert wins
+        "mirror_table_scan": pipeline.mirror_oracle_sql(),
         "events_sessionize": sessmod.sessionize_sql(
             "events", "user_id", "ts", "event_id", SESSION_GAP_S
         ),

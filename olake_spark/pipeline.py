@@ -974,6 +974,82 @@ def stream_changelog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def mirror_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live table→table replication roundtrip — the reference's whole
+    program (backfill then CDC-tail a source into Iceberg) with both ends
+    tables. Drain 1 bootstraps the full base state AND replays a
+    pos-delete plus an upsert from the same changelog (each affected key
+    arrives as an insert→delete→insert chain that the per-key collapse
+    must resolve to the newest version); the mirror then goes DOWN, the
+    source advances with a second upsert and a compaction (which must stay
+    invisible), and drain 2 resumes from the checkpoint replicating only
+    the delta. The destination's scan must equal the source's — returned
+    for the oracle, with src==dst asserted in-gate."""
+    from olake_spark.streaming import mirror_table_stream
+
+    tmp = tempfile.mkdtemp(prefix="olake-mirror-")
+    try:
+        spec = PartitionSpec((PartitionField("image_id", "bucket", 4),))
+        src = Table.create(
+            spark, os.path.join(tmp, "src"), datagen.IMAGES_SCHEMA, spec,
+            identifier_fields=("image_id",),
+        )
+        dst = Table.create(
+            spark, os.path.join(tmp, "dst"), datagen.IMAGES_SCHEMA, spec,
+            identifier_fields=("image_id",),
+        )
+        src.append(images_from_documents(spark, sf_dir), max_records_per_file=64)
+        register_views(spark, sf_dir, ("documents",))
+        src.delete_where(DELETE_PREDS[0])
+        upd1 = _attach_bytes(spark.sql(derive_images_sql(
+            "doc_id", "'mirror ' || text", "WHERE doc_id % 10 = 3"
+        )))
+        src.row_delta(upd1, upd1.select("image_id"))
+        ckpt = os.path.join(tmp, "ckpt")
+        q = mirror_table_stream(spark, src.root, dst.root, ckpt)
+        q.awaitTermination(300)
+        # mirror down: source advances (second upsert + invisible rewrite)
+        upd2 = _attach_bytes(spark.sql(derive_images_sql(
+            "doc_id", "'mirror2 ' || text", "WHERE doc_id % 20 = 3"
+        )))
+        src.row_delta(upd2, upd2.select("image_id"))
+        run_compaction(src, "mirror-compact", fill_ratio=1.0)
+        q = mirror_table_stream(spark, src.root, dst.root, ckpt)
+        q.awaitTermination(300)
+        dst.refresh()
+        src_rows = {
+            tuple(r) for r in src.scan(columns=SCAN_COLS).collect()
+        }
+        dst_rows = {
+            tuple(r) for r in dst.scan(columns=SCAN_COLS).collect()
+        }
+        assert dst_rows == src_rows, (
+            f"mirror diverged: {len(dst_rows)} vs {len(src_rows)} rows"
+        )
+        return _materialize(dst.scan(columns=SCAN_COLS))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def mirror_oracle_sql() -> str:
+    """Final replicated state: base minus the pos-delete predicate's rows
+    (except keys later re-inserted by the upserts), with the second upsert
+    beating the first."""
+    untouched = (
+        "SELECT * FROM ("
+        + derive_images_sql(where="WHERE doc_id % 10 <> 3")
+        + f") WHERE NOT ({DELETE_PREDS[0]})"
+    )
+    upd1 = derive_images_sql(
+        "doc_id", "'mirror ' || text",
+        "WHERE doc_id % 10 = 3 AND doc_id % 20 <> 3",
+    )
+    upd2 = derive_images_sql(
+        "doc_id", "'mirror2 ' || text", "WHERE doc_id % 20 = 3"
+    )
+    return f"{untouched} UNION ALL {upd1} UNION ALL {upd2}"
+
+
 def branch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Branch + fast-forward roundtrip: half the derivation lands on main,
     the other half arrives through an isolated branch in two commits (main

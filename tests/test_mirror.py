@@ -1,0 +1,104 @@
+"""Table→table replication: per-key collapse edge cases and exactly-once
+batch application (the streaming end-to-end path is the oracled gate row
+`mirror_table_scan`; these pin the apply kernel)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from olake_spark import datagen
+from olake_spark.icelite import PartitionSpec, Table
+from olake_spark.streaming.mirror import apply_changelog_batch
+
+
+@pytest.fixture()
+def dst(spark, tmp_table_dir):
+    t = Table.create(
+        spark, os.path.join(tmp_table_dir, "dst"), datagen.IMAGES_SCHEMA,
+        PartitionSpec(()), identifier_fields=("image_id",),
+    )
+    t.append(
+        datagen.gen_images_df(spark, 6).withColumn(
+            "caption", F.lit("old")
+        )
+    )
+    return t
+
+
+def _batch(spark, rows):
+    """rows: (image_id, caption|None, change_type, snapshot_id)."""
+    base = datagen.gen_images_df(spark, 6).collect()
+    by_id = {r["image_id"]: r.asDict() for r in base}
+    out = []
+    for iid, cap, kind, sid in rows:
+        d = dict(by_id[iid])
+        if kind == "delete" and cap is None:
+            d = {k: (v if k == "image_id" else None) for k, v in d.items()}
+        else:
+            d["caption"] = cap
+        d["_change_type"] = kind
+        d["_commit_snapshot_id"] = sid
+        out.append(d)
+    from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                   StructField, StructType)
+
+    schema = StructType(
+        list(datagen.IMAGES_SCHEMA.fields)
+        + [StructField("_change_type", StringType()),
+           StructField("_commit_snapshot_id", LongType())]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def _caps(t):
+    return {
+        r["image_id"]: r["caption"]
+        for r in t.scan(columns=["image_id", "caption"]).collect()
+    }
+
+
+def test_per_key_collapse_rules(spark, dst):
+    k = [f"img-{i:012d}" for i in range(6)]
+    batch = _batch(spark, [
+        # upsert pair at one commit: insert outranks its own delete
+        (k[0], None, "delete", 5), (k[0], "v5", "insert", 5),
+        # chain across commits: newest commit wins
+        (k[1], "v5", "insert", 5), (k[1], None, "delete", 6),
+        (k[1], "v6", "insert", 6),
+        # bare delete at the newest commit removes the row
+        (k[2], "v5", "insert", 5), (k[2], None, "delete", 7),
+        # stale insert then later bare delete: gone
+        (k[3], "v4", "insert", 4), (k[3], None, "delete", 9),
+        # untouched key k[4]/k[5]: keeps the pre-existing 'old' caption
+    ])
+    apply_changelog_batch(dst, batch)
+    dst.refresh()
+    caps = _caps(dst)
+    assert caps[k[0]] == "v5"
+    assert caps[k[1]] == "v6"
+    assert k[2] not in caps and k[3] not in caps
+    assert caps[k[4]] == "old" and caps[k[5]] == "old"
+    assert len(caps) == 4
+
+
+def test_replayed_batch_is_noop(spark, dst):
+    k = "img-000000000000"
+    batch = _batch(spark, [(k, "v1", "insert", 5)])
+    apply_changelog_batch(dst, batch, txn=("mir", 0))
+    dst.refresh()
+    n = len(dst.snapshots())
+    res = apply_changelog_batch(dst, batch, txn=("mir", 0))  # crash replay
+    assert res.get("skipped")
+    dst.refresh()
+    assert len(dst.snapshots()) == n
+    assert _caps(dst)[k] == "v1"
+
+
+def test_delete_only_batch(spark, dst):
+    k = "img-000000000001"
+    batch = _batch(spark, [(k, None, "delete", 5)])
+    apply_changelog_batch(dst, batch)
+    dst.refresh()
+    assert k not in _caps(dst)
+    assert len(_caps(dst)) == 5
