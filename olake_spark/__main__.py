@@ -33,6 +33,14 @@ def _spec() -> dict:
         "type": "object",
         "properties": {
             "table": {"type": "string", "description": "icelite table root"},
+            "name": {"type": "string",
+                     "description": "[ns.]table catalog identifier "
+                                    "(alternative to table)"},
+            "uri": {"type": "string",
+                    "description": "REST catalog service URI (with name)"},
+            "warehouse": {"type": "string",
+                          "description": "filesystem catalog warehouse "
+                                         "(with name)"},
             "ops": {
                 "type": "array",
                 "items": {
@@ -48,7 +56,13 @@ def _spec() -> dict:
             "keep_last": {"type": "integer", "default": 3},
             "grace_seconds": {"type": "number", "default": 259200},
         },
-        "required": ["table", "ops", "job_id"],
+        "required": ["ops", "job_id"],
+        # addressing: a raw table root, or a catalog identifier + backend
+        "oneOf": [
+            {"required": ["table"]},
+            {"required": ["name", "uri"]},
+            {"required": ["name", "warehouse"]},
+        ],
     }
 
 
@@ -373,7 +387,15 @@ def main(argv: list[str] | None = None) -> int:
     from olake_spark.operators.expire import run_expire
     from olake_spark.operators.manifests import rewrite_manifests
 
+    if args.table and (args.name or args.uri or args.warehouse):
+        # refuse ambiguity instead of silently picking one addressing mode:
+        # --table bypasses the catalog CAS, --name routes through it — the
+        # operator must get exactly what they asked for
+        ap.error("maintain takes EITHER --table (direct root) OR --name "
+                 "with --uri/--warehouse (catalog-addressed), not both")
     if args.name:
+        if args.uri and args.warehouse:
+            ap.error("maintain --name takes --uri OR --warehouse, not both")
         if args.uri:
             from olake_spark.icelite.restcatalog import RestCatalog
 

@@ -61,10 +61,17 @@ def apply_changelog_batch(dst: Table, batch_df, txn=None) -> dict:
     inserts = (
         latest.filter(F.col("_change_type") == "insert").select(*data_cols)
     )
-    touched_keys = latest.select(*keys)
+    # a truly empty destination (no snapshot yet — the bootstrap batch of a
+    # fresh mirror) has nothing to retract: skip the equality-delete files
+    # entirely, or the bootstrap would write a table-sized key file set that
+    # deletes nothing and taxes every scan until the next purge
+    touched_keys = (
+        None if dst.current_snapshot_id is None else latest.select(*keys)
+    )
     return dst.row_delta(
         inserts if not inserts.isEmpty() else None,
-        touched_keys if not touched_keys.isEmpty() else None,
+        touched_keys if touched_keys is not None and not touched_keys.isEmpty()
+        else None,
         txn=txn,
     )
 

@@ -63,9 +63,10 @@ _DELETE_OPS = ("delete", "overwrite")
 
 
 class IceliteFilePartition(InputPartition):
-    def __init__(self, path: str, columns: list[str]):
+    def __init__(self, path: str, columns: list[str], col_types: list[str]):
         self.path = path
         self.columns = columns
+        self.col_types = col_types  # Spark simpleString per column
 
 
 class IceliteChangePartition(InputPartition):
@@ -129,6 +130,14 @@ class IceliteStreamReader(DataSourceStreamReader):
         ]
         t = self._table()
         by_name = {f.name: f.dataType.simpleString() for f in t.schema.fields}
+        missing = [c for c in self.columns if c not in by_name]
+        if missing:
+            raise ValueError(
+                f"stream schema column(s) {missing} not in the table schema "
+                f"({sorted(by_name)}) — the icelite source reads the table's "
+                "own schema; drop the explicit .schema(...) or evolve the "
+                "table first"
+            )
         self.col_types = [by_name[c] for c in self.columns]
         self.key_cols = list(t.identifier_fields)
         if self.changelog and not self.key_cols:
@@ -182,18 +191,26 @@ class IceliteStreamReader(DataSourceStreamReader):
         budget = self.max_files
         end = start
         for i, snap in enumerate(self._chain(t, start, cur)):
-            if start == 0 and i == 0 and snap["operation"] not in _APPEND_OPS:
-                # expired-history root: partitions() emits its FULL state
+            if start == 0 and i == 0:
+                # chain root when streaming from earliest: partitions()
+                # always bootstraps it from its FULL entries() state (its
+                # parent may be expired — see _bootstrap)
                 n = sum(
                     1
                     for x in t.entries(snap["snapshot_id"])
                     if x.content == DATA and x.record_count > 0
                 )
-            elif snap["operation"] in _APPEND_OPS:
+            elif snap["operation"] in _APPEND_OPS or (
+                self.changelog and snap["operation"] in _DELETE_OPS
+            ):
+                # count every file this snapshot will plan in the active
+                # mode: data files always; delete files too in changelog
+                # mode (each becomes a retraction partition there)
                 n = sum(
                     1
                     for a in t._added_entries(snap)
-                    if a.content == DATA and a.record_count > 0
+                    if a.record_count > 0
+                    and (self.changelog or a.content == DATA)
                 )
             else:
                 n = 0
@@ -216,6 +233,34 @@ class IceliteStreamReader(DataSourceStreamReader):
             )
             return [root, *chain]
         return t._ancestor_chain(start, end)
+
+    @staticmethod
+    def _bootstrap(t: Table, s: int, chain: list[dict]):
+        """Split the chain for a from-earliest stream: the root snapshot's
+        state can NEVER be derived from manifest diffs — its parent is gone
+        (either it truly has none, or expiry removed it, in which case
+        ``_added_entries`` silently returns the FULL live state and would
+        mis-attribute older commits' rows AND their delete files to the
+        root). So the root is always emitted as a full-state bootstrap from
+        ``entries()`` — refused when live delete files exist, because raw
+        data files would resurrect the rows they mask — and only the rest
+        of the chain goes through per-commit diff planning.
+
+        Returns ``(root_snap_or_None, bootstrap_entries, remaining_chain)``.
+        """
+        if s != 0 or not chain:
+            return None, [], chain
+        root = chain[0]
+        ents = t.entries(root["snapshot_id"])
+        if any(x.content != DATA for x in ents):
+            raise ValueError(
+                f"oldest retained snapshot {root['snapshot_id']} "
+                f"({root['operation']}) carries live delete files: "
+                "streaming its raw data files would resurrect deleted "
+                "rows. Compact (folds the marks in) or start from a "
+                "later snapshot."
+            )
+        return root, [x for x in ents if x.record_count > 0], chain[1:]
 
     @staticmethod
     def _root_of(t: Table, end: int) -> int:
@@ -243,29 +288,13 @@ class IceliteStreamReader(DataSourceStreamReader):
         if self.changelog:
             return self._changelog_partitions(t, s, e)
         parts: list[IceliteFilePartition] = []
-        chain = self._chain(t, s, e)
-        if s == 0 and chain and chain[0]["operation"] not in _APPEND_OPS:
-            # expired-history table: the oldest retained snapshot is a
-            # rewrite/delete commit, so "files it added" would silently
-            # drop the table's prior state. Its manifests carry the FULL
-            # state — emit them all, refusing if live delete files exist
-            # (raw data files would resurrect the rows they mask).
-            root = chain[0]
-            ents = t.entries(root["snapshot_id"])
-            if any(x.content != DATA for x in ents):
-                raise ValueError(
-                    f"oldest retained snapshot {root['snapshot_id']} "
-                    f"({root['operation']}) carries live delete files: "
-                    "streaming its raw data files would resurrect deleted "
-                    "rows. Compact (folds the marks in) or start from a "
-                    "later snapshot."
-                )
-            parts.extend(
-                IceliteFilePartition(t._abs(x.file_path), self.columns)
-                for x in ents
-                if x.record_count > 0
+        _, boot, chain = self._bootstrap(t, s, self._chain(t, s, e))
+        parts.extend(
+            IceliteFilePartition(
+                t._abs(x.file_path), self.columns, self.col_types
             )
-            chain = chain[1:]
+            for x in boot
+        )
         for snap in chain:
             if snap["operation"] in _DELETE_OPS:
                 if not self.skip_deletes:
@@ -289,7 +318,9 @@ class IceliteStreamReader(DataSourceStreamReader):
                     "the inserts only, or consume changelog_scan instead."
                 )
             parts.extend(
-                IceliteFilePartition(t._abs(a.file_path), self.columns)
+                IceliteFilePartition(
+                    t._abs(a.file_path), self.columns, self.col_types
+                )
                 for a in added
                 if a.content == DATA and a.record_count > 0
             )
@@ -316,23 +347,12 @@ class IceliteStreamReader(DataSourceStreamReader):
                 self.columns, self.col_types, self.key_cols,
             )
 
-        chain = self._chain(t, s, e)
-        if s == 0 and chain and chain[0]["operation"] not in _APPEND_OPS:
-            root = chain[0]
-            ents = t.entries(root["snapshot_id"])
-            if any(x.content != DATA for x in ents):
-                raise ValueError(
-                    f"oldest retained snapshot {root['snapshot_id']} "
-                    f"({root['operation']}) carries live delete files: "
-                    "its raw data files would resurrect deleted rows. "
-                    "Compact first or start from a later snapshot."
-                )
+        root, boot, chain = self._bootstrap(t, s, self._chain(t, s, e))
+        if root is not None:
             parts.extend(
                 mk("insert", t._abs(x.file_path), root["snapshot_id"])
-                for x in ents
-                if x.record_count > 0
+                for x in boot
             )
-            chain = chain[1:]
         change_ops = _APPEND_OPS + _DELETE_OPS
         for snap in chain:
             if snap["operation"] not in change_ops:
@@ -350,18 +370,48 @@ class IceliteStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition) -> Iterator:
-        import pyarrow.parquet as pq
-
         if isinstance(partition, IceliteChangePartition):
             yield from _read_change_partition(partition)
             return
-        pf = pq.ParquetFile(partition.path)
-        yield from pf.iter_batches(columns=partition.columns)
+        yield from _padded_batches(
+            partition.path, partition.columns, partition.col_types
+        )
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the query checkpoint; nothing to release
 
 
+
+
+def _padded_batches(path: str, columns: list[str],
+                    col_types: list[str]) -> "Iterator":
+    """Stream a parquet file's batches projected to `columns` — columns the
+    file predates (added by schema evolution after it was written) are
+    null-backfilled, matching Table.scan's spark.read.schema() behavior,
+    instead of failing the stream on the first pre-evolution file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    have = set(pf.schema_arrow.names)
+    avail = [c for c in columns if c in have]
+    if avail == columns:
+        yield from pf.iter_batches(columns=columns)
+        return
+    target = pa.schema(
+        [pa.field(c, _pa_type(t)) for c, t in zip(columns, col_types)]
+    )
+    for b in pf.iter_batches(columns=avail):
+        by = {c: b.column(i) for i, c in enumerate(b.schema.names)}
+        yield pa.RecordBatch.from_arrays(
+            [
+                by[f.name].cast(f.type)
+                if f.name in by
+                else pa.nulls(b.num_rows, f.type)
+                for f in target
+            ],
+            schema=target,
+        )
 
 
 def _read_change_partition(p: "IceliteChangePartition") -> "Iterator":
@@ -400,7 +450,10 @@ def _read_change_partition(p: "IceliteChangePartition") -> "Iterator":
         return pa.RecordBatch.from_arrays(arrays, schema=target)
 
     if p.kind == "insert":
-        for b in pq.ParquetFile(p.path).iter_batches(columns=p.columns):
+        # out_batch null-pads columns the file predates (schema evolution)
+        pf = pq.ParquetFile(p.path)
+        have = set(pf.schema_arrow.names)
+        for b in pf.iter_batches(columns=[c for c in p.columns if c in have]):
             yield out_batch(
                 {c: b.column(i) for i, c in enumerate(b.schema.names)},
                 b.num_rows, "insert",
@@ -421,9 +474,10 @@ def _read_change_partition(p: "IceliteChangePartition") -> "Iterator":
             by_file.setdefault(fp, []).append(pos)
         for fp, positions in sorted(by_file.items()):
             ref = fp if _os.path.isabs(fp) else _os.path.join(p.root, fp)
-            rows = pq.read_table(ref, columns=p.columns).take(
-                sorted(positions)
-            )
+            have = set(pq.ParquetFile(ref).schema_arrow.names)
+            rows = pq.read_table(
+                ref, columns=[c for c in p.columns if c in have]
+            ).take(sorted(positions))
             yield out_batch(
                 {c: rows.column(c).combine_chunks() for c in rows.schema.names},
                 rows.num_rows, "delete",

@@ -102,3 +102,31 @@ def test_delete_only_batch(spark, dst):
     dst.refresh()
     assert k not in _caps(dst)
     assert len(_caps(dst)) == 5
+
+
+def test_bootstrap_into_empty_dst_writes_no_delete_files(spark,
+                                                         tmp_table_dir):
+    """The first batch of a fresh mirror (full base state as inserts) has
+    nothing to retract: no equality-delete files may be written, or a
+    10^9-row bootstrap would tax every scan with a table-sized
+    reconciliation join that deletes nothing."""
+    from olake_spark.icelite.table import EQ_DELETES
+
+    fresh = Table.create(
+        spark, os.path.join(tmp_table_dir, "fresh"), datagen.IMAGES_SCHEMA,
+        PartitionSpec(()), identifier_fields=("image_id",),
+    )
+    batch = _batch(spark, [
+        (f"img-{i:012d}", "boot", "insert", 3) for i in range(6)
+    ])
+    apply_changelog_batch(fresh, batch)
+    fresh.refresh()
+    assert len(_caps(fresh)) == 6
+    assert not [e for e in fresh.entries() if e.content == EQ_DELETES]
+    # a non-empty destination keeps retracting as before
+    apply_changelog_batch(
+        fresh, _batch(spark, [("img-000000000000", "v2", "insert", 4)])
+    )
+    fresh.refresh()
+    assert _caps(fresh)["img-000000000000"] == "v2"
+    assert [e for e in fresh.entries() if e.content == EQ_DELETES]

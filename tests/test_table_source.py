@@ -297,3 +297,115 @@ class TestChangelogStream:
         names = [f.name for f in df.schema.fields]
         assert names[-2:] == ["_change_type", "_commit_snapshot_id"]
         assert names[:-2] == [f.name for f in datagen.IMAGES_SCHEMA.fields]
+
+
+def test_expired_append_root_bootstraps_full_state(spark, tmp_table_dir):
+    """When expiry leaves an APPEND-class snapshot as the oldest retained
+    one, its parent diff is unrecoverable (_added_entries returns the FULL
+    live state) — both modes must treat it as a bootstrap: full state when
+    clean, a loud refusal when the state carries live delete files (raw
+    data files would resurrect the deleted rows; changelog mode would even
+    mis-attribute the deletes to the root commit, where a mirror's
+    insert-over-delete collapse brings the rows back)."""
+    import pyarrow.parquet as pq
+
+    from olake_spark.streaming.table_source import IceliteStreamReader
+
+    t = Table.create(
+        spark, os.path.join(tmp_table_dir, "exap"), datagen.IMAGES_SCHEMA,
+        identifier_fields=("image_id",),
+    )
+    t.append(datagen.gen_images_df(spark, 40), max_records_per_file=20)
+    t.append(datagen.gen_images_df(spark, 20))
+    t.expire_snapshots(keep_last=1)
+    assert t.snapshot()["operation"] == "append"  # append-class root
+
+    r = IceliteStreamReader(t.schema, {"path": t.root, "mode": "changelog"})
+    parts = list(r.partitions(r.initialOffset(), r.latestOffset()))
+    assert {p.kind for p in parts} == {"insert"}
+    assert {p.snap_id for p in parts} == {t.current_snapshot_id}
+    assert sum(pq.ParquetFile(p.path).metadata.num_rows for p in parts) == 60
+
+    # now the root state carries live pos-deletes: refuse in BOTH modes
+    assert t.delete_where(f"{NUM} < 5")["rows_deleted"] > 0
+    t.append(datagen.gen_images_df(spark, 10))
+    t.expire_snapshots(keep_last=1)
+    t.refresh()
+    assert t.snapshot()["operation"] == "append"
+    for mode in ("append", "changelog"):
+        r2 = IceliteStreamReader(t.schema, {"path": t.root, "mode": mode})
+        with pytest.raises(ValueError, match="delete"):
+            r2.partitions(r2.initialOffset(), r2.latestOffset())
+
+
+def test_changelog_rate_limit_counts_delete_files(spark, tmp_table_dir):
+    """max_files_per_batch must budget the files changelog mode actually
+    plans: delete/overwrite commits contribute their delete files (append
+    mode scores them zero because it never plans them)."""
+    from olake_spark.streaming.table_source import IceliteStreamReader
+
+    t = Table.create(
+        spark, os.path.join(tmp_table_dir, "rl-clog"), datagen.IMAGES_SCHEMA,
+        identifier_fields=("image_id",),
+    )
+    t.append(datagen.gen_images_df(spark, 10))
+    s1 = t.current_snapshot_id
+    assert t.delete_where(f"{NUM} % 2 = 0")["rows_deleted"] > 0
+    s2 = t.current_snapshot_id
+    t.append(datagen.gen_images_df(spark, 30).filter(f"{NUM} >= 10"))
+    s3 = t.current_snapshot_id
+
+    r = IceliteStreamReader(
+        t.schema,
+        {"path": t.root, "mode": "changelog", "max_files_per_batch": "1"},
+    )
+    assert r.initialOffset() == {"snapshot_id": 0}
+    assert r.latestOffset()["snapshot_id"] == s1  # bootstrap data file
+    # the delete commit's pos-delete file consumes a budget slot of its own
+    # (pre-fix it scored 0 and the walk jumped straight to s3)
+    assert r.latestOffset()["snapshot_id"] == s2
+    assert r.latestOffset()["snapshot_id"] == s3
+
+
+def test_stream_null_backfills_pre_evolution_files(spark, tbl,
+                                                   tmp_table_dir):
+    """Files written before an add_columns evolution lack the new column:
+    the append feed and the changelog before-images must null-backfill it
+    (matching Table.scan's spark.read.schema behavior) instead of wedging
+    the query on a pyarrow column-not-found error."""
+    from pyspark.sql.types import StringType, StructField
+
+    start = tbl.current_snapshot_id
+    tbl.add_columns([StructField("lang", StringType(), True)])
+    tbl.refresh()
+    assert tbl.delete_where(f"{NUM} % 10 = 0")["rows_deleted"] == 6
+
+    got = _drain(
+        spark, tbl.root, os.path.join(tmp_table_dir, "ev-ck"),
+        os.path.join(tmp_table_dir, "ev-out"),
+        starting=str(start), mode="changelog",
+    )
+    assert got.count() == 6
+    assert got.filter("_change_type = 'delete'").count() == 6
+    assert got.filter("lang IS NOT NULL").count() == 0
+
+    # append feed over the pre-evolution data files: full state, lang null
+    got2 = _drain(
+        spark, tbl.root, os.path.join(tmp_table_dir, "ev-ck2"),
+        os.path.join(tmp_table_dir, "ev-out2"),
+        skip_delete_snapshots=True,
+    )
+    assert got2.count() == 60
+    assert got2.filter("lang IS NOT NULL").count() == 0
+
+
+def test_explicit_foreign_schema_rejected_with_clear_error(spark, tbl):
+    """A stream schema column the table doesn't have fails reader
+    construction with a descriptive error, not a bare KeyError."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from olake_spark.streaming.table_source import IceliteStreamReader
+
+    bogus = StructType([StructField("no_such_col", StringType())])
+    with pytest.raises(ValueError, match="no_such_col"):
+        IceliteStreamReader(bogus, {"path": tbl.root})
