@@ -783,6 +783,77 @@ FROM feat
 """
 
 
+def _q_video_frame_stats(spark, sf):
+    # REAL video path end-to-end: deterministic Y4M (Cmono) payloads encoded
+    # executor-side (pure-numpy container codec, functions/videocodec.py —
+    # uncompressed Y4M needs no demuxer), decoded by the sample_frames
+    # kernel, every 2nd frame's luma stats projected. Pixels follow the same
+    # modular-arithmetic principle as the audio sawtooth
+    # (datagen.video_frames: pixel = ((f*P + j)*k + vid) % 256), so the
+    # DuckDB oracle re-derives every sampled pixel in SQL with zero float
+    # arithmetic — mean_luma_milli is pure BIGINT floor division in both
+    # engines. The re-encoded frame PNGs stay in the operator under pytest
+    # (binary payloads have no SQL twin).
+    from olake_spark import datagen as dg
+    from olake_spark.functions.videocodec import encode_y4m
+    from olake_spark.operators.multimodal import sample_frames
+
+    ids = (
+        _tbl(spark, sf, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for vid in b["doc_id"]:
+                rows.append({
+                    "video_id": f"vid-{int(vid):08d}",
+                    "bytes": encode_y4m(dg.video_frames(int(vid)),
+                                        dg.VIDEO_FPS),
+                })
+            yield pd.DataFrame(rows)
+
+    vids = ids.mapInPandas(synth, "video_id string, bytes binary")
+    return sample_frames(vids, every_n=2).select(
+        "video_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("n_pixels").cast("long").alias("n_pixels"),
+        F.col("mean_luma_milli").cast("long").alias("mean_luma_milli"),
+    )
+
+
+_VIDEO_P = 16 * 12  # datagen.VIDEO_W * VIDEO_H
+
+VIDEO_ORACLE_SQL = f"""
+WITH vids AS (
+  SELECT doc_id AS vid,
+         8 + doc_id % 5 AS nf,
+         3 + doc_id % 7 AS k
+  FROM documents WHERE doc_id % 25 = 0
+),
+sampled AS (
+  SELECT vid, k, f
+  FROM (SELECT vid, k, unnest(range(nf)) AS f FROM vids)
+  WHERE f % 2 = 0
+),
+px AS (
+  SELECT vid, f,
+         ((f * {_VIDEO_P} + j) * k + vid) % 256 AS v
+  FROM (SELECT vid, k, f, unnest(range({_VIDEO_P})) AS j FROM sampled)
+)
+SELECT 'vid-' || lpad(CAST(vid AS VARCHAR), 8, '0') AS video_id,
+       CAST(f AS INT)                               AS frame_idx,
+       CAST({_VIDEO_P} AS BIGINT)                   AS n_pixels,
+       CAST(SUM(v) * 1000 // {_VIDEO_P} AS BIGINT)  AS mean_luma_milli
+FROM px
+GROUP BY vid, f
+"""
+
+
 PACK_BUDGET = 256  # tokens per training sequence in the gate
 PACK_BUCKETS = 8
 SESSION_GAP_S = 6 * 3600  # events fixture spans months; 6h splits streams
@@ -923,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_topk": _q_text_vocab_topk,
         "stream_upsert_scan": _q_stream_upsert_scan,
         "audio_features_stats": _q_audio_features_stats,
+        "video_frame_stats": _q_video_frame_stats,
         "stream_changelog_feed": _q_stream_changelog_feed,
         "mirror_table_scan": _q_mirror_table_scan,
     }
@@ -1180,6 +1252,7 @@ LIMIT 20
         "stream_upsert_scan": pipeline.stream_upsert_oracle_sql(),
         # audio features recomputed sample-by-sample in SQL (integer-exact)
         "audio_features_stats": AUDIO_ORACLE_SQL,
+        "video_frame_stats": VIDEO_ORACLE_SQL,
         # the streamed changelog must equal the batch changelog derivation
         "stream_changelog_feed": pipeline.changelog_oracle_sql(),
         # replicated destination = base minus deletes, latest upsert wins

@@ -221,3 +221,64 @@ def gen_audio_df(spark: SparkSession, n: int,
             yield pd.DataFrame(rows)
 
     return rng_free.mapInPandas(gen, AUDIO_SCHEMA)
+
+
+# ------------------------------------------------------------ video fixture
+
+VIDEO_W, VIDEO_H = 16, 12  # tiny frames keep the SQL oracle tractable
+VIDEO_FPS = 10
+
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("video_id", StringType(), False),
+        StructField("bytes", BinaryType(), True),
+        StructField("w", IntegerType(), True),
+        StructField("h", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("fps", IntegerType(), True),
+    ]
+)
+
+
+def video_frames(vid: int) -> "np.ndarray":
+    """Deterministic uint8 mono frame stack for video `vid` — the same
+    modular-arithmetic principle as audio_waveform so every PIXEL is
+    integer-exact in both numpy and ANSI SQL (no float, no libm):
+
+        pixel[f, y, x] = ((f*P + y*W + x) * k + vid) % 256
+        P = W*H, k = 3 + vid % 7, n_frames = 8 + vid % 5
+    """
+    n = 8 + vid % 5
+    k = 3 + vid % 7
+    p = VIDEO_W * VIDEO_H
+    i = np.arange(n * p, dtype=np.int64)
+    return ((i * k + vid) % 256).astype(np.uint8).reshape(n, VIDEO_H, VIDEO_W)
+
+
+def gen_video_df(spark: SparkSession, n: int,
+                 parallelism: int | None = None) -> DataFrame:
+    """The video clips table as a distributed DataFrame: Y4M (Cmono)
+    payloads encoded executor-side with the pure-numpy container codec
+    (functions/videocodec.py)."""
+    from olake_spark.functions.videocodec import encode_y4m
+
+    rng_free = spark.range(
+        0, n, 1, parallelism or spark.sparkContext.defaultParallelism
+    )
+
+    def gen(batches):
+        for b in batches:
+            rows = []
+            for vid in b["id"]:
+                f = video_frames(int(vid))
+                rows.append({
+                    "video_id": f"vid-{int(vid):08d}",
+                    "bytes": encode_y4m(f, VIDEO_FPS),
+                    "w": VIDEO_W,
+                    "h": VIDEO_H,
+                    "n_frames": f.shape[0],
+                    "fps": VIDEO_FPS,
+                })
+            yield pd.DataFrame(rows)
+
+    return rng_free.mapInPandas(gen, VIDEO_SCHEMA)

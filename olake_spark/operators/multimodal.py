@@ -2,10 +2,10 @@
 
 Images use the in-repo pure-numpy codec (functions.imagecodec) — real decode,
 real PSNR. Audio uses the stdlib PCM WAV codec (functions.audiocodec) — real
-decode, real features (RMS, ZCR, spectral centroid). Video decode needs a
-demuxer this container doesn't ship, so that kernel is a STUB behind
-`NotImplementedError` with the Spark-side plumbing (schema, mapInPandas
-batch shape, partition sizing) real and tested.
+decode, real features (RMS, ZCR, spectral centroid). Video uses the Y4M
+container parser (functions.videocodec) — real uncompressed-frame decode and
+frame sampling; compressed containers (mp4/webm) plug into that decode seam
+when the deployment image ships a demuxer.
 
 All kernels run inside `mapInPandas` so one Arrow batch of encoded payloads
 is decoded per Python roundtrip; `spark.sql.files.maxPartitionBytes` (set in
@@ -181,19 +181,59 @@ def audio_features(clips: DataFrame) -> DataFrame:
 FRAME_SAMPLE_SCHEMA = StructType(
     [
         StructField("video_id", StringType()),
+        StructField("decode_ok", BooleanType()),
         StructField("frame_idx", IntegerType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("mean_luma_milli", LongType()),
         StructField("frame_png", BinaryType()),
     ]
 )
 
 
 def sample_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
-    """STUB: video frame sampling (no video codec in this container)."""
+    """REAL video frame sampler over Y4M payloads (pure-numpy container
+    parser, functions/videocodec.py — uncompressed Y4M needs no demuxer):
+    every `every_n`-th frame's luma plane is emitted with integer-exact
+    stats (mean_luma_milli = sum(luma)*1000 div n_pixels, pure int
+    arithmetic so a SQL twin reproduces it bit-identically) and re-encoded
+    as a real PNG (luma replicated to RGB) for downstream image kernels.
+    Same mapInPandas shape as the image/audio kernels: one Arrow batch of
+    encoded payloads decoded per Python roundtrip; undecodable payloads
+    yield one decode_ok=false row and never poison the batch. Compressed
+    containers (mp4/webm) plug into the decode seam when the deployment
+    image ships a demuxer."""
+    from olake_spark.functions.videocodec import decode_y4m
+
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "video decode requires ffmpeg; plug a demuxer into this kernel"
-        )
-        yield  # pragma: no cover
+        for b in batches:
+            rows = []
+            for vid, raw in zip(b["video_id"], b["bytes"]):
+                try:
+                    frames, _, _ = decode_y4m(bytes(raw))
+                except Exception:
+                    rows.append({
+                        "video_id": vid, "decode_ok": False, "frame_idx": -1,
+                        "w": 0, "h": 0, "n_pixels": 0,
+                        "mean_luma_milli": 0, "frame_png": b"",
+                    })
+                    continue
+                n, h, w = frames.shape
+                for idx in range(0, n, every_n):
+                    luma = frames[idx]
+                    # exact: uint8 sum * 1000 floored — no float in the stat
+                    mean_milli = int(luma.sum(dtype=np.int64)) * 1000 // (h * w)
+                    rgb = np.repeat(luma[:, :, None], 3, axis=2)
+                    rows.append({
+                        "video_id": vid, "decode_ok": True, "frame_idx": idx,
+                        "w": w, "h": h, "n_pixels": h * w,
+                        "mean_luma_milli": mean_milli,
+                        "frame_png": encode_image(rgb, "png"),
+                    })
+            yield pd.DataFrame(rows)
 
     return videos.select("video_id", "bytes").mapInPandas(run, FRAME_SAMPLE_SCHEMA)

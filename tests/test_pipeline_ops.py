@@ -177,12 +177,80 @@ class TestMultimodal:
         for r in out:
             assert decode_image(bytes(r["bytes"])).shape == (8, 8, 3)
 
-    def test_video_stub_raises(self, spark):
+    def test_y4m_codec_roundtrip(self):
+        import numpy as np
+
+        from olake_spark.functions.videocodec import decode_y4m, encode_y4m
+
+        rng = np.random.default_rng(7)
+        frames = rng.integers(0, 256, size=(5, 9, 14), dtype=np.uint8)
+        out, num, den = decode_y4m(encode_y4m(frames, 24, 1))
+        assert (num, den) == (24, 1)
+        assert np.array_equal(out, frames)
+        with pytest.raises(ValueError, match="uint8"):
+            encode_y4m(frames.astype(np.int32))
+        with pytest.raises(ValueError, match="YUV4MPEG2"):
+            decode_y4m(b"RIFFnot-a-video")
+
+    def test_y4m_decode_420_luma(self):
+        # hand-built 4:2:0 stream: luma must be recovered, chroma skipped
+        import numpy as np
+
+        from olake_spark.functions.videocodec import decode_y4m
+
+        w, h = 8, 6
+        rng = np.random.default_rng(3)
+        lumas = [rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+                 for _ in range(3)]
+        chroma = bytes((w // 2) * (h // 2) * 2)
+        data = b"YUV4MPEG2 W8 H6 F25:1 Ip A1:1 C420jpeg\n" + b"".join(
+            b"FRAME\n" + y.tobytes() + chroma for y in lumas
+        )
+        out, num, den = decode_y4m(data)
+        assert (num, den) == (25, 1)
+        assert np.array_equal(out, np.stack(lumas))
+        with pytest.raises(ValueError, match="truncated"):
+            decode_y4m(data[:-5])
+
+    def test_sample_frames_real_kernel(self, spark):
+        import numpy as np
+
+        from olake_spark import datagen
+        from olake_spark.functions.imagecodec import decode_image
+        from olake_spark.operators.multimodal import sample_frames
+
+        vids = datagen.gen_video_df(spark, 6)
+        out = sample_frames(vids, every_n=2).collect()
+        by_vid = {}
+        for r in out:
+            assert r["decode_ok"]
+            by_vid.setdefault(r["video_id"], []).append(r)
+        assert len(by_vid) == 6
+        for vid in range(6):
+            frames = datagen.video_frames(vid)
+            rows = sorted(by_vid[f"vid-{vid:08d}"],
+                          key=lambda r: r["frame_idx"])
+            assert [r["frame_idx"] for r in rows] == list(
+                range(0, frames.shape[0], 2)
+            )
+            for r in rows:
+                luma = frames[r["frame_idx"]]
+                assert r["n_pixels"] == luma.size
+                assert r["mean_luma_milli"] == int(
+                    luma.sum(dtype=np.int64)
+                ) * 1000 // luma.size
+                png = decode_image(bytes(r["frame_png"]))
+                assert np.array_equal(png[:, :, 0], luma)
+                assert np.array_equal(png[:, :, 1], luma)
+
+    def test_sample_frames_bad_payload(self, spark):
         from olake_spark.operators.multimodal import sample_frames
 
         vids = spark.createDataFrame([("v1", b"xx")], ["video_id", "bytes"])
-        with pytest.raises(Exception, match="NotImplementedError|decode"):
-            sample_frames(vids).collect()
+        rows = sample_frames(vids).collect()
+        assert len(rows) == 1 and not rows[0]["decode_ok"]
+        with pytest.raises(ValueError, match="every_n"):
+            sample_frames(vids, every_n=0)
 
     def test_wav_codec_roundtrip(self):
         import numpy as np
