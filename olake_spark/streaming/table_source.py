@@ -8,6 +8,12 @@ read (``spark.readStream.format("iceberg")``) re-expressed through PySpark
                  .option("starting", "earliest")   # | "latest" | "<snap id>"
                  .load())
 
+``option("stream_from_timestamp_ms", <ms>)`` is Iceberg's
+``stream-from-timestamp``: start the feed at the first retained snapshot
+committed at or after that wall-clock time (before the oldest → from the
+beginning; after the newest → empty until new commits arrive). Mutually
+exclusive with ``starting``.
+
 Contract (mirrors Iceberg's SparkMicroBatchStream):
   * Offsets are snapshot ids; each micro-batch is the set of data files
     ADDED by append-class commits (append / rowdelta / published
@@ -121,6 +127,14 @@ class IceliteStreamReader(DataSourceStreamReader):
             str(options.get("mode", "append")).lower() == "changelog"
         )
         self.starting = options.get("starting", "earliest")
+        self.from_ts: int | None = None
+        if options.get("stream_from_timestamp_ms") is not None:
+            if "starting" in options:
+                raise ValueError(
+                    "stream_from_timestamp_ms and starting are mutually "
+                    "exclusive — pick one way to anchor the stream"
+                )
+            self.from_ts = int(options["stream_from_timestamp_ms"])
         self.skip_deletes = (
             str(options.get("skip_delete_snapshots", "false")).lower() == "true"
         )
@@ -168,7 +182,24 @@ class IceliteStreamReader(DataSourceStreamReader):
         return Table(None, self.root).refresh()
 
     def initialOffset(self) -> dict:
-        if self.starting == "earliest":
+        if self.from_ts is not None:
+            # Iceberg stream-from-timestamp: the offset is the NEWEST
+            # retained lineage snapshot committed strictly before T, so the
+            # feed carries every commit with timestamp >= T. No such
+            # snapshot (T predates retained history) → from the beginning;
+            # every snapshot older than T → start at current (empty until
+            # the next commit).
+            t = self._table()
+            cur = t.current_snapshot_id or 0
+            off = {"snapshot_id": 0}
+            if cur:
+                before = [
+                    s for s in self._chain(t, 0, cur)
+                    if s["timestamp_ms"] < self.from_ts
+                ]
+                if before:
+                    off = {"snapshot_id": before[-1]["snapshot_id"]}
+        elif self.starting == "earliest":
             off = {"snapshot_id": 0}
         elif self.starting == "latest":
             off = {"snapshot_id": self._table().current_snapshot_id or 0}
@@ -528,16 +559,22 @@ def register(spark) -> None:
 
 def read_table_stream(spark, root: str, starting: str = "earliest",
                       skip_delete_snapshots: bool = False,
-                      mode: str = "append"):
+                      mode: str = "append",
+                      from_timestamp_ms: int | None = None):
     """Convenience: register + readStream.load over a table root.
     mode="changelog" streams the delete-aware CDC feed (rows +
-    _change_type + _commit_snapshot_id) instead of the append-only one."""
+    _change_type + _commit_snapshot_id) instead of the append-only one;
+    from_timestamp_ms anchors the stream at wall-clock time instead of
+    `starting` (Iceberg's stream-from-timestamp)."""
     register(spark)
-    return (
+    r = (
         spark.readStream.format("icelite")
         .option("path", root)
-        .option("starting", starting)
         .option("skip_delete_snapshots", str(skip_delete_snapshots).lower())
         .option("mode", mode)
-        .load()
     )
+    if from_timestamp_ms is not None:
+        r = r.option("stream_from_timestamp_ms", int(from_timestamp_ms))
+    else:
+        r = r.option("starting", starting)
+    return r.load()

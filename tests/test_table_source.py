@@ -409,3 +409,58 @@ def test_explicit_foreign_schema_rejected_with_clear_error(spark, tbl):
     bogus = StructType([StructField("no_such_col", StringType())])
     with pytest.raises(ValueError, match="no_such_col"):
         IceliteStreamReader(bogus, {"path": tbl.root})
+
+
+def test_stream_from_timestamp(spark, tmp_table_dir):
+    # Iceberg stream-from-timestamp parity: anchor the feed at wall-clock
+    # time. Three commits with distinct timestamps; T between #1 and #2
+    # must stream exactly commits 2+3; T before all = everything; T after
+    # all = nothing.
+    import time
+
+    t = Table.create(
+        spark, os.path.join(tmp_table_dir, "imgs"), datagen.IMAGES_SCHEMA,
+        PartitionSpec((PartitionField("image_id", "bucket", 4),)),
+        identifier_fields=("image_id",),
+    )
+    for lo in (0, 20, 50):  # 20 + 30 + 40 rows
+        df = datagen.gen_images_df(spark, [20, 50, 90][(0, 20, 50).index(lo)])
+        t.append(df.filter(F.expr(NUM) >= lo), max_records_per_file=50)
+        time.sleep(0.01)  # distinct commit timestamps
+    snaps = sorted(t.snapshots(), key=lambda s: s["snapshot_id"])
+    assert len(snaps) == 3
+    ts2 = snaps[1]["timestamp_ms"]
+    assert snaps[0]["timestamp_ms"] < ts2 <= snaps[2]["timestamp_ms"]
+
+    def drain(tag, **kw):
+        return _drain(
+            spark, t.root,
+            os.path.join(tmp_table_dir, f"ckpt-{tag}"),
+            os.path.join(tmp_table_dir, f"sink-{tag}"), **kw,
+        ).count()
+
+    assert drain("mid", from_timestamp_ms=ts2) == 70  # commits 2+3
+    assert drain(
+        "old", from_timestamp_ms=snaps[0]["timestamp_ms"] - 10_000
+    ) == 90  # full history
+    assert drain(
+        "new", from_timestamp_ms=snaps[2]["timestamp_ms"] + 10_000
+    ) == 0  # nothing yet
+
+    # mutually exclusive with `starting`
+    from olake_spark.streaming.table_source import register
+    register(spark)
+    bad = (
+        spark.readStream.format("icelite")
+        .option("path", t.root)
+        .option("starting", "earliest")
+        .option("stream_from_timestamp_ms", ts2)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", os.path.join(tmp_table_dir, "sink-bad"))
+        .option("checkpointLocation", os.path.join(tmp_table_dir, "ckpt-bad"))
+        .trigger(availableNow=True)
+    )
+    with pytest.raises(Exception, match="mutually exclusive"):
+        q = bad.start()
+        q.awaitTermination(60)
