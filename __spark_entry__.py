@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from olake_spark import pipeline
+from olake_spark import datagen, pipeline
 from olake_spark.functions import curate
 from olake_spark.functions import text as T
 from olake_spark.operators import ann, dedup
@@ -773,7 +773,7 @@ feat AS (
         FROM vals)
   GROUP BY cid, n
 )
-SELECT 'clip-' || lpad(CAST(cid AS VARCHAR), 8, '0') AS clip_id,
+SELECT printf('clip-%08d', cid)                      AS clip_id,
        CAST(n AS BIGINT)                             AS n_samples,
        CAST(n * 1000 // 16000 AS BIGINT)             AS duration_ms,
        CAST(floor(sqrt(CAST(e AS DOUBLE) / n) * 1000) AS BIGINT) AS rms_milli,
@@ -826,7 +826,7 @@ def _q_video_frame_stats(spark, sf):
     )
 
 
-_VIDEO_P = 16 * 12  # datagen.VIDEO_W * VIDEO_H
+_VIDEO_P = datagen.VIDEO_W * datagen.VIDEO_H  # interpolated as a literal below
 
 VIDEO_ORACLE_SQL = f"""
 WITH vids AS (
@@ -845,7 +845,7 @@ px AS (
          ((f * {_VIDEO_P} + j) * k + vid) % 256 AS v
   FROM (SELECT vid, k, f, unnest(range({_VIDEO_P})) AS j FROM sampled)
 )
-SELECT 'vid-' || lpad(CAST(vid AS VARCHAR), 8, '0') AS video_id,
+SELECT printf('vid-%08d', vid)                      AS video_id,
        CAST(f AS INT)                               AS frame_idx,
        CAST({_VIDEO_P} AS BIGINT)                   AS n_pixels,
        CAST(SUM(v) * 1000 // {_VIDEO_P} AS BIGINT)  AS mean_luma_milli

@@ -567,6 +567,11 @@ def read_table_stream(spark, root: str, starting: str = "earliest",
     from_timestamp_ms anchors the stream at wall-clock time instead of
     `starting` (Iceberg's stream-from-timestamp)."""
     register(spark)
+    if from_timestamp_ms is not None and starting != "earliest":
+        raise ValueError(
+            "from_timestamp_ms and starting are mutually exclusive — "
+            "pick one way to anchor the stream"
+        )
     r = (
         spark.readStream.format("icelite")
         .option("path", root)

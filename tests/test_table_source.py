@@ -464,3 +464,9 @@ def test_stream_from_timestamp(spark, tmp_table_dir):
     with pytest.raises(Exception, match="mutually exclusive"):
         q = bad.start()
         q.awaitTermination(60)
+
+
+def test_helper_refuses_both_anchors(spark, tbl):
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_table_stream(spark, tbl.root, starting="latest",
+                          from_timestamp_ms=1)
