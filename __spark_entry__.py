@@ -137,6 +137,13 @@ def _q_partition_evolution_scan(spark, sf):
     return pipeline.partition_evolution_roundtrip(spark, sf)
 
 
+def _q_overwrite_partitions_scan(spark, sf):
+    # Iceberg ReplacePartitions / INSERT OVERWRITE: dynamic partition
+    # overwrite with a metadata-only delete side (whole files dropped from
+    # the manifest), untouched partitions byte-identical (asserted in-gate)
+    return pipeline.overwrite_partitions_roundtrip(spark, sf)
+
+
 def _q_delete_where_scan(spark, sf):
     # Iceberg v2 merge-on-read DELETE: positional-delete marks via the
     # parquet _metadata.(file_path,row_index) columns, applied as an
@@ -943,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_backfill_composite": _q_sync_backfill_composite,
         "cdc_stream_apply": _q_cdc_stream_apply,
         "delete_where_scan": _q_delete_where_scan,
+        "overwrite_partitions_scan": _q_overwrite_partitions_scan,
         "add_files_scan": _q_add_files_scan,
         "analyze_table_stats": _q_analyze_table_stats,
         "compact_filtered_scan": _q_compact_filtered_scan,
@@ -1018,6 +1026,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_stream_apply": pipeline.roundtrip_oracle_sql(True),
         # merge-on-read positional deletes, folded by compaction
         "delete_where_scan": pipeline.delete_where_oracle_sql(),
+        "overwrite_partitions_scan":
+            pipeline.overwrite_partitions_oracle_sql(),
         # zero-copy import + MoR delete + migrating compaction never change rows
         "add_files_scan": pipeline.add_files_oracle_sql(),
         # ANALYZE exact twin: same aggregates recomputed from the derivation

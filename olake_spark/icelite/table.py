@@ -748,6 +748,36 @@ class Table:
             out.extend(_read_manifest(self._abs(m)))
         return out
 
+    def _entry_diff(self, snap: dict) -> tuple[list[FileEntry], list[FileEntry]]:
+        """File-level (added, removed) manifest-entry diff vs the parent
+        snapshot. For commits that only APPEND manifests this is the cheap
+        `_added_entries` diff with nothing removed; for commits that REWRITE
+        manifests to drop files (overwrite_partitions), the manifest-level
+        diff would misreport every surviving entry of a rewritten manifest
+        as added, so the diff falls back to exact per-file set comparison
+        (reads parent + snapshot manifests once)."""
+        by_id = {s["snapshot_id"]: s for s in self.meta["snapshots"]}
+        parent = (
+            by_id.get(snap["parent_id"])
+            if snap["parent_id"] is not None
+            else None
+        )
+        if parent is None or set(parent["manifests"]) <= set(snap["manifests"]):
+            return self._added_entries(snap), []
+
+        def live(s: dict) -> dict[str, FileEntry]:
+            return {
+                e.file_path: e
+                for m in s["manifests"]
+                for e in _read_manifest(self._abs(m))
+            }
+
+        cur, par = live(snap), live(parent)
+        return (
+            [e for p, e in cur.items() if p not in par],
+            [e for p, e in par.items() if p not in cur],
+        )
+
     def changelog_scan(
         self,
         from_snapshot_id: int,
@@ -768,6 +798,10 @@ class Table:
           joining the commit's positional-delete (file_path, pos) marks
           against the parent snapshot, touched files only;
         - overwrite (update_where) → delete+insert pairs;
+        - overwrite (overwrite_partitions) → deletes of every live row of
+          the replaced partitions (the commit's REMOVED data files read at
+          the parent snapshot, older delete files applied — exact
+          before-images) plus inserts of the replacement rows;
         - rewrites (compact / cluster / manifests / purge) move bytes, not
           logical rows: skipped.
 
@@ -798,11 +832,24 @@ class Table:
                 "cherrypick",
             ):
                 continue
-            added = self._added_entries(s)
+            added, removed = self._entry_diff(s)
             data_added = [e for e in added if e.content == DATA]
             eq_added = [e for e in added if e.content == EQ_DELETES]
             pos_added = [e for e in added if e.content == POS_DELETES]
+            data_removed = [e for e in removed if e.content == DATA]
             pid = s["parent_id"]
+            if data_removed and pid is not None:
+                # replace-partitions: every surviving parent-snapshot row of
+                # the dropped files is retracted (file-pruned parent read,
+                # older deletes applied — never a full-table scan)
+                emit(
+                    self.scan(
+                        snapshot_id=pid,
+                        file_filter={e.file_path for e in data_removed},
+                    ),
+                    "delete",
+                    ordinal,
+                )
             if eq_added and pid is not None:
                 keys = (
                     self.spark.read.parquet(
@@ -1364,6 +1411,97 @@ class Table:
         return self._commit_snapshot(
             "append", entries, seq_used=seq, txn=txn, restamp_seq=True
         )
+
+    def overwrite_partitions(
+        self, df: DataFrame, max_records_per_file: int | None = None,
+        sort_within_by: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
+        retries: int = 5,
+    ) -> dict:
+        """Dynamic partition overwrite — Iceberg's ReplacePartitions
+        operation (Spark `INSERT OVERWRITE` / `writeTo(t).
+        overwritePartitions()`): atomically replace EXACTLY the partitions
+        the incoming rows land in. On an unpartitioned table this is a
+        full-table replace, matching Spark's semantics.
+
+        The delete side is metadata-only: every live data file whose
+        partition tuple matches a partition the staged write touched is
+        dropped from the manifest — each data file belongs to exactly one
+        partition by construction (`_stage_write` partitions by the spec) —
+        so the commit costs one write job for the new rows plus a manifest
+        rewrite; no row-level delete files are produced, and scans never
+        pay a reconciliation join for it. Delete files are left in place:
+        equality deletes kill strictly-older sequence numbers only (the
+        replacement rows are newer), and positional deletes referencing
+        dropped files match nothing (purged by the next
+        `purge_dead_deletes`).
+
+        Concurrency: a concurrent rewrite/removal of a file this commit
+        drops raises CommitConflict inside the CAS and the overwrite
+        re-plans from fresh metadata (up to `retries`); a concurrent APPEND
+        into a replaced partition between plan and CAS is kept, not
+        clobbered — the same default window Iceberg's ReplacePartitions has
+        without validateNoConflictingData. The changelog feed emits the
+        dropped files' parent-snapshot rows as full before-image deletes;
+        the append-only streaming source refuses the commit like any delete
+        snapshot (`skip_delete_snapshots` skips it).
+
+        Reference parity: the ReplacePartitions/INSERT OVERWRITE surface
+        OLake's Iceberg destination gets from Iceberg itself (the engine
+        commits through Iceberg's transaction API,
+        destination/iceberg/iceberg_utils.go); re-expressed over icelite's
+        CAS commit."""
+        self.refresh()
+        skip = self._txn_applied(txn)
+        if skip is not None:
+            return {**skip, "operation": "overwrite"}
+        last: Exception | None = None
+        for _ in range(retries):
+            seq = self.meta["last_sequence_number"] + 1
+            entries = self._stage_write(
+                df, seq, max_records_per_file, sort_within_by
+            )
+            if not entries:
+                return {
+                    "operation": "overwrite", "data_files": 0,
+                    "removed_files": 0, "rows_written": 0,
+                }
+            touched = {
+                json.dumps(e.partition, sort_keys=True) for e in entries
+            }
+            removed = {
+                e.file_path
+                for e in self.entries()
+                if e.content == DATA
+                and json.dumps(e.partition, sort_keys=True) in touched
+            }
+            try:
+                snap = self._commit_snapshot(
+                    "overwrite", entries,
+                    removed_paths=removed,
+                    extra_summary={
+                        "replace-partitions": "true",
+                        "replaced-partitions": str(len(touched)),
+                    },
+                    seq_used=seq, txn=txn, restamp_seq=True,
+                )
+                if snap.get("skipped"):
+                    return {**snap, "operation": "overwrite"}
+                return {
+                    "operation": "overwrite",
+                    "data_files": len(entries),
+                    "removed_files": len(removed),
+                    "rows_written": sum(e.record_count for e in entries),
+                    "partitions_replaced": len(touched),
+                    "snapshot_id": snap["snapshot_id"],
+                }
+            except CommitConflict as ce:
+                self.io.remove_many(
+                    [self._abs(e.file_path) for e in entries]
+                )
+                last = ce
+                self.refresh()
+        raise last  # type: ignore[misc]
 
     def add_files(
         self,

@@ -850,6 +850,58 @@ def update_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def overwrite_partitions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite roundtrip (Iceberg ReplacePartitions /
+    INSERT OVERWRITE): the derivation lands under identity(fmt), then the
+    'png' partition is atomically replaced by a transformed half-size
+    replacement set — the commit drops the partition's files from the
+    manifest (metadata-only delete side, no row-level delete files) and the
+    untouched 'jpeg' partition keeps its exact files. The final scan must
+    equal untouched-partitions ∪ replacement rows."""
+    tmp = tempfile.mkdtemp(prefix="olake-ovw-")
+    try:
+        t = Table.create(
+            spark,
+            os.path.join(tmp, "images"),
+            datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("fmt", "identity"),)),
+            identifier_fields=("image_id",),
+        )
+        imgs = images_from_documents(spark, sf_dir)
+        t.append(imgs, max_records_per_file=64)
+        jpeg_before = {
+            e.file_path for e in t.entries()
+            if e.partition.get("fmt") == "jpeg"
+        }
+        repl = imgs.filter(
+            "fmt = 'png' AND CAST(substring(image_id, 5) AS BIGINT) % 2 = 0"
+        ).withColumn("caption", F.concat(F.lit("replaced "), F.col("caption")))
+        res = t.overwrite_partitions(repl)
+        assert res["removed_files"] > 0, "overwrite dropped no files"
+        assert res["partitions_replaced"] == 1, res
+        jpeg_after = {
+            e.file_path for e in t.entries()
+            if e.partition.get("fmt") == "jpeg"
+        }
+        assert jpeg_after == jpeg_before, "untouched partition was rewritten"
+        run_compaction(t, "ovw-compact", fill_ratio=1.0)
+        return _materialize(t.scan(columns=SCAN_COLS))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def overwrite_partitions_oracle_sql() -> str:
+    base = derive_images_sql()
+    return (
+        f"SELECT image_id, w, h, fmt, caption, phash FROM ({base}) "
+        "WHERE fmt <> 'png' "
+        "UNION ALL "
+        "SELECT image_id, w, h, fmt, 'replaced ' || caption AS caption, "
+        f"phash FROM ({base}) "
+        "WHERE fmt = 'png' AND CAST(substring(image_id, 5) AS BIGINT) % 2 = 0"
+    )
+
+
 def partition_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition spec evolution roundtrip: half the derivation lands under
     bucket(image_id,4), the spec evolves to identity(fmt) (no data moves),

@@ -389,7 +389,17 @@ class IceliteStreamReader(DataSourceStreamReader):
             if snap["operation"] not in change_ops:
                 continue  # rewrites: invisible
             sid = snap["snapshot_id"]
-            for a in t._added_entries(snap):
+            added, removed = t._entry_diff(snap)
+            if any(r.content == 0 for r in removed):  # DATA
+                raise ValueError(
+                    f"snapshot {sid} replaced whole partitions "
+                    "(overwrite_partitions): its retractions are the "
+                    "removed files' rows AT THE PARENT SNAPSHOT (older "
+                    "deletes applied), which this metadata-only stream "
+                    "cannot materialize exactly. Read the window with "
+                    "Table.changelog_scan instead."
+                )
+            for a in added:
                 if a.record_count == 0:
                     continue
                 if a.content == DATA:

@@ -1,0 +1,145 @@
+"""Dynamic partition overwrite (Iceberg ReplacePartitions / INSERT
+OVERWRITE): metadata-only delete side, untouched partitions intact,
+changelog before-images, streaming refusal, txn replay no-op.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from olake_spark import datagen
+from olake_spark.icelite import PartitionField, PartitionSpec, Table
+
+NUM = "cast(substring(image_id, 5, 12) as bigint)"
+
+
+def _ids(df):
+    return {r[0] for r in df.select(F.expr(NUM)).collect()}
+
+
+@pytest.fixture()
+def tbl(spark, tmp_table_dir):
+    t = Table.create(
+        spark,
+        os.path.join(tmp_table_dir, "imgs"),
+        datagen.IMAGES_SCHEMA,
+        PartitionSpec((PartitionField("fmt", "identity"),)),
+        identifier_fields=("image_id",),
+    )
+    # ids 0..39: fmt='jpeg' when id%4==0, else 'png'
+    t.append(datagen.gen_images_df(spark, 40), max_records_per_file=10)
+    return t
+
+
+def test_replaces_exactly_the_touched_partition(spark, tbl):
+    jpeg_before = {
+        e.file_path for e in tbl.entries()
+        if e.partition.get("fmt") == "jpeg"
+    }
+    repl = datagen.gen_images_df(spark, 40).filter(
+        f"fmt = 'png' AND {NUM} < 6"
+    ).withColumn("caption", F.lit("new"))
+    res = tbl.overwrite_partitions(repl)
+    assert res["partitions_replaced"] == 1
+    assert res["removed_files"] > 0
+    got = tbl.scan(columns=["image_id", "fmt", "caption"])
+    # png partition = exactly the replacement rows (1,2,3,5 < 6, non-%4)
+    png = got.filter("fmt = 'png'").collect()
+    assert {r["image_id"][-2:] for r in png} == {"01", "02", "03", "05"}
+    assert all(r["caption"] == "new" for r in png)
+    # jpeg partition byte-identical (same files, same rows)
+    assert {
+        e.file_path for e in tbl.entries()
+        if e.partition.get("fmt") == "jpeg"
+    } == jpeg_before
+    assert got.filter("fmt = 'jpeg'").count() == 10
+
+
+def test_unpartitioned_table_full_replace(spark, tmp_table_dir):
+    t = Table.create(
+        spark, os.path.join(tmp_table_dir, "flat"), datagen.IMAGES_SCHEMA,
+        identifier_fields=("image_id",),
+    )
+    t.append(datagen.gen_images_df(spark, 30), max_records_per_file=10)
+    t.overwrite_partitions(datagen.gen_images_df(spark, 5))
+    assert _ids(t.scan()) == set(range(5))
+
+
+def test_empty_replacement_is_a_noop(spark, tbl):
+    res = tbl.overwrite_partitions(
+        datagen.gen_images_df(spark, 40).filter("1 = 0")
+    )
+    assert res["removed_files"] == 0 and res["data_files"] == 0
+    assert tbl.scan().count() == 40
+
+
+def test_txn_replay_is_a_noop(spark, tbl):
+    repl = datagen.gen_images_df(spark, 3)
+    tbl.overwrite_partitions(repl, txn=("ovw-app", 7))
+    before = tbl.current_snapshot_id
+    res = tbl.overwrite_partitions(repl, txn=("ovw-app", 7))  # replay
+    assert res.get("skipped")
+    assert tbl.current_snapshot_id == before
+
+
+def test_changelog_emits_exact_before_images(spark, tbl):
+    # a row deleted BEFORE the overwrite must not reappear in the
+    # retraction set: before-images are the parent-snapshot live rows
+    tbl.delete_where(f"{NUM} = 1")  # a png row
+    from_snap = tbl.current_snapshot_id
+    repl = datagen.gen_images_df(spark, 40).filter(
+        f"fmt = 'png' AND {NUM} < 4"
+    )
+    tbl.overwrite_partitions(repl)
+    feed = tbl.changelog_scan(from_snap)
+    dels = feed.filter("_change_type = 'delete'")
+    ins = feed.filter("_change_type = 'insert'")
+    # all 30 png rows were live except id 1 (deleted earlier): 29 retracted
+    assert _ids(dels) == {
+        i for i in range(40) if i % 4 != 0 and i != 1
+    }
+    assert _ids(ins) == {1, 2, 3}  # replacement rows (non-%4 under 4)
+    # jpeg rows appear in neither direction
+    assert dels.filter("fmt = 'jpeg'").count() == 0
+    assert ins.filter("fmt = 'jpeg'").count() == 0
+
+
+def test_streams_refuse_replace_partitions(spark, tbl, tmp_table_dir):
+    from olake_spark.streaming import read_table_stream
+
+    start = tbl.current_snapshot_id
+    tbl.overwrite_partitions(
+        datagen.gen_images_df(spark, 40).filter(f"fmt = 'png' AND {NUM} < 4")
+    )
+
+    def drain(tag, **kw):
+        q = (
+            read_table_stream(spark, tbl.root, starting=str(start), **kw)
+            .writeStream.format("parquet")
+            .option("path", os.path.join(tmp_table_dir, f"sink-{tag}"))
+            .option(
+                "checkpointLocation", os.path.join(tmp_table_dir, f"c-{tag}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(os.path.join(tmp_table_dir, f"sink-{tag}"))
+
+    # append mode: a delete-class snapshot → refused by default
+    with pytest.raises(Exception, match="delete|retraction"):
+        drain("a")
+    # changelog mode: retractions are parent-state rows this stream cannot
+    # materialize — refused with a pointer at the batch feed
+    with pytest.raises(Exception, match="changelog_scan|replaced whole"):
+        drain("c", mode="changelog")
+    # append mode with skip: the overwrite commit is skipped WHOLE (its
+    # inserts too — Iceberg's streaming-skip-overwrite-snapshots rule) and
+    # the stream continues past it to later appends
+    tbl.append(
+        datagen.gen_images_df(spark, 200).filter(f"{NUM} >= 100"),
+        max_records_per_file=100,
+    )
+    got = drain("s", skip_delete_snapshots=True)
+    assert _ids(got) == set(range(100, 200))
