@@ -1644,6 +1644,47 @@ class Table:
             "rowdelta", entries, seq_used=seq, txn=txn, restamp_seq=True
         )
 
+    def truncate(self, retries: int = 5) -> dict:
+        """TRUNCATE TABLE (Iceberg's truncate / DELETE without a filter):
+        one metadata-only commit removing EVERY live file — data and delete
+        files alike — from the manifest. No bytes are rewritten or reaped
+        here; the removed files stay reachable through older snapshots until
+        `expire_snapshots` + orphan reaping collect them, so the truncate is
+        fully time-travelable and rollback-able like any other commit."""
+        last: Exception | None = None
+        for _ in range(retries):
+            self.refresh()
+            removed = {e.file_path for e in self.entries()}
+            if not removed:
+                return {"operation": "delete", "removed_files": 0}
+            try:
+                snap = self._commit_snapshot(
+                    "delete", [], removed_paths=removed,
+                    extra_summary={"truncate": "true"},
+                )
+                return {
+                    "operation": "delete",
+                    "removed_files": len(removed),
+                    "snapshot_id": snap["snapshot_id"],
+                }
+            except CommitConflict as ce:  # a concurrent rewrite moved files
+                last = ce
+        raise last  # type: ignore[misc]
+
+    def count_rows(self) -> int:
+        """Metadata-only row count when it is EXACT — the manifest-stats
+        answer Iceberg gives `SELECT COUNT(*)`: with no live delete files,
+        the count is the sum of the data entries' record counts (zero Spark
+        jobs, O(manifest) driver work). Any live positional/equality delete
+        makes manifest arithmetic unsound (marks may overlap rows or match
+        nothing), so the method falls back to an actual scan count, exactly
+        like Iceberg falls off the stats fast-path when deletes exist."""
+        self.refresh()
+        entries = self.entries()
+        if any(e.content != DATA for e in entries):
+            return self.scan(columns=[self.schema.fields[0].name]).count()
+        return sum(e.record_count for e in entries)
+
     def delete_where(self, condition, retries: int = 5) -> dict:
         """Merge-on-read DELETE: mark rows matching `condition` deleted by
         writing positional-delete files (content=1) — no data file is

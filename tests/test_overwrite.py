@@ -143,3 +143,23 @@ def test_streams_refuse_replace_partitions(spark, tbl, tmp_table_dir):
     )
     got = drain("s", skip_delete_snapshots=True)
     assert _ids(got) == set(range(100, 200))
+
+
+def test_truncate_is_metadata_only_and_time_travelable(spark, tbl):
+    pre = tbl.current_snapshot_id
+    res = tbl.truncate()
+    assert res["removed_files"] > 0
+    assert tbl.scan().count() == 0
+    # time travel still sees the old rows; changelog retracts all 40
+    assert tbl.scan(snapshot_id=pre).count() == 40
+    feed = tbl.changelog_scan(pre)
+    assert feed.filter("_change_type = 'delete'").count() == 40
+    assert feed.filter("_change_type = 'insert'").count() == 0
+    # idempotent on an empty table
+    assert tbl.truncate()["removed_files"] == 0
+
+
+def test_count_rows_manifest_fast_path_and_delete_fallback(spark, tbl):
+    assert tbl.count_rows() == 40  # pure manifest arithmetic
+    tbl.delete_where(f"{NUM} % 4 = 1")  # live pos-deletes → fallback
+    assert tbl.count_rows() == tbl.scan().count() == 30
