@@ -135,6 +135,24 @@ def main() -> None:
              snapshot_as_of_now=t.snapshot_as_of(
                  t.snapshot()["timestamp_ms"])["snapshot_id"])
 
+        # -- 5b. set-replacement writes ------------------------------------
+        #    INSERT OVERWRITE (dynamic partition overwrite: jpeg partition
+        #    atomically replaced by re-captioned copies, metadata-only
+        #    delete side) and TRUNCATE on a zero-copy scratch clone — the
+        #    source provably untouched
+        from olake_spark.icelite import snapshot_table
+
+        jpeg_v2 = t.scan().filter("fmt = 'jpeg'").withColumn(
+            "caption", F.concat(F.col("caption"), F.lit(" [v2]")))
+        ow = t.overwrite_partitions(jpeg_v2)
+        scratch = snapshot_table(t, os.path.join(wd, "scratch"))
+        scratch.truncate()
+        step("overwrite_truncate",
+             partitions_replaced=ow["partitions_replaced"],
+             files_dropped=ow["removed_files"],
+             rows=t.count_rows(),
+             scratch_rows_after_truncate=scratch.count_rows())
+
         # -- 6. retention -------------------------------------------------
         t.drop_tag("pre-maintenance")
         t.expire_snapshots(keep_last=1)

@@ -164,9 +164,12 @@ def main(argv: list[str] | None = None) -> int:
                         "(blocks; use --port)")
     p.add_argument("--port", type=int, default=8181)
     p.add_argument("--op", default=None,
-                   choices=["list", "create", "drop", "rename", "snapshot"])
+                   choices=["list", "create", "drop", "rename", "snapshot",
+                            "register"])
     p.add_argument("--name", default=None, help="[ns.]table identifier")
     p.add_argument("--to", default=None, help="target for rename/snapshot")
+    p.add_argument("--location", default=None,
+                   help="register: existing table root to catalog")
     p.add_argument("--like", default=None,
                    help="create: parquet path whose schema the table copies")
     p.add_argument("--id-fields", default="", dest="cat_id_fields")
@@ -338,10 +341,13 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("catalog needs --warehouse or --uri")
         if not args.op:
             ap.error("catalog needs --op (or --serve)")
-        if args.op in ("create", "drop", "rename", "snapshot") and not args.name:
+        if (args.op in ("create", "drop", "rename", "snapshot", "register")
+                and not args.name):
             ap.error(f"catalog {args.op} needs --name")
         if args.op in ("rename", "snapshot") and not args.to:
             ap.error(f"catalog {args.op} needs --to")
+        if args.op == "register" and not args.location:
+            ap.error("catalog register needs --location")
         if args.op == "list":
             out = {
                 ns: cat.list_tables(ns) for ns in cat.list_namespaces()
@@ -361,6 +367,9 @@ def main(argv: list[str] | None = None) -> int:
             t = cat.rename_table(args.name, args.to)
             print(json.dumps({"renamed": args.name, "to": args.to,
                               "root": t.root}))
+        elif args.op == "register":
+            t = cat.register_table(args.name, args.location)
+            print(json.dumps({"registered": args.name, "root": t.root}))
         else:  # snapshot
             t = cat.snapshot_table(args.name, args.to)
             print(json.dumps({"cloned": args.name, "to": args.to,

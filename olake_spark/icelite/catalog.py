@@ -143,6 +143,19 @@ class Catalog:
             if self._is_table_dir(os.path.join(ns_dir, n))
         )
 
+    def register_table(self, identifier: str, root: str) -> "Table":
+        """HadoopCatalog parity: a filesystem catalog derives the table
+        PATH from the identifier, so an arbitrary existing root cannot be
+        registered — exactly why Iceberg's register_table procedure is
+        unsupported on HadoopCatalog. Use the REST catalog
+        (`catalog --serve` / `RestCatalog.register_table`) or
+        `snapshot_table` for a zero-copy import into the warehouse."""
+        raise NotImplementedError(
+            "register_table is not supported on the filesystem catalog "
+            "(the path IS the identifier — HadoopCatalog parity); use the "
+            "REST catalog or snapshot_table"
+        )
+
     def drop_table(self, identifier: str, purge: bool = False) -> None:
         """purge=True removes the tree; purge=False un-catalogs but
         preserves every byte — ONE atomic single-key marker write

@@ -421,6 +421,27 @@ class RestCatalog:
             )
             raise
 
+    def register_table(self, identifier: str, root: str) -> Table:
+        """Iceberg's `register_table` procedure: catalog an EXISTING table
+        root under an identifier — pure registry metadata, no bytes move.
+        The commit CAS stays correct automatically because the server
+        derives a table's current version from its metadata directory, not
+        from the registry. The root is validated FIRST (its newest
+        metadata must load) so a bogus path can never squat a name.
+        The filesystem catalog refuses this by design — HadoopCatalog
+        parity: there the path IS the identifier."""
+        ident = self._ident(identifier)
+        root = os.path.abspath(root)
+        Table(None, root).refresh()  # raises if no readable metadata
+        ns, name = ident.split(".", 1)
+        code, _ = self._http.call(
+            "POST", f"/v1/namespaces/{ns}/tables",
+            {"name": name, "location": root},
+        )
+        if code == 409:
+            raise TableAlreadyExistsError(identifier)
+        return self.load_table(identifier)
+
     def load_table(self, identifier: str) -> Table:
         ident = self._ident(identifier)
         ns, name = ident.split(".", 1)

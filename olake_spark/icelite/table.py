@@ -1469,11 +1469,29 @@ class Table:
             touched = {
                 json.dumps(e.partition, sort_keys=True) for e in entries
             }
+            live = [e for e in self.entries() if e.content == DATA]
+            # partition-dict equality is only sound within ONE layout: a
+            # file written under a pre-evolution spec carries that spec's
+            # keys and would silently evade replacement
+            spec_keys = set(entries[0].partition)
+            stale = [e for e in live if set(e.partition) != spec_keys]
+            if stale:
+                self.io.remove_many(
+                    [self._abs(e.file_path) for e in entries]
+                )
+                raise ValueError(
+                    f"overwrite_partitions needs a single-layout table: "
+                    f"{len(stale)} live data file(s) were written under a "
+                    f"different partition spec (e.g. "
+                    f"{sorted(set(stale[0].partition))} vs current "
+                    f"{sorted(spec_keys)}) and partition-value matching "
+                    "cannot see their rows. Run compaction to migrate old "
+                    "layouts to the current spec first."
+                )
             removed = {
                 e.file_path
-                for e in self.entries()
-                if e.content == DATA
-                and json.dumps(e.partition, sort_keys=True) in touched
+                for e in live
+                if json.dumps(e.partition, sort_keys=True) in touched
             }
             try:
                 snap = self._commit_snapshot(

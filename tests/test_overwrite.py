@@ -163,3 +163,24 @@ def test_count_rows_manifest_fast_path_and_delete_fallback(spark, tbl):
     assert tbl.count_rows() == 40  # pure manifest arithmetic
     tbl.delete_where(f"{NUM} % 4 = 1")  # live pos-deletes → fallback
     assert tbl.count_rows() == tbl.scan().count() == 30
+
+
+def test_mixed_layout_refused_until_compacted(spark, tbl):
+    # spec evolution leaves old-layout files whose partition dicts the
+    # new-layout matching cannot see — overwrite must refuse, and work
+    # again once compaction migrated every file to the current spec
+    from olake_spark.operators.compact import run_compaction
+
+    tbl.update_spec(
+        PartitionSpec((PartitionField("image_id", "bucket", 4),))
+    )
+    tbl.append(
+        datagen.gen_images_df(spark, 50).filter(f"{NUM} >= 40"),
+        max_records_per_file=10,
+    )
+    repl = datagen.gen_images_df(spark, 2)
+    with pytest.raises(ValueError, match="single-layout|migrate"):
+        tbl.overwrite_partitions(repl)
+    run_compaction(tbl, "mig", fill_ratio=1.0)
+    res = tbl.overwrite_partitions(repl)  # now every file is bucket-layout
+    assert res["partitions_replaced"] >= 1

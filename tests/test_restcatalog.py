@@ -247,3 +247,37 @@ class TestCommitRacesOverHttp:
         assert commit(1) == 409       # already taken (create wrote v1)
         assert commit(2) == 201       # exactly current+1
         assert commit(2) == 409       # replay of a won version loses
+
+
+def test_register_existing_root(spark, cat, tmp_path):
+    # Iceberg register_table: catalog an out-of-warehouse root by
+    # reference; commits keep CASing against the PRE-EXISTING version
+    ns = _fresh("reg")
+    root = str(tmp_path / "standalone")
+    t0 = Table.create(spark, root, datagen.IMAGES_SCHEMA,
+                      identifier_fields=("image_id",))
+    t0.append(datagen.gen_images_df(spark, 20))
+    v0 = t0.current_snapshot_id
+
+    t = cat.register_table(f"{ns}.imported", root)
+    assert os.path.abspath(t.root) == os.path.abspath(root)
+    assert t.scan().count() == 20
+    # a commit THROUGH the catalog advances the same lineage
+    t.append(datagen.gen_images_df(spark, 40).filter(
+        "cast(substring(image_id, 5, 12) as bigint) >= 20"))
+    assert cat.load_table(f"{ns}.imported").scan().count() == 40
+    assert t.snapshot()["parent_id"] == v0
+    # name squatting refused: same identifier again, and a bogus root
+    with pytest.raises(TableAlreadyExistsError):
+        cat.register_table(f"{ns}.imported", root)
+    with pytest.raises(Exception):
+        cat.register_table(f"{ns}.bogus", str(tmp_path / "nope"))
+    assert not cat.table_exists(f"{ns}.bogus")
+
+
+def test_filesystem_catalog_refuses_register(spark, tmp_path):
+    from olake_spark.icelite import Catalog
+
+    c = Catalog(spark, str(tmp_path / "wh"))
+    with pytest.raises(NotImplementedError, match="HadoopCatalog|path IS"):
+        c.register_table("a.b", str(tmp_path / "x"))
