@@ -1212,6 +1212,7 @@ class Table:
         branch: str | None = None,
         txn: tuple[str, int] | None = None,
         restamp_seq: bool = False,
+        conflict_if_new_data_in: set[str] | None = None,
     ) -> dict:
         """`restamp_seq`: re-stamp every `added` entry with the sequence
         number computed from FRESH metadata on each CAS attempt. Without it,
@@ -1306,6 +1307,26 @@ class Table:
                     raise CommitConflict(
                         f"data files referenced by this positional delete were "
                         f"rewritten concurrently: {sorted(gone)[:3]} — re-run it"
+                    )
+            if conflict_if_new_data_in:
+                # validateNoConflictingData: a data file that landed in one
+                # of these partitions concurrently (not in our removal plan)
+                # would survive a replace that promised to clear them
+                unexpected = [
+                    e.file_path
+                    for m in manifests
+                    for e in _read_manifest(self._abs(m))
+                    if e.content == DATA
+                    and json.dumps(e.partition, sort_keys=True)
+                    in conflict_if_new_data_in
+                    and e.file_path not in removed_paths
+                ]
+                if unexpected:
+                    raise CommitConflict(
+                        f"validateNoConflictingData: {len(unexpected)} data "
+                        f"file(s) landed concurrently in partition(s) this "
+                        f"commit replaces: {sorted(unexpected)[:3]} — "
+                        "re-plan from fresh metadata"
                     )
             if removed_paths:
                 live = set()
@@ -1417,6 +1438,7 @@ class Table:
         sort_within_by: list[str] | None = None,
         txn: tuple[str, int] | None = None,
         retries: int = 5,
+        validate: bool = False,
     ) -> dict:
         """Dynamic partition overwrite — Iceberg's ReplacePartitions
         operation (Spark `INSERT OVERWRITE` / `writeTo(t).
@@ -1438,10 +1460,13 @@ class Table:
 
         Concurrency: a concurrent rewrite/removal of a file this commit
         drops raises CommitConflict inside the CAS and the overwrite
-        re-plans from fresh metadata (up to `retries`); a concurrent APPEND
-        into a replaced partition between plan and CAS is kept, not
-        clobbered — the same default window Iceberg's ReplacePartitions has
-        without validateNoConflictingData. The changelog feed emits the
+        re-plans from fresh metadata (up to `retries`); by default a
+        concurrent APPEND into a replaced partition between plan and CAS is
+        kept, not clobbered — the same default window Iceberg's
+        ReplacePartitions has — while `validate=True` is Iceberg's
+        validateNoConflictingData: such a file fails the CAS and the
+        overwrite re-plans, so the retry's removal set covers it and the
+        replaced partitions hold EXACTLY the replacement rows. The changelog feed emits the
         dropped files' parent-snapshot rows as full before-image deletes;
         the append-only streaming source refuses the commit like any delete
         snapshot (`skip_delete_snapshots` skips it).
@@ -1502,6 +1527,7 @@ class Table:
                         "replaced-partitions": str(len(touched)),
                     },
                     seq_used=seq, txn=txn, restamp_seq=True,
+                    conflict_if_new_data_in=touched if validate else None,
                 )
                 if snap.get("skipped"):
                     return {**snap, "operation": "overwrite"}

@@ -871,7 +871,7 @@ def overwrite_partitions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         t.append(imgs, max_records_per_file=64)
         jpeg_before = {
             e.file_path for e in t.entries()
-            if e.partition.get("fmt") == "jpeg"
+            if e.partition.get("_p_fmt") == "jpeg"
         }
         repl = imgs.filter(
             "fmt = 'png' AND CAST(substring(image_id, 5) AS BIGINT) % 2 = 0"
@@ -881,7 +881,7 @@ def overwrite_partitions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         assert res["partitions_replaced"] == 1, res
         jpeg_after = {
             e.file_path for e in t.entries()
-            if e.partition.get("fmt") == "jpeg"
+            if e.partition.get("_p_fmt") == "jpeg"
         }
         assert jpeg_after == jpeg_before, "untouched partition was rewritten"
         run_compaction(t, "ovw-compact", fill_ratio=1.0)

@@ -35,7 +35,7 @@ def tbl(spark, tmp_table_dir):
 def test_replaces_exactly_the_touched_partition(spark, tbl):
     jpeg_before = {
         e.file_path for e in tbl.entries()
-        if e.partition.get("fmt") == "jpeg"
+        if e.partition.get("_p_fmt") == "jpeg"
     }
     repl = datagen.gen_images_df(spark, 40).filter(
         f"fmt = 'png' AND {NUM} < 6"
@@ -51,7 +51,7 @@ def test_replaces_exactly_the_touched_partition(spark, tbl):
     # jpeg partition byte-identical (same files, same rows)
     assert {
         e.file_path for e in tbl.entries()
-        if e.partition.get("fmt") == "jpeg"
+        if e.partition.get("_p_fmt") == "jpeg"
     } == jpeg_before
     assert got.filter("fmt = 'jpeg'").count() == 10
 
@@ -184,3 +184,53 @@ def test_mixed_layout_refused_until_compacted(spark, tbl):
     run_compaction(tbl, "mig", fill_ratio=1.0)
     res = tbl.overwrite_partitions(repl)  # now every file is bucket-layout
     assert res["partitions_replaced"] >= 1
+
+
+@pytest.mark.parametrize("validate", [False, True])
+def test_concurrent_append_into_replaced_partition(spark, tmp_table_dir,
+                                                   validate):
+    """validate=False keeps a concurrently appended file (Iceberg's
+    ReplacePartitions default window); validate=True is Iceberg's
+    validateNoConflictingData — the CAS fails, the overwrite re-plans, and
+    the replaced partition holds EXACTLY the replacement rows."""
+    t = Table.create(
+        spark, os.path.join(tmp_table_dir, f"race{validate}"),
+        datagen.IMAGES_SCHEMA,
+        PartitionSpec((PartitionField("fmt", "identity"),)),
+        identifier_fields=("image_id",),
+    )
+    t.append(datagen.gen_images_df(spark, 8))
+    png_files_before = len(
+        [e for e in t.entries() if e.partition.get("_p_fmt") == "png"]
+    )
+    t2 = Table.load(spark, t.root)
+
+    real_create = t.io.atomic_create_json
+    fired = {"done": False}
+
+    def racing_create(target, meta):
+        if not fired["done"] and "metadata.json" in target:
+            fired["done"] = True
+            # a png row (id 50 % 4 != 0) lands inside t's CAS window
+            t2.append(
+                datagen.gen_images_df(spark, 51).filter(f"{NUM} = 50")
+            )
+        return real_create(target, meta)
+
+    t.io.atomic_create_json = racing_create
+    try:
+        res = t.overwrite_partitions(
+            datagen.gen_images_df(spark, 3).filter("fmt = 'png'"),
+            validate=validate,
+        )
+    finally:
+        t.io.atomic_create_json = real_create
+    t.refresh()
+    png = _ids(t.scan().filter("fmt = 'png'"))
+    if validate:
+        assert png == {1, 2}  # conflict re-planned; intruder replaced too
+        # the retry's removal plan covered the concurrent file as well
+        assert res["removed_files"] == png_files_before + 1
+    else:
+        assert png == {1, 2, 50}  # default window: concurrent file kept
+        assert res["removed_files"] == png_files_before
