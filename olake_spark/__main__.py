@@ -348,6 +348,11 @@ def main(argv: list[str] | None = None) -> int:
             ap.error(f"catalog {args.op} needs --to")
         if args.op == "register" and not args.location:
             ap.error("catalog register needs --location")
+        if args.op == "register" and not args.uri:
+            ap.error(
+                "catalog register needs --uri (the filesystem catalog "
+                "cannot register an arbitrary root — HadoopCatalog parity)"
+            )
         if args.op == "list":
             out = {
                 ns: cat.list_tables(ns) for ns in cat.list_namespaces()

@@ -432,14 +432,20 @@ class RestCatalog:
         parity: there the path IS the identifier."""
         ident = self._ident(identifier)
         root = os.path.abspath(root)
-        Table(None, root).refresh()  # raises if no readable metadata
+        # validate through the catalog's own FileIO — the same storage the
+        # registered table will be read/committed through
+        Table(None, root, io=self.io).refresh()
         ns, name = ident.split(".", 1)
-        code, _ = self._http.call(
+        code, out = self._http.call(
             "POST", f"/v1/namespaces/{ns}/tables",
             {"name": name, "location": root},
         )
         if code == 409:
             raise TableAlreadyExistsError(identifier)
+        if code not in (200, 201):
+            raise ConnectionError(
+                f"register_table({identifier}) failed: HTTP {code} {out!r}"
+            )
         return self.load_table(identifier)
 
     def load_table(self, identifier: str) -> Table:

@@ -1311,22 +1311,33 @@ class Table:
             if conflict_if_new_data_in:
                 # validateNoConflictingData: a data file that landed in one
                 # of these partitions concurrently (not in our removal plan)
-                # would survive a replace that promised to clear them
+                # would survive a replace that promised to clear them. A
+                # file under a DIFFERENT partition layout (concurrent spec
+                # evolution + append) cannot be matched by partition value
+                # at all, so it conflicts unconditionally — partition-dict
+                # equality is only meaningful within one layout.
+                expected_keys = set(
+                    json.loads(next(iter(conflict_if_new_data_in)))
+                )
                 unexpected = [
                     e.file_path
                     for m in manifests
                     for e in _read_manifest(self._abs(m))
                     if e.content == DATA
-                    and json.dumps(e.partition, sort_keys=True)
-                    in conflict_if_new_data_in
                     and e.file_path not in removed_paths
+                    and (
+                        json.dumps(e.partition, sort_keys=True)
+                        in conflict_if_new_data_in
+                        or set(e.partition) != expected_keys
+                    )
                 ]
                 if unexpected:
                     raise CommitConflict(
                         f"validateNoConflictingData: {len(unexpected)} data "
                         f"file(s) landed concurrently in partition(s) this "
-                        f"commit replaces: {sorted(unexpected)[:3]} — "
-                        "re-plan from fresh metadata"
+                        f"commit replaces (or under a different layout): "
+                        f"{sorted(unexpected)[:3]} — re-plan from fresh "
+                        "metadata"
                     )
             if removed_paths:
                 live = set()
@@ -1482,28 +1493,15 @@ class Table:
             return {**skip, "operation": "overwrite"}
         last: Exception | None = None
         for _ in range(retries):
-            seq = self.meta["last_sequence_number"] + 1
-            entries = self._stage_write(
-                df, seq, max_records_per_file, sort_within_by
-            )
-            if not entries:
-                return {
-                    "operation": "overwrite", "data_files": 0,
-                    "removed_files": 0, "rows_written": 0,
-                }
-            touched = {
-                json.dumps(e.partition, sort_keys=True) for e in entries
-            }
+            # layout check BEFORE the staging write job: partition-dict
+            # equality is only sound within ONE layout — a file written
+            # under a pre-evolution spec carries that spec's keys and would
+            # silently evade replacement. spec.names is the metadata-only
+            # source of the current layout's key set.
+            spec_keys = set(self.spec.names)
             live = [e for e in self.entries() if e.content == DATA]
-            # partition-dict equality is only sound within ONE layout: a
-            # file written under a pre-evolution spec carries that spec's
-            # keys and would silently evade replacement
-            spec_keys = set(entries[0].partition)
             stale = [e for e in live if set(e.partition) != spec_keys]
             if stale:
-                self.io.remove_many(
-                    [self._abs(e.file_path) for e in entries]
-                )
                 raise ValueError(
                     f"overwrite_partitions needs a single-layout table: "
                     f"{len(stale)} live data file(s) were written under a "
@@ -1513,6 +1511,19 @@ class Table:
                     "cannot see their rows. Run compaction to migrate old "
                     "layouts to the current spec first."
                 )
+            seq = self.meta["last_sequence_number"] + 1
+            entries = self._stage_write(
+                df, seq, max_records_per_file, sort_within_by
+            )
+            if not entries:
+                return {
+                    "operation": "overwrite", "data_files": 0,
+                    "removed_files": 0, "rows_written": 0,
+                    "partitions_replaced": 0, "snapshot_id": None,
+                }
+            touched = {
+                json.dumps(e.partition, sort_keys=True) for e in entries
+            }
             removed = {
                 e.file_path
                 for e in live

@@ -390,7 +390,7 @@ class IceliteStreamReader(DataSourceStreamReader):
                 continue  # rewrites: invisible
             sid = snap["snapshot_id"]
             added, removed = t._entry_diff(snap)
-            if any(r.content == 0 for r in removed):  # DATA
+            if any(r.content == DATA for r in removed):
                 raise ValueError(
                     f"snapshot {sid} replaced whole partitions "
                     "(overwrite_partitions): its retractions are the "

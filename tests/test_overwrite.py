@@ -234,3 +234,42 @@ def test_concurrent_append_into_replaced_partition(spark, tmp_table_dir,
     else:
         assert png == {1, 2, 50}  # default window: concurrent file kept
         assert res["removed_files"] == png_files_before
+
+
+def test_validate_catches_concurrent_spec_evolution(spark, tmp_table_dir):
+    """A concurrent spec evolution + append inside the CAS window writes a
+    file whose partition keys cannot be matched by value at all —
+    validate=True must conflict on it, and the re-plan then refuses the
+    now-mixed-layout table loudly instead of replacing partially."""
+    t = Table.create(
+        spark, os.path.join(tmp_table_dir, "evorace"), datagen.IMAGES_SCHEMA,
+        PartitionSpec((PartitionField("fmt", "identity"),)),
+        identifier_fields=("image_id",),
+    )
+    t.append(datagen.gen_images_df(spark, 8))
+    t2 = Table.load(spark, t.root)
+
+    real_create = t.io.atomic_create_json
+    fired = {"done": False}
+
+    def racing_create(target, meta):
+        if not fired["done"] and "metadata.json" in target:
+            fired["done"] = True
+            t2.update_spec(
+                PartitionSpec((PartitionField("image_id", "bucket", 4),))
+            )
+            t2.append(datagen.gen_images_df(spark, 51).filter(f"{NUM} = 50"))
+        return real_create(target, meta)
+
+    t.io.atomic_create_json = racing_create
+    try:
+        with pytest.raises(ValueError, match="single-layout|migrate"):
+            t.overwrite_partitions(
+                datagen.gen_images_df(spark, 3).filter("fmt = 'png'"),
+                validate=True,
+            )
+    finally:
+        t.io.atomic_create_json = real_create
+    # nothing was replaced: the original rows AND the intruder all live
+    t.refresh()
+    assert _ids(t.scan()) == set(range(8)) | {50}
