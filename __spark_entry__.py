@@ -169,6 +169,13 @@ def _q_stream_table_feed(spark, sf):
     return pipeline.stream_feed_roundtrip(spark, sf)
 
 
+def _q_stream_from_timestamp_feed(spark, sf):
+    # Iceberg stream-from-timestamp: wall-clock anchor resolves to the
+    # newest lineage snapshot strictly before T; before-all/after-all
+    # fallbacks asserted in-gate
+    return pipeline.stream_from_timestamp_roundtrip(spark, sf)
+
+
 def _q_stream_pipe_scan(spark, sf):
     # table→table streaming pipeline: icelite SOURCE → icelite SINK
     # (exactly-once txn commits), compacted, scanned
@@ -993,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clone_table_scan": _q_clone_table_scan,
         "stream_table_feed": _q_stream_table_feed,
         "stream_pipe_scan": _q_stream_pipe_scan,
+        "stream_from_timestamp_feed": _q_stream_from_timestamp_feed,
         "events_sessionize": _q_events_sessionize,
         "dedup_phash_clusters": _q_dedup_phash_clusters,
         "text_bm25_topk": _q_text_bm25_topk,
@@ -1258,6 +1266,8 @@ ORDER BY df DESC, tf DESC, term
 LIMIT 20
 """,
         "stream_pipe_scan": pipeline.derive_images_sql(),
+        "stream_from_timestamp_feed":
+            pipeline.stream_from_timestamp_oracle_sql(),
         # streaming upsert sink: last update per key wins across batches
         "stream_upsert_scan": pipeline.stream_upsert_oracle_sql(),
         # audio features recomputed sample-by-sample in SQL (integer-exact)

@@ -385,6 +385,64 @@ def stream_feed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def stream_from_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg stream-from-timestamp roundtrip: the derivation lands in two
+    append commits, the stream anchors at the SECOND commit's wall-clock
+    timestamp (`stream_from_timestamp_ms`), and the drained rows must be
+    exactly the second commit's half — the first commit is before the
+    anchor and must never surface. In-gate asserts additionally pin the
+    before-all and after-all fallbacks (full history / empty)."""
+    from olake_spark.streaming.table_source import read_table_stream
+
+    tmp = tempfile.mkdtemp(prefix="olake-sft-")
+    try:
+        t = Table.create(
+            spark,
+            os.path.join(tmp, "images"),
+            datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("image_id", "bucket", 4),)),
+            identifier_fields=("image_id",),
+        )
+        imgs = images_from_documents(spark, sf_dir)
+        t.append(imgs.filter("phash % 2 = 0"), max_records_per_file=64)
+        import time
+
+        time.sleep(0.002)  # distinct commit timestamps, guaranteed
+        t.append(imgs.filter("phash % 2 != 0"), max_records_per_file=64)
+        snaps = sorted(t.snapshots(), key=lambda s: s["snapshot_id"])
+        anchor = snaps[1]["timestamp_ms"]
+        assert snaps[0]["timestamp_ms"] < anchor, "clock went backwards?"
+
+        def drain(tag: str, ts_ms: int) -> DataFrame:
+            sink = os.path.join(tmp, f"sink-{tag}")
+            q = (
+                read_table_stream(spark, t.root, from_timestamp_ms=ts_ms)
+                .selectExpr(*SCAN_COLS)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", os.path.join(tmp, f"c-{tag}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            try:
+                return spark.read.parquet(sink).select(*SCAN_COLS)
+            except Exception:  # sink never created: zero rows drained
+                return spark.createDataFrame([], SCAN_SCHEMA)
+
+        # before-all → full history; after-all → empty until new commits
+        assert drain("all", snaps[0]["timestamp_ms"] - 10_000).count() \
+            == imgs.count()
+        assert drain("none", anchor + 10_000).count() == 0
+        return _materialize(drain("mid", anchor))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def stream_from_timestamp_oracle_sql() -> str:
+    return f"SELECT * FROM ({derive_images_sql()}) WHERE phash % 2 <> 0"
+
+
 def stream_pipe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-to-table streaming pipeline: tail table A with the icelite
     streaming SOURCE and append into table B with the icelite streaming
