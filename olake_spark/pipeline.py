@@ -425,10 +425,9 @@ def stream_from_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
                 .start()
             )
             q.awaitTermination(300)
-            try:
-                return spark.read.parquet(sink).select(*SCAN_COLS)
-            except Exception:  # sink never created: zero rows drained
+            if not os.path.exists(sink):  # zero batches ran: nothing drained
                 return spark.createDataFrame([], SCAN_SCHEMA)
+            return spark.read.parquet(sink).select(*SCAN_COLS)
 
         # before-all → full history; after-all → empty until new commits
         assert drain("all", snaps[0]["timestamp_ms"] - 10_000).count() \

@@ -62,24 +62,30 @@ def test_mutation_sequence_matches_model(spark, tmp_table_dir, seed):
 
     next_id = 0
     for step in range(18):
-        op = rng.choice(
-            ["append", "append", "delete", "update", "upsert",
-             "overwrite", "compact", "truncate"]
-        )
+        # re-roll inapplicable ops so every step mutates or rewrites —
+        # delete/update/truncate need rows to act on
+        while True:
+            op = rng.choice(
+                ["append", "append", "delete", "update", "upsert",
+                 "overwrite", "compact", "truncate"]
+            )
+            if op in ("delete", "update", "truncate") and not model:
+                continue
+            break
         cap = f"s{step}"
         if op == "append":
             ids = list(range(next_id, next_id + rng.randint(3, 12)))
             next_id = ids[-1] + 1
             t.append(_rows(spark, ids, cap), max_records_per_file=4)
             model.update({_key(i): cap for i in ids})
-        elif op == "delete" and model:
+        elif op == "delete":
             victims = rng.sample(sorted(model), min(len(model),
                                                     rng.randint(1, 6)))
             nums = [int(v[4:]) for v in victims]
             t.delete_where(F.expr(NUM).isin(nums))
             for v in victims:
                 model.pop(v)
-        elif op == "update" and model:
+        elif op == "update":
             pick = rng.sample(sorted(model), min(len(model),
                                                  rng.randint(1, 5)))
             nums = [int(v[4:]) for v in pick]
@@ -118,10 +124,14 @@ def test_mutation_sequence_matches_model(spark, tmp_table_dir, seed):
             t.truncate()
             model = {}
         check(step)
-        history.append((t.current_snapshot_id, dict(model)))
+        if t.current_snapshot_id is not None:
+            # scan(snapshot_id=None) would read CURRENT state — recording
+            # pre-first-commit steps would make the check vacuous
+            history.append((t.current_snapshot_id, dict(model)))
 
     # time-travel spot checks: three random historical snapshots must
     # reproduce the model AS OF that commit
+    assert len(history) >= 3
     for snap_id, past in rng.sample(history, 3):
         got = {
             r["image_id"]: r["caption"]
