@@ -266,3 +266,34 @@ class TestRound3LatePlans:
         assert "EvalPython" not in plan
         assert "TakeOrderedAndProject" in plan  # top-k, never a full sort
         assert "BroadcastHashJoin" in plan  # df/idf + stats ride broadcasts
+
+
+def test_overwrite_delete_side_is_metadata_only(spark, tmp_table_dir):
+    # the replace's DELETE side must cost zero Spark jobs: an overwrite of
+    # the same DataFrame runs exactly the jobs a plain append runs (the
+    # staging write) — file removal is pure manifest arithmetic. At 100 TB
+    # the replaced partitions' old files are never read or listed by a job.
+    from olake_spark import datagen
+    from olake_spark.icelite import PartitionField, PartitionSpec, Table
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs(fn):
+        before = len(tracker.getJobIdsForGroup() or [])
+        fn()
+        return len(tracker.getJobIdsForGroup() or []) - before
+
+    def mk(name):
+        t = Table.create(
+            spark, os.path.join(tmp_table_dir, name), datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("fmt", "identity"),)),
+            identifier_fields=("image_id",),
+        )
+        t.append(datagen.gen_images_df(spark, 30), max_records_per_file=5)
+        return t
+
+    ta, tb = mk("a"), mk("b")
+    repl = datagen.gen_images_df(spark, 4).filter("fmt = 'png'")
+    append_jobs = jobs(lambda: tb.append(repl))
+    overwrite_jobs = jobs(lambda: ta.overwrite_partitions(repl))
+    assert overwrite_jobs == append_jobs
