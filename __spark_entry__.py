@@ -705,6 +705,20 @@ def _q_ann_ivf_topk(spark, sf):
     )
 
 
+def _q_ann_pq_topk(spark, sf):
+    # Product quantization ANN (the billion-scale memory story: m codes per
+    # vector, ADC search). By-id sub-codebooks make the whole quantizer a
+    # pure function of the table, so the oracle rebuilds it exactly; ranks
+    # AND floor-ppm asymmetric distances are bit-identical via the
+    # reconstructed-vector fold. train_pq_codebooks (per-subspace Lloyd) is
+    # the production codebook, covered by pytest recall.
+    emb = _tbl(spark, sf, "embeddings")
+    return ann.knn_pq(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, m=8, n_codes=16, exact=True,
+    )
+
+
 def _q_multimodal_decode_stats(spark, sf):
     # gate projection = the SQL-expressible subset: decode_ok is provable
     # (every derived image decodes) and n_pixels must equal w*h from the
@@ -994,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_stratified_cap": _q_curate_stratified_cap,
         "text_scrub_pii": _q_text_scrub_pii,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_pq_topk": _q_ann_pq_topk,
         "dedup_keep_best": _q_dedup_keep_best,
         "text_gopher_rules": _q_text_gopher_rules,
         "pack_sequences": _q_pack_sequences,
@@ -1184,6 +1199,10 @@ WHERE {cos('a.embedding', 'b.embedding')} >= {COSINE_PPM}
         "ann_ivf_topk": ann.knn_ivf_sql(
             "embeddings", "vec_id < 10", "vec_id", cos("qv", "cv"),
             k=5, n_cells=16, nprobe=4,
+        ),
+        "ann_pq_topk": ann.knn_pq_sql(
+            "embeddings", "vec_id < 10", "vec_id",
+            k=5, m=8, n_codes=16, dim=64,
         ),
         "dedup_keep_best": dedup.keep_best_per_cluster_sql(
             dedup.connected_components_sql(

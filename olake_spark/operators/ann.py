@@ -601,3 +601,332 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_ppm
 FROM ranked WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------------------------ PQ (IVF-PQ's
+# storage half): product quantization — the canonical billion-scale ANN
+# memory story. A D-dim float vector becomes m uint8-sized codes (one per
+# D/m-dim subspace, each pointing at one of n_codes sub-centroids): 768-dim
+# float32 = 3 KB/vector shrinks to m bytes (m=96 → 32×), so 10^9 vectors fit
+# the aggregate RAM of a modest cluster. Search is ADC (asymmetric distance
+# computation): the query stays uncompressed, each candidate's distance is m
+# table lookups. Compose with knn_ivf for sublinear scan (probe cells →
+# ADC-scan their posting lists → exact re-rank of the short list).
+
+
+def pq_codebooks_by_id(
+    df: DataFrame, id_col: str, vec_col: str, m: int, n_codes: int
+) -> DataFrame:
+    """Deterministic PQ codebooks: the first `n_codes` corpus vectors by id,
+    sliced into `m` subspaces — columns (s, code_id, cv_sub). Structurally a
+    real product quantizer (codes, reconstruction, and ADC search are
+    identical); chosen so the WHOLE index is a pure function of the data,
+    which is what lets the DuckDB oracle rebuild it (the same trick as
+    ivf_centroids_by_id). Production swaps in `train_pq_codebooks`."""
+    spark = df.sparkSession
+    picked = (
+        df.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+        .orderBy("_i")
+        .limit(n_codes)
+        .collect()
+    )
+    dim = len(picked[0]["_v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    rows = [
+        (s, code, [float(x) for x in r["_v"][s * d:(s + 1) * d]])
+        for code, r in enumerate(picked)
+        for s in range(m)
+    ]
+    return spark.createDataFrame(rows, ["s", "code_id", "cv_sub"])
+
+
+def train_pq_codebooks(
+    df: DataFrame, vec_col: str, m: int, n_codes: int,
+    sample_rows: int = 65536, iters: int = 10, seed: int = 7,
+) -> DataFrame:
+    """Production PQ codebooks: per-subspace Lloyd k-means on a bounded
+    driver-side sample (the standard recipe — FAISS trains PQ on a sample
+    too). Reuses the memory-bounded chunked-matmul trainer; O(sample·dim)
+    driver memory regardless of corpus size."""
+    n = df.count()
+    frac = min(1.0, sample_rows / max(1, n))
+    rows = (
+        df.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_rows)
+    ).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    spark = df.sparkSession
+    out = []
+    for s in range(m):
+        cents = _lloyd_kmeans(x[:, s * d:(s + 1) * d], n_codes, iters,
+                              seed + s)
+        out.extend(
+            (s, int(c), [float(v) for v in cents[c]])
+            for c in range(len(cents))
+        )
+    return spark.createDataFrame(out, ["s", "code_id", "cv_sub"])
+
+
+def pq_encode(
+    df: DataFrame, id_col: str, vec_col: str, codebooks: DataFrame,
+    exact: bool = False,
+) -> DataFrame:
+    """Vector → m-code assignment, columns (id, codes array<long>) with
+    codes[s] = argmin over the subspace-s codebook of squared distance.
+    (Codes are conceptually uint8 — n_codes ≤ 256; stored as long here for
+    cross-engine hash parity.) Two paths, the assign_cells pattern:
+
+    - exact=True: one broadcast join against all (s, code) rows + the
+      fold-expression squared distance on the sliced subvector + an
+      argmin window per (id, s) — bit-deterministic, the oracle twin.
+    - exact=False (production): per Arrow batch, one (m·K·d) codebook
+      tensor lookup — reshape to (batch, m, d), one matmul per subspace,
+      argmin — ZERO extra rows, no shuffle."""
+    rows = codebooks.orderBy("s", "code_id").collect()
+    m = 1 + max(r["s"] for r in rows)
+    d = len(rows[0]["cv_sub"])
+    if exact:
+        pairs = df.select(
+            F.col(id_col).alias("_i"), F.col(vec_col).alias("_v")
+        ).join(F.broadcast(codebooks))
+        sub = "slice(_v, s * {d} + 1, {d})".format(d=d)
+        dist = F.expr(
+            f"aggregate(zip_with({sub}, cv_sub, (p, q) -> "
+            f"(CAST(p AS DOUBLE) - CAST(q AS DOUBLE)) * "
+            f"(CAST(p AS DOUBLE) - CAST(q AS DOUBLE))), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        w = Window.partitionBy("_i", "s").orderBy(
+            dist.asc(), F.col("code_id").asc()
+        )
+        return (
+            pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .groupBy("_i")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(s, code_id)))"
+                    ", x -> CAST(x.code_id AS LONG))"
+                ).alias("codes")
+            )
+            .select(F.col("_i").alias(id_col), "codes")
+        )
+
+    K = 1 + max(r["code_id"] for r in rows)
+    tensor = np.zeros((m, K, d), dtype=np.float64)
+    for r in rows:
+        tensor[r["s"], r["code_id"]] = r["cv_sub"]
+    tnorm = (tensor * tensor).sum(axis=2)  # (m, K)
+
+    def encode(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)  # (b, D)
+        b = x.shape[0]
+        xs = x.reshape(b, m, d)  # (b, m, s-dim)
+        # ||x_s - c||² = ||x_s||² - 2 x_s·cᵀ + ||c||², argmin over codes
+        dots = np.einsum("bmd,mkd->bmk", xs, tensor)
+        dist = -2.0 * dots + tnorm[None, :, :]  # ||x_s||² constant in argmin
+        codes = dist.argmin(axis=2)  # (b, m)
+        return pd.Series(list(codes.astype(np.int64)))
+
+    enc = pandas_udf(encode, ArrayType(LongType()))
+    return df.select(
+        F.col(id_col).alias(id_col), enc(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_reconstruct(codes: DataFrame, id_col: str,
+                   codebooks: DataFrame) -> DataFrame:
+    """Codes → approximate vector: concat of the chosen sub-centroids in
+    subspace order — columns (id, rv). The reconstructed vector makes the
+    ADC distance expressible as ONE sequential fold over the full dimension
+    (sqdist(q, rv) ≡ Σ_s sqdist(q_s, c_s)), which is the bit-identical
+    cross-engine form the oracle needs."""
+    return (
+        codes.select(
+            id_col, F.posexplode("codes").alias("s", "code_id")
+        )
+        .join(F.broadcast(codebooks), ["s", "code_id"])
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "flatten(transform(array_sort(collect_list("
+                "struct(s, cv_sub))), x -> x.cv_sub))"
+            ).alias("rv")
+        )
+    )
+
+
+def knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    codebooks: DataFrame | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Approximate top-k via product quantization: corpus vectors stored as
+    m codes, queries uncompressed, candidates ranked by the asymmetric
+    (query-to-reconstruction) squared distance — ascending, id tiebreak.
+    Output (query_id, neighbor_id, rank, adist_ppm).
+
+    exact=True ranks by the fold-expression distance on reconstructed
+    vectors (oracle twin); exact=False is the production ADC scan — per
+    Arrow batch of codes, each candidate costs m table lookups into the
+    per-query (m × K) distance tables (built once per task from the
+    broadcast queries + codebook tensor), never a D-dim computation. At
+    10^9 vectors compose with knn_ivf: probe cells, ADC-scan only their
+    posting lists, exact-rerank the short list."""
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks_by_id(corpus, id_col, vec_col, m, n_codes)
+    )
+    codes = pq_encode(corpus, id_col, vec_col, cb, exact=exact)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    if exact:
+        recon = pq_reconstruct(codes, id_col, cb).withColumnRenamed(
+            id_col, "neighbor_id"
+        )
+        scored = recon.join(
+            F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+        ).withColumn("_ad", sqdist_expr("qv", "rv"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("_ad").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id", F.col("rank").cast("long"),
+                F.floor(F.col("_ad") * 1e6).cast("long").alias("adist_ppm"),
+            )
+        )
+
+    rows = cb.orderBy("s", "code_id").collect()
+    mm = 1 + max(r["s"] for r in rows)
+    K = 1 + max(r["code_id"] for r in rows)
+    d = len(rows[0]["cv_sub"])
+    tensor = np.zeros((mm, K, d), dtype=np.float64)
+    for r in rows:
+        tensor[r["s"], r["code_id"]] = r["cv_sub"]
+    qrows = q.collect()  # queries are the small side by contract
+    qids = [r["query_id"] for r in qrows]
+    qmat = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
+    nq = len(qids)
+    # per-query ADC tables: tables[qi, s, code] = ||q_s - c||²
+    qs = qmat.reshape(nq, mm, d)
+    tables = (
+        (qs * qs).sum(axis=2)[:, :, None]
+        - 2.0 * np.einsum("qmd,mkd->qmk", qs, tensor)
+        + (tensor * tensor).sum(axis=2)[None, :, :]
+    )
+
+    out_schema = ("query_id long, neighbor_id long, "
+                  "adist double")
+
+    def scan(batches):
+        for b in batches:
+            ids = b[id_col].to_numpy()
+            cmat = np.stack(b["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            # dist[qi, i] = Σ_s tables[qi, s, codes[i, s]]
+            dist = tables[
+                :, np.arange(mm)[None, :], cmat[None, :, :][0]
+            ].sum(axis=2)  # (nq, n)
+            take = min(k + 1, dist.shape[1])
+            part = np.argpartition(dist, take - 1, axis=1)[:, :take]
+            rows_out = []
+            for qi in range(nq):
+                for j in part[qi]:
+                    if int(ids[j]) == int(qids[qi]):
+                        continue
+                    rows_out.append(
+                        {"query_id": int(qids[qi]),
+                         "neighbor_id": int(ids[j]),
+                         "adist": float(dist[qi, j])}
+                    )
+            yield pd.DataFrame(rows_out,
+                               columns=["query_id", "neighbor_id", "adist"])
+
+    cand = codes.mapInPandas(scan, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("long"),
+            F.floor(F.col("adist") * 1e6).cast("long").alias("adist_ppm"),
+        )
+    )
+
+
+def knn_pq_sql(
+    corpus: str,
+    queries_pred: str,
+    id_col: str,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle twin of :func:`knn_pq` with the by-id codebooks: the
+    oracle rebuilds the identical quantizer (same sub-centroids, same
+    fold-exact code assignments), reconstructs each candidate, and ranks by
+    the same full-dimension sequential fold — bit-identical doubles, so
+    ranks AND floor-ppm distances match exactly."""
+    d = dim // m
+    sub_v = f"c.v[cb.s*{d}+1 : cb.s*{d}+{d}]"
+    return f"""
+WITH c AS (SELECT {id_col} AS id, embedding AS v FROM {corpus}),
+picked AS (
+  SELECT v, CAST(row_number() OVER (ORDER BY id ASC) - 1 AS BIGINT)
+           AS code_id
+  FROM c QUALIFY row_number() OVER (ORDER BY id ASC) <= {n_codes}
+),
+cb AS (
+  SELECT s, code_id, v[s*{d}+1 : s*{d}+{d}] AS cv_sub
+  FROM picked, (SELECT unnest(range({m})) AS s)
+),
+codes AS (
+  SELECT id, s, code_id FROM (
+    SELECT c.id, cb.s, cb.code_id,
+           row_number() OVER (PARTITION BY c.id, cb.s
+                              ORDER BY {_sqdist_sql(sub_v, 'cb.cv_sub')} ASC,
+                                       cb.code_id ASC) AS rn
+    FROM c CROSS JOIN cb
+  ) WHERE rn = 1
+),
+recon AS (
+  SELECT codes.id, flatten(list(cb.cv_sub ORDER BY cb.s)) AS rv
+  FROM codes JOIN cb ON cb.s = codes.s AND cb.code_id = codes.code_id
+  GROUP BY codes.id
+),
+q AS (SELECT {id_col} AS query_id, embedding AS qv FROM {corpus}
+      WHERE {queries_pred}),
+scored AS (
+  SELECT q.query_id, recon.id AS neighbor_id,
+         {_sqdist_sql('q.qv', 'recon.rv')} AS ad
+  FROM q CROSS JOIN recon
+  WHERE recon.id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, ad,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ad ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       CAST(floor(ad * 1e6) AS BIGINT) AS adist_ppm
+FROM ranked WHERE rank <= {k}
+"""

@@ -307,3 +307,58 @@ class TestCurateProperties:
                                       "doc_id", 4)
         assert {r[0] for r in capped.select("doc_id").collect()} == \
                {r[0] for r in again.select("doc_id").collect()}
+
+
+class TestAnnPq:
+    def test_pq_paths_agree_and_trained_recall(self, spark):
+        """PQ exact (fold/oracle twin) and production (numpy ADC tables)
+        paths must produce the same codes and the same top-k sets on the
+        real fixture; the TRAINED per-subspace Lloyd codebooks must recover
+        ≥85% of planted near-twins at k=1 (the production quality bar —
+        the by-id codebook variant is exactly oracled in the gate)."""
+        from olake_spark.operators.ann import (knn_pq, pq_codebooks_by_id,
+                                               pq_encode, train_pq_codebooks)
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        cb = pq_codebooks_by_id(emb, "vec_id", "embedding", 8, 16)
+        ce = {r.vec_id: list(r.codes)
+              for r in pq_encode(emb, "vec_id", "embedding", cb,
+                                 exact=True).collect()}
+        cp = {r.vec_id: list(r.codes)
+              for r in pq_encode(emb, "vec_id", "embedding", cb,
+                                 exact=False).collect()}
+        assert ce == cp  # argmin codes identical across paths
+
+        q = emb.filter("vec_id < 5")
+        tops = {}
+        for exact in (True, False):
+            res = knn_pq(emb, q, "vec_id", "embedding", k=5, m=8,
+                         n_codes=16, exact=exact)
+            tops[exact] = {
+                (r.query_id, r.neighbor_id) for r in res.collect()
+            }
+        assert tops[True] == tops[False]
+
+        # trained codebooks: planted near-twins recovered at k=1
+        rng = np.random.default_rng(11)
+        dim, n, nq = 16, 300, 50
+        base = rng.standard_normal((n, dim)).astype(np.float32)
+        qv = base[:nq] + 0.02 * rng.standard_normal((nq, dim)).astype(
+            np.float32
+        )
+        corpus = spark.createDataFrame(
+            [(i, base[i].tolist()) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+        queries = spark.createDataFrame(
+            [(1000 + i, qv[i].tolist()) for i in range(nq)],
+            "vec_id long, embedding array<float>",
+        )
+        trained = train_pq_codebooks(corpus, "embedding", m=4, n_codes=32)
+        res = knn_pq(corpus, queries, "vec_id", "embedding", k=1,
+                     codebooks=trained)
+        got = {r.query_id: r.neighbor_id for r in res.collect()}
+        hits = sum(1 for i in range(nq) if got.get(1000 + i) == i)
+        assert hits >= int(0.85 * nq), f"PQ recall {hits}/{nq} < 0.85"
