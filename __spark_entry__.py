@@ -719,6 +719,18 @@ def _q_ann_pq_topk(spark, sf):
     )
 
 
+def _q_ann_ivfpq_topk(spark, sf):
+    # IVF-PQ — the canonical billion-scale composition (FAISS IndexIVFPQ):
+    # probe nprobe coarse cells, ADC-score only their posting lists over
+    # m-byte codes. Fully oracled: by-id coarse centroids + by-id
+    # sub-codebooks + reconstructed-vector fold ranking.
+    emb = _tbl(spark, sf, "embeddings")
+    return ann.knn_ivfpq(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, n_cells=16, nprobe=4, m=8, n_codes=16, exact=True,
+    )
+
+
 def _q_multimodal_decode_stats(spark, sf):
     # gate projection = the SQL-expressible subset: decode_ok is provable
     # (every derived image decodes) and n_pixels must equal w*h from the
@@ -1009,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub_pii": _q_text_scrub_pii,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_pq_topk": _q_ann_pq_topk,
+        "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "dedup_keep_best": _q_dedup_keep_best,
         "text_gopher_rules": _q_text_gopher_rules,
         "pack_sequences": _q_pack_sequences,
@@ -1203,6 +1216,10 @@ WHERE {cos('a.embedding', 'b.embedding')} >= {COSINE_PPM}
         "ann_pq_topk": ann.knn_pq_sql(
             "embeddings", "vec_id < 10", "vec_id",
             k=5, m=8, n_codes=16, dim=64,
+        ),
+        "ann_ivfpq_topk": ann.knn_ivfpq_sql(
+            "embeddings", "vec_id < 10", "vec_id",
+            k=5, n_cells=16, nprobe=4, m=8, n_codes=16, dim=64,
         ),
         "dedup_keep_best": dedup.keep_best_per_cluster_sql(
             dedup.connected_components_sql(

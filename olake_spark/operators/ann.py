@@ -930,3 +930,203 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
        CAST(floor(ad * 1e6) AS BIGINT) AS adist_ppm
 FROM ranked WHERE rank <= {k}
 """
+
+
+def knn_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """IVF-PQ — the canonical billion-scale index (FAISS IndexIVFPQ):
+    corpus vectors live in the posting list of their nearest coarse cell
+    AND are stored as m PQ codes; a query probes its `nprobe` nearest
+    cells and ADC-scores only those posting lists. At 10^9 vectors the scan
+    touches nprobe/n_cells of the corpus and each candidate costs m table
+    lookups on an m-byte code — sublinear work over compressed storage.
+    Output matches knn_pq: (query_id, neighbor_id, rank, adist_ppm),
+    ranked by asymmetric (query-to-reconstruction) squared distance.
+
+    exact=True is the fold-deterministic oracle twin (by-id coarse
+    centroids + by-id sub-codebooks make the WHOLE index a pure function of
+    the table); exact=False is the production path (numpy cell assign +
+    numpy codes + per-task ADC tables)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids_by_id(corpus, id_col, vec_col, n_cells)
+    )
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks_by_id(corpus, id_col, vec_col, m, n_codes)
+    )
+    posting = (
+        assign_cells(corpus, id_col, vec_col, cents, 1,
+                     out_id="neighbor_id", exact=exact)
+        .select("neighbor_id", F.col("cent_id").alias("c_cell"))
+        .join(
+            pq_encode(corpus, id_col, vec_col, cb, exact=exact)
+            .withColumnRenamed(id_col, "neighbor_id"),
+            "neighbor_id",
+        )
+    )
+    qprobe = assign_cells(
+        queries, id_col, vec_col, cents, nprobe,
+        out_id="query_id", exact=exact,
+    ).select("query_id", F.col("_v").alias("qv"),
+             F.col("cent_id").alias("q_cell"))
+    cand = (
+        posting.join(
+            F.broadcast(qprobe),
+            (F.col("c_cell") == F.col("q_cell"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "qv", "neighbor_id", "codes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_ad").asc(), F.col("neighbor_id").asc()
+    )
+    if exact:
+        recon = pq_reconstruct(
+            cand.select(F.col("neighbor_id").alias("_cid"), "codes")
+            .dropDuplicates(["_cid"]),
+            "_cid", cb,
+        )
+        scored = cand.join(
+            recon, cand["neighbor_id"] == recon["_cid"]
+        ).withColumn("_ad", sqdist_expr("qv", "rv"))
+    else:
+        rows = cb.orderBy("s", "code_id").collect()
+        mm = 1 + max(r["s"] for r in rows)
+        K = 1 + max(r["code_id"] for r in rows)
+        d = len(rows[0]["cv_sub"])
+        tensor = np.zeros((mm, K, d), dtype=np.float64)
+        for r in rows:
+            tensor[r["s"], r["code_id"]] = r["cv_sub"]
+        tnorm = (tensor * tensor).sum(axis=2)  # (m, K)
+
+        def adc(qvs: pd.Series, codes: pd.Series) -> pd.Series:
+            qm = np.stack(qvs.to_numpy()).astype(np.float64)
+            cm = np.stack(codes.to_numpy()).astype(np.int64)  # (n, m)
+            b = qm.shape[0]
+            qsub = qm.reshape(b, mm, d)  # (n, m, d)
+            csub = tensor[np.arange(mm)[None, :], cm]  # (n, m, d)
+            dist = (
+                (qsub * qsub).sum(axis=2)
+                - 2.0 * (qsub * csub).sum(axis=2)
+                + tnorm[np.arange(mm)[None, :], cm]
+            ).sum(axis=1)
+            return pd.Series(dist)
+
+        adc_udf = pandas_udf(adc, "double")
+        scored = cand.withColumn("_ad", adc_udf(F.col("qv"),
+                                                F.col("codes")))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("long"),
+            F.floor(F.col("_ad") * 1e6).cast("long").alias("adist_ppm"),
+        )
+    )
+
+
+def knn_ivfpq_sql(
+    corpus: str,
+    queries_pred: str,
+    id_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle twin of :func:`knn_ivfpq`: the by-id coarse centroids
+    + by-id sub-codebooks rebuild the identical index; candidates are the
+    probed cells' posting lists; ranking is the same reconstructed-vector
+    fold as knn_pq_sql — ranks and floor-ppm distances bit-exact."""
+    d = dim // m
+    sub_v = f"c.v[cb.s*{d}+1 : cb.s*{d}+{d}]"
+    return f"""
+WITH c AS (SELECT {id_col} AS id, embedding AS v FROM {corpus}),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY id ASC) - 1 AS BIGINT) AS cent_id,
+         v AS cv
+  FROM c QUALIFY row_number() OVER (ORDER BY id ASC) <= {n_cells}
+),
+assign AS (
+  SELECT id, cent_id FROM (
+    SELECT c.id, cents.cent_id,
+           row_number() OVER (PARTITION BY c.id
+                              ORDER BY {_sqdist_sql('c.v', 'cents.cv')} ASC,
+                                       cent_id ASC) AS rn
+    FROM c CROSS JOIN cents
+  ) WHERE rn = 1
+),
+picked AS (
+  SELECT v, CAST(row_number() OVER (ORDER BY id ASC) - 1 AS BIGINT)
+           AS code_id
+  FROM c QUALIFY row_number() OVER (ORDER BY id ASC) <= {n_codes}
+),
+cb AS (
+  SELECT s, code_id, v[s*{d}+1 : s*{d}+{d}] AS cv_sub
+  FROM picked, (SELECT unnest(range({m})) AS s)
+),
+codes AS (
+  SELECT id, s, code_id FROM (
+    SELECT c.id, cb.s, cb.code_id,
+           row_number() OVER (PARTITION BY c.id, cb.s
+                              ORDER BY {_sqdist_sql(sub_v, 'cb.cv_sub')} ASC,
+                                       cb.code_id ASC) AS rn
+    FROM c CROSS JOIN cb
+  ) WHERE rn = 1
+),
+recon AS (
+  SELECT codes.id, flatten(list(cb.cv_sub ORDER BY cb.s)) AS rv
+  FROM codes JOIN cb ON cb.s = codes.s AND cb.code_id = codes.code_id
+  GROUP BY codes.id
+),
+q AS (SELECT {id_col} AS query_id, embedding AS qv FROM {corpus}
+      WHERE {queries_pred}),
+qprobe AS (
+  SELECT query_id, cent_id FROM (
+    SELECT q.query_id, cents.cent_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_sqdist_sql('q.qv', 'cents.cv')} ASC,
+                                       cent_id ASC) AS rn
+    FROM q CROSS JOIN cents
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT qprobe.query_id, assign.id AS neighbor_id
+  FROM qprobe JOIN assign ON assign.cent_id = qprobe.cent_id
+  WHERE assign.id <> qprobe.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_sqdist_sql('q.qv', 'recon.rv')} AS ad
+  FROM cand
+  JOIN q ON q.query_id = cand.query_id
+  JOIN recon ON recon.id = cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, ad,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ad ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       CAST(floor(ad * 1e6) AS BIGINT) AS adist_ppm
+FROM ranked WHERE rank <= {k}
+"""

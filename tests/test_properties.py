@@ -362,3 +362,25 @@ class TestAnnPq:
         got = {r.query_id: r.neighbor_id for r in res.collect()}
         hits = sum(1 for i in range(nq) if got.get(1000 + i) == i)
         assert hits >= int(0.85 * nq), f"PQ recall {hits}/{nq} < 0.85"
+
+
+    def test_ivfpq_paths_agree(self, spark):
+        """IVF-PQ exact (oracle twin) and production (numpy assign + ADC
+        UDF) must produce identical (rank, neighbor, floor-ppm distance)
+        rows on the real fixture — the composed index is deterministic on
+        both paths."""
+        from olake_spark.operators.ann import knn_ivfpq
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        q = emb.filter("vec_id < 5")
+        rows = {}
+        for exact in (True, False):
+            res = knn_ivfpq(emb, q, "vec_id", "embedding", k=5,
+                            exact=exact)
+            rows[exact] = sorted(
+                (r.query_id, r.rank, r.neighbor_id, r.adist_ppm)
+                for r in res.collect()
+            )
+        assert rows[True] == rows[False]
