@@ -411,12 +411,7 @@ def train_ivf_centroids_kmeans(
     (the standard IVF training recipe — FAISS trains on a sample too). The
     sample is O(sample_rows·dim) driver memory regardless of corpus size;
     assignment of the full corpus stays distributed."""
-    n = df.count()
-    frac = min(1.0, sample_rows / max(1, n))
-    rows = (
-        df.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_rows)
-    ).collect()
-    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x = _sample_matrix(df, vec_col, sample_rows, seed)
     cents = _lloyd_kmeans(x, n_cells, iters, seed)
     spark = df.sparkSession
     return spark.createDataFrame(
@@ -614,6 +609,32 @@ FROM ranked WHERE rank <= {k}
 # ADC-scan their posting lists → exact re-rank of the short list).
 
 
+def _sample_matrix(
+    df: DataFrame, vec_col: str, sample_rows: int, seed: int
+) -> "np.ndarray":
+    """Bounded driver-side training sample shared by both trainers:
+    O(sample_rows·dim) driver memory regardless of corpus size."""
+    n = df.count()
+    frac = min(1.0, sample_rows / max(1, n))
+    rows = (
+        df.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_rows)
+    ).collect()
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def _codebook_tensor(codebooks: DataFrame):
+    """Collect a PQ codebook DataFrame into the dense lookup form every
+    production path uses: (tensor (m, K, d), tnorm (m, K), m, K, d)."""
+    rows = codebooks.orderBy("s", "code_id").collect()
+    m = 1 + max(r["s"] for r in rows)
+    K = 1 + max(r["code_id"] for r in rows)
+    d = len(rows[0]["cv_sub"])
+    tensor = np.zeros((m, K, d), dtype=np.float64)
+    for r in rows:
+        tensor[r["s"], r["code_id"]] = r["cv_sub"]
+    return tensor, (tensor * tensor).sum(axis=2), m, K, d
+
+
 def pq_codebooks_by_id(
     df: DataFrame, id_col: str, vec_col: str, m: int, n_codes: int
 ) -> DataFrame:
@@ -650,12 +671,7 @@ def train_pq_codebooks(
     driver-side sample (the standard recipe — FAISS trains PQ on a sample
     too). Reuses the memory-bounded chunked-matmul trainer; O(sample·dim)
     driver memory regardless of corpus size."""
-    n = df.count()
-    frac = min(1.0, sample_rows / max(1, n))
-    rows = (
-        df.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_rows)
-    ).collect()
-    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x = _sample_matrix(df, vec_col, sample_rows, seed)
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -687,9 +703,7 @@ def pq_encode(
     - exact=False (production): per Arrow batch, one (m·K·d) codebook
       tensor lookup — reshape to (batch, m, d), one matmul per subspace,
       argmin — ZERO extra rows, no shuffle."""
-    rows = codebooks.orderBy("s", "code_id").collect()
-    m = 1 + max(r["s"] for r in rows)
-    d = len(rows[0]["cv_sub"])
+    tensor, tnorm, m, K, d = _codebook_tensor(codebooks)
     if exact:
         pairs = df.select(
             F.col(id_col).alias("_i"), F.col(vec_col).alias("_v")
@@ -716,12 +730,6 @@ def pq_encode(
             )
             .select(F.col("_i").alias(id_col), "codes")
         )
-
-    K = 1 + max(r["code_id"] for r in rows)
-    tensor = np.zeros((m, K, d), dtype=np.float64)
-    for r in rows:
-        tensor[r["s"], r["code_id"]] = r["cv_sub"]
-    tnorm = (tensor * tensor).sum(axis=2)  # (m, K)
 
     def encode(vecs: pd.Series) -> pd.Series:
         x = np.stack(vecs.to_numpy()).astype(np.float64)  # (b, D)
@@ -812,13 +820,7 @@ def knn_pq(
             )
         )
 
-    rows = cb.orderBy("s", "code_id").collect()
-    mm = 1 + max(r["s"] for r in rows)
-    K = 1 + max(r["code_id"] for r in rows)
-    d = len(rows[0]["cv_sub"])
-    tensor = np.zeros((mm, K, d), dtype=np.float64)
-    for r in rows:
-        tensor[r["s"], r["code_id"]] = r["cv_sub"]
+    tensor, tnorm, mm, K, d = _codebook_tensor(cb)
     qrows = q.collect()  # queries are the small side by contract
     qids = [r["query_id"] for r in qrows]
     qmat = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
@@ -828,30 +830,33 @@ def knn_pq(
     tables = (
         (qs * qs).sum(axis=2)[:, :, None]
         - 2.0 * np.einsum("qmd,mkd->qmk", qs, tensor)
-        + (tensor * tensor).sum(axis=2)[None, :, :]
+        + tnorm[None, :, :]
     )
 
-    out_schema = ("query_id long, neighbor_id long, "
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = (f"query_id {id_type}, neighbor_id {id_type}, "
                   "adist double")
 
     def scan(batches):
         for b in batches:
-            ids = b[id_col].to_numpy()
+            ids = b[id_col]
             cmat = np.stack(b["codes"].to_numpy()).astype(np.int64)  # (n, m)
             # dist[qi, i] = Σ_s tables[qi, s, codes[i, s]]
-            dist = tables[
-                :, np.arange(mm)[None, :], cmat[None, :, :][0]
-            ].sum(axis=2)  # (nq, n)
+            dist = tables[:, np.arange(mm)[None, :], cmat].sum(axis=2)
             take = min(k + 1, dist.shape[1])
-            part = np.argpartition(dist, take - 1, axis=1)[:, :take]
             rows_out = []
             for qi in range(nq):
-                for j in part[qi]:
-                    if int(ids[j]) == int(qids[qi]):
+                # tie-aware cutoff: keep EVERY candidate at or below the
+                # take-th smallest distance, so a boundary tie can never
+                # drop the lower-id winner before the global window's
+                # deterministic (adist, id) ordering sees it
+                kth = np.partition(dist[qi], take - 1)[take - 1]
+                for j in np.nonzero(dist[qi] <= kth)[0]:
+                    if ids.iloc[j] == qids[qi]:
                         continue
                     rows_out.append(
-                        {"query_id": int(qids[qi]),
-                         "neighbor_id": int(ids[j]),
+                        {"query_id": qids[qi],
+                         "neighbor_id": ids.iloc[j],
                          "adist": float(dist[qi, j])}
                     )
             yield pd.DataFrame(rows_out,
@@ -871,25 +876,14 @@ def knn_pq(
     )
 
 
-def knn_pq_sql(
-    corpus: str,
-    queries_pred: str,
-    id_col: str,
-    k: int = 5,
-    m: int = 8,
-    n_codes: int = 16,
-    dim: int = 64,
-) -> str:
-    """DuckDB oracle twin of :func:`knn_pq` with the by-id codebooks: the
-    oracle rebuilds the identical quantizer (same sub-centroids, same
-    fold-exact code assignments), reconstructs each candidate, and ranks by
-    the same full-dimension sequential fold — bit-identical doubles, so
-    ranks AND floor-ppm distances match exactly."""
+def _pq_recon_ctes(m: int, n_codes: int, dim: int) -> str:
+    """Shared oracle CTE block (assumes a prior ``c(id, v)`` CTE): by-id
+    sub-codebooks → fold-exact code assignment → reconstructed vectors.
+    One source of truth for knn_pq_sql AND knn_ivfpq_sql — an oracle fix
+    applied to one can't silently desynchronize the other gate row."""
     d = dim // m
     sub_v = f"c.v[cb.s*{d}+1 : cb.s*{d}+{d}]"
-    return f"""
-WITH c AS (SELECT {id_col} AS id, embedding AS v FROM {corpus}),
-picked AS (
+    return f"""picked AS (
   SELECT v, CAST(row_number() OVER (ORDER BY id ASC) - 1 AS BIGINT)
            AS code_id
   FROM c QUALIFY row_number() OVER (ORDER BY id ASC) <= {n_codes}
@@ -911,7 +905,40 @@ recon AS (
   SELECT codes.id, flatten(list(cb.cv_sub ORDER BY cb.s)) AS rv
   FROM codes JOIN cb ON cb.s = codes.s AND cb.code_id = codes.code_id
   GROUP BY codes.id
-),
+)"""
+
+
+def _adist_rank_sql(k: int) -> str:
+    """Shared final ranking block (assumes a prior ``scored(query_id,
+    neighbor_id, ad)`` CTE): (adist ASC, id ASC) top-k + floor-ppm."""
+    return f"""ranked AS (
+  SELECT query_id, neighbor_id, ad,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ad ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       CAST(floor(ad * 1e6) AS BIGINT) AS adist_ppm
+FROM ranked WHERE rank <= {k}"""
+
+
+def knn_pq_sql(
+    corpus: str,
+    queries_pred: str,
+    id_col: str,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle twin of :func:`knn_pq` with the by-id codebooks: the
+    oracle rebuilds the identical quantizer (same sub-centroids, same
+    fold-exact code assignments), reconstructs each candidate, and ranks by
+    the same full-dimension sequential fold — bit-identical doubles, so
+    ranks AND floor-ppm distances match exactly."""
+    return f"""
+WITH c AS (SELECT {id_col} AS id, embedding AS v FROM {corpus}),
+{_pq_recon_ctes(m, n_codes, dim)},
 q AS (SELECT {id_col} AS query_id, embedding AS qv FROM {corpus}
       WHERE {queries_pred}),
 scored AS (
@@ -920,15 +947,7 @@ scored AS (
   FROM q CROSS JOIN recon
   WHERE recon.id <> q.query_id
 ),
-ranked AS (
-  SELECT query_id, neighbor_id, ad,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY ad ASC, neighbor_id ASC) AS rank
-  FROM scored
-)
-SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-       CAST(floor(ad * 1e6) AS BIGINT) AS adist_ppm
-FROM ranked WHERE rank <= {k}
+{_adist_rank_sql(k)}
 """
 
 
@@ -1006,14 +1025,7 @@ def knn_ivfpq(
             recon, cand["neighbor_id"] == recon["_cid"]
         ).withColumn("_ad", sqdist_expr("qv", "rv"))
     else:
-        rows = cb.orderBy("s", "code_id").collect()
-        mm = 1 + max(r["s"] for r in rows)
-        K = 1 + max(r["code_id"] for r in rows)
-        d = len(rows[0]["cv_sub"])
-        tensor = np.zeros((mm, K, d), dtype=np.float64)
-        for r in rows:
-            tensor[r["s"], r["code_id"]] = r["cv_sub"]
-        tnorm = (tensor * tensor).sum(axis=2)  # (m, K)
+        tensor, tnorm, mm, K, d = _codebook_tensor(cb)
 
         def adc(qvs: pd.Series, codes: pd.Series) -> pd.Series:
             qm = np.stack(qvs.to_numpy()).astype(np.float64)
@@ -1056,8 +1068,6 @@ def knn_ivfpq_sql(
     + by-id sub-codebooks rebuild the identical index; candidates are the
     probed cells' posting lists; ranking is the same reconstructed-vector
     fold as knn_pq_sql — ranks and floor-ppm distances bit-exact."""
-    d = dim // m
-    sub_v = f"c.v[cb.s*{d}+1 : cb.s*{d}+{d}]"
     return f"""
 WITH c AS (SELECT {id_col} AS id, embedding AS v FROM {corpus}),
 cents AS (
@@ -1074,29 +1084,7 @@ assign AS (
     FROM c CROSS JOIN cents
   ) WHERE rn = 1
 ),
-picked AS (
-  SELECT v, CAST(row_number() OVER (ORDER BY id ASC) - 1 AS BIGINT)
-           AS code_id
-  FROM c QUALIFY row_number() OVER (ORDER BY id ASC) <= {n_codes}
-),
-cb AS (
-  SELECT s, code_id, v[s*{d}+1 : s*{d}+{d}] AS cv_sub
-  FROM picked, (SELECT unnest(range({m})) AS s)
-),
-codes AS (
-  SELECT id, s, code_id FROM (
-    SELECT c.id, cb.s, cb.code_id,
-           row_number() OVER (PARTITION BY c.id, cb.s
-                              ORDER BY {_sqdist_sql(sub_v, 'cb.cv_sub')} ASC,
-                                       cb.code_id ASC) AS rn
-    FROM c CROSS JOIN cb
-  ) WHERE rn = 1
-),
-recon AS (
-  SELECT codes.id, flatten(list(cb.cv_sub ORDER BY cb.s)) AS rv
-  FROM codes JOIN cb ON cb.s = codes.s AND cb.code_id = codes.code_id
-  GROUP BY codes.id
-),
+{_pq_recon_ctes(m, n_codes, dim)},
 q AS (SELECT {id_col} AS query_id, embedding AS qv FROM {corpus}
       WHERE {queries_pred}),
 qprobe AS (
@@ -1120,13 +1108,5 @@ scored AS (
   JOIN q ON q.query_id = cand.query_id
   JOIN recon ON recon.id = cand.neighbor_id
 ),
-ranked AS (
-  SELECT query_id, neighbor_id, ad,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY ad ASC, neighbor_id ASC) AS rank
-  FROM scored
-)
-SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-       CAST(floor(ad * 1e6) AS BIGINT) AS adist_ppm
-FROM ranked WHERE rank <= {k}
+{_adist_rank_sql(k)}
 """

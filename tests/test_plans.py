@@ -277,11 +277,20 @@ def test_overwrite_delete_side_is_metadata_only(spark, tmp_table_dir):
     from olake_spark.icelite import PartitionField, PartitionSpec, Table
 
     tracker = spark.sparkContext.statusTracker()
+    tag = {"n": 0}
 
     def jobs(fn):
-        before = len(tracker.getJobIdsForGroup() or [])
-        fn()
-        return len(tracker.getJobIdsForGroup() or []) - before
+        # count within a FRESH job group: the default-group delta would be
+        # corrupted whenever the status store evicts retained jobs mid-test
+        # (this suite runs thousands of jobs per session)
+        tag["n"] += 1
+        group = f"ovw-pin-{tag['n']}"
+        spark.sparkContext.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+        return len(tracker.getJobIdsForGroup(group) or [])
 
     def mk(name):
         t = Table.create(

@@ -383,4 +383,10 @@ class TestAnnPq:
                 (r.query_id, r.rank, r.neighbor_id, r.adist_ppm)
                 for r in res.collect()
             )
-        assert rows[True] == rows[False]
+        # ranks/neighbors exact; ppm within 1: the paths compute
+        # algebraically equal but differently-associated float sums
+        # ((p-q)² sequential fold vs ‖q‖²−2q·c+‖c‖² numpy reductions), so
+        # floor(ad·1e6) may legitimately differ by one ulp-induced step
+        assert [x[:3] for x in rows[True]] == [x[:3] for x in rows[False]]
+        for a, b in zip(rows[True], rows[False]):
+            assert abs(a[3] - b[3]) <= 1, (a, b)
