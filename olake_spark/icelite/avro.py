@@ -47,6 +47,14 @@ def _zigzag(n: int) -> bytes:
 
 def _encode(schema, value, out: io.BytesIO) -> None:
     if isinstance(schema, list):  # union: pick the branch the value fits
+        # _fits only discriminates null vs non-null, which is complete for
+        # the ['null', X] optional unions the Iceberg manifests use — guard
+        # that shape so a future multi-branch union fails loudly instead of
+        # silently encoding under the wrong branch index.
+        if len(schema) != 2 or "null" not in schema:
+            raise ValueError(
+                f"only 2-branch optional unions supported, got {schema}"
+            )
         for i, branch in enumerate(schema):
             if _fits(branch, value):
                 out.write(_zigzag(i))

@@ -82,12 +82,26 @@ class _CatalogState:
     # every method below runs under self.lock (handler acquires it)
 
     def create(self, ident: str, location: str | None) -> dict:
+        # validate server-side: raw HTTP clients must not be able to mint
+        # reserved names (_x.y) or dotted names that split_identifier-based
+        # clients can never address or drop (handler maps ValueError → 400)
+        check_not_reserved(ident)
         if ident in self.registry:
             raise KeyError("exists")
         ns, name = ident.split(".", 1)
         root = os.path.abspath(
             location or os.path.join(self.warehouse, ns, name)
         )
+        if location is not None and os.path.isdir(
+            os.path.join(root, "metadata")
+        ) and self.current_version(root) == 0:
+            # the server is the commit authority and reads versions through
+            # its OWN io — a pre-existing table the server cannot see would
+            # CAS against version 0 forever (and purge nothing on drop)
+            raise ValueError(
+                "location has a metadata dir the catalog server cannot "
+                "read; the REST catalog requires server-local storage"
+            )
         self.registry[ident] = root
         self._flush()
         return {"location": root}
@@ -116,7 +130,7 @@ class _CatalogState:
         except FileNotFoundError:
             return 0  # versions start at v00001
         vs = [
-            int(n[1:6]) for n in names
+            int(n[1:-len(".metadata.json")]) for n in names
             if n.startswith("v") and n.endswith(".metadata.json")
         ]
         return max(vs) if vs else 0
@@ -220,10 +234,15 @@ def _make_handler(state: _CatalogState):
                         out = state.create(ident, body.get("location"))
                     except KeyError:
                         return self._send(409, {"error": "already exists"})
+                    except ValueError as e:
+                        return self._send(400, {"error": str(e)})
                     return self._send(201, out)
                 if parts == ["v1", "tables", "rename"]:
                     try:
+                        check_not_reserved(body["destination"])
                         out = state.rename(body["source"], body["destination"])
+                    except ValueError as e:
+                        return self._send(400, {"error": str(e)})
                     except KeyError as e:
                         code = 409 if "exists" in str(e) else 404
                         return self._send(code, {"error": str(e)})
@@ -332,7 +351,7 @@ class RestCommitIO(FileIO):
             code, _ = self._http.call(
                 "POST",
                 f"/v1/namespaces/{ns}/tables/{tbl}/commit",
-                {"version": int(name[1:6]), "metadata": meta},
+                {"version": int(name[1:-len(".metadata.json")]), "metadata": meta},
             )
             if code == 404:
                 raise NoSuchTableError(self._ident)
@@ -429,7 +448,12 @@ class RestCatalog:
         from the registry. The root is validated FIRST (its newest
         metadata must load) so a bogus path can never squat a name.
         The filesystem catalog refuses this by design — HadoopCatalog
-        parity: there the path IS the identifier."""
+        parity: there the path IS the identifier.
+
+        Constraint: the catalog SERVER reads versions (for the commit CAS)
+        and purges through its own local-filesystem io, so the registered
+        root must live on storage the server can see. The server enforces
+        this at create time: an existing metadata dir it cannot read → 400."""
         ident = self._ident(identifier)
         root = os.path.abspath(root)
         # validate through the catalog's own FileIO — the same storage the

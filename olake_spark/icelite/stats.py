@@ -50,7 +50,13 @@ def footer_stats(path: str) -> dict:
             if st.null_count is not None:
                 nulls[name] = nulls.get(name, 0) + st.null_count
             if st.has_min_max:
-                mn, mx = _encode(st.min), _encode(st.max)
+                try:
+                    mn, mx = _encode(st.min), _encode(st.max)
+                except NotImplementedError:
+                    # pyarrow cannot cast statistics for some logical types
+                    # (e.g. decimal) — a column without harvested bounds is
+                    # merely un-prunable, never a write failure
+                    continue
                 if mn is not None and (name not in mins or mn < mins[name]):
                     mins[name] = mn
                 if mx is not None and (name not in maxs or mx > maxs[name]):

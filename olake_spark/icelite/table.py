@@ -232,7 +232,7 @@ class Table:
     def refresh(self) -> "Table":
         meta_dir = os.path.join(self.root, "metadata")
         versions = [
-            int(n[1:6])
+            int(n[1:-len(".metadata.json")])
             for n in self.io.list_dir(meta_dir)
             if n.startswith("v") and n.endswith(".metadata.json")
         ]

@@ -94,10 +94,19 @@ class IceliteChangePartition(InputPartition):
 
 
 def _pa_type(spark_simple: str):
-    """Spark simpleString → pyarrow type (the primitives icelite tables
-    use; extend as schemas grow)."""
+    """Spark simpleString → pyarrow type, for columns that must be
+    SYNTHESIZED (null-backfill of schema-evolved or non-key columns).
+    Columns present in a parquet file take their arrow type from the file
+    schema instead (see :func:`_target_schema`) — this mapping only needs
+    to cover what a null column can be typed as."""
     import pyarrow as pa
 
+    s = spark_simple.strip()
+    if s.startswith("array<") and s.endswith(">"):
+        return pa.list_(_pa_type(s[len("array<"):-1]))
+    if s.startswith("decimal(") and s.endswith(")"):
+        prec, scale = s[len("decimal("):-1].split(",")
+        return pa.decimal128(int(prec), int(scale))
     m = {
         "string": pa.string(), "bigint": pa.int64(), "int": pa.int32(),
         "smallint": pa.int16(), "tinyint": pa.int8(),
@@ -105,12 +114,28 @@ def _pa_type(spark_simple: str):
         "boolean": pa.bool_(), "binary": pa.binary(),
         "date": pa.date32(), "timestamp": pa.timestamp("us", tz="UTC"),
     }
-    if spark_simple not in m:
+    if s not in m:
         raise ValueError(
             f"changelog stream: no arrow mapping for column type "
             f"{spark_simple!r}"
         )
-    return m[spark_simple]
+    return m[s]
+
+
+def _target_schema(file_schema, columns: list[str], col_types: list[str],
+                   extra_fields=()):
+    """Arrow schema for an output batch: columns the file supplies keep the
+    FILE's arrow type (so nested/struct/map columns work whenever parquet
+    can provide them natively); only missing, null-backfilled columns are
+    typed through :func:`_pa_type`."""
+    import pyarrow as pa
+
+    have = set(file_schema.names) if file_schema is not None else set()
+    fields = [
+        file_schema.field(c) if c in have else pa.field(c, _pa_type(t))
+        for c, t in zip(columns, col_types)
+    ]
+    return pa.schema(fields + list(extra_fields))
 
 
 class IceliteStreamReader(DataSourceStreamReader):
@@ -439,9 +464,7 @@ def _padded_batches(path: str, columns: list[str],
     if avail == columns:
         yield from pf.iter_batches(columns=columns)
         return
-    target = pa.schema(
-        [pa.field(c, _pa_type(t)) for c, t in zip(columns, col_types)]
-    )
+    target = _target_schema(pf.schema_arrow, columns, col_types)
     for b in pf.iter_batches(columns=avail):
         by = {c: b.column(i) for i, c in enumerate(b.schema.names)}
         yield pa.RecordBatch.from_arrays(
@@ -471,11 +494,13 @@ def _read_change_partition(p: "IceliteChangePartition") -> "Iterator":
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    target = pa.schema(
-        [pa.field(c, _pa_type(t)) for c, t in zip(p.columns, p.col_types)]
-        + [pa.field("_change_type", pa.string()),
-           pa.field("_commit_snapshot_id", pa.int64())]
-    )
+    extra = [pa.field("_change_type", pa.string()),
+             pa.field("_commit_snapshot_id", pa.int64())]
+    # target is derived from the file actually being read (nested/decimal
+    # columns keep their native parquet types); only columns the file lacks
+    # — null-backfilled — go through _pa_type. delete_pos resolves against
+    # parent data files, so its target comes from the first parent.
+    target: "pa.Schema | None" = None
 
     def out_batch(cols_by_name: dict, n: int, kind: str) -> pa.RecordBatch:
         arrays = []
@@ -494,13 +519,16 @@ def _read_change_partition(p: "IceliteChangePartition") -> "Iterator":
         # out_batch null-pads columns the file predates (schema evolution)
         pf = pq.ParquetFile(p.path)
         have = set(pf.schema_arrow.names)
+        target = _target_schema(pf.schema_arrow, p.columns, p.col_types, extra)
         for b in pf.iter_batches(columns=[c for c in p.columns if c in have]):
             yield out_batch(
                 {c: b.column(i) for i, c in enumerate(b.schema.names)},
                 b.num_rows, "insert",
             )
     elif p.kind == "delete_keys":
-        for b in pq.ParquetFile(p.path).iter_batches(columns=p.key_cols):
+        pf = pq.ParquetFile(p.path)
+        target = _target_schema(pf.schema_arrow, p.columns, p.col_types, extra)
+        for b in pf.iter_batches(columns=p.key_cols):
             yield out_batch(
                 {c: b.column(i) for i, c in enumerate(b.schema.names)},
                 b.num_rows, "delete",
@@ -515,7 +543,11 @@ def _read_change_partition(p: "IceliteChangePartition") -> "Iterator":
             by_file.setdefault(fp, []).append(pos)
         for fp, positions in sorted(by_file.items()):
             ref = fp if _os.path.isabs(fp) else _os.path.join(p.root, fp)
-            have = set(pq.ParquetFile(ref).schema_arrow.names)
+            ref_schema = pq.ParquetFile(ref).schema_arrow
+            if target is None:
+                target = _target_schema(ref_schema, p.columns, p.col_types,
+                                        extra)
+            have = set(ref_schema.names)
             rows = pq.read_table(
                 ref, columns=[c for c in p.columns if c in have]
             ).take(sorted(positions))

@@ -269,3 +269,14 @@ class TestAvroCodecProperties:
             assert got == records
 
         check()
+
+
+def test_multi_branch_union_refused():
+    """_fits discriminates only null vs non-null — complete for ['null', X]
+    optionals, ambiguous beyond. A 3-branch union must fail loudly rather
+    than silently encode under the first non-null branch."""
+    schema = {"type": "record", "name": "u",
+              "fields": [{"name": "v",
+                          "type": ["null", "int", "string"]}]}
+    with pytest.raises(ValueError, match="2-branch"):
+        write_ocf(schema, [{"v": "s"}])

@@ -281,3 +281,49 @@ def test_filesystem_catalog_refuses_register(spark, tmp_path):
     c = Catalog(spark, str(tmp_path / "wh"))
     with pytest.raises(NotImplementedError, match="HadoopCatalog|path IS"):
         c.register_table("a.b", str(tmp_path / "x"))
+
+
+def test_server_rejects_raw_http_bad_identifiers(service):
+    """Identifier hygiene is enforced SERVER-side: a raw HTTP client (no
+    RestCatalog wrapper) minting reserved (_x.y) or dotted names gets 400,
+    never a registry entry split_identifier-based clients can't address."""
+    import json as _json
+    import urllib.request
+
+    uri, _ = service
+
+    def post(path, body):
+        req = urllib.request.Request(
+            uri + path, data=_json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=10) as r:
+                return r.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    assert post("/v1/namespaces/_sys/tables", {"name": "t"}) == 400
+    assert post("/v1/namespaces/ok/tables", {"name": "_hidden"}) == 400
+    assert post("/v1/namespaces/ok/tables", {"name": "a.b"}) == 400
+    # rename destination is validated too
+    ns = _fresh("rn")
+    assert post(f"/v1/namespaces/{ns}/tables", {"name": "src"}) == 201
+    assert post("/v1/tables/rename",
+                {"source": f"{ns}.src", "destination": "_x.y"}) == 400
+    assert post("/v1/tables/rename",
+                {"source": f"{ns}.src", "destination": f"{ns}.dst"}) == 200
+
+
+def test_version_parse_survives_five_digit_rollover(tmp_path):
+    """v100000.metadata.json must parse as 100000, not 10000 — the full
+    digit run is authoritative, not a fixed-width slice."""
+    from olake_spark.icelite.restcatalog import _CatalogState
+
+    st = _CatalogState(str(tmp_path / "wh"))
+    root = str(tmp_path / "wh" / "t")
+    os.makedirs(os.path.join(root, "metadata"))
+    for v in (99999, 100000):
+        open(os.path.join(root, "metadata",
+                          f"v{v:05d}.metadata.json"), "w").write("{}")
+    assert st.current_version(root) == 100000

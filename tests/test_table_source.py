@@ -470,3 +470,46 @@ def test_helper_refuses_both_anchors(spark, tbl):
     with pytest.raises(ValueError, match="mutually exclusive"):
         read_table_stream(spark, tbl.root, starting="latest",
                           from_timestamp_ms=1)
+
+
+def test_stream_nested_array_column(spark, tmp_table_dir):
+    """An embeddings-shaped table (array<float> column) streams in BOTH
+    append and changelog modes: columns the parquet file supplies keep
+    their native arrow types (no _pa_type primitive-only wall), and only
+    genuinely missing columns are synthesized as nulls."""
+    from olake_spark.icelite import PartitionSpec
+
+    root = os.path.join(tmp_table_dir, "emb")
+    df = spark.range(0, 40).selectExpr(
+        "cast(id as string) as doc_id",
+        "transform(sequence(0, 3), i -> cast(id * 10 + i as float)) as vec",
+        "cast(id % 7 as decimal(10,2)) as score",
+    )
+    t = Table.create(
+        spark, root, df.schema, PartitionSpec(()),
+        identifier_fields=("doc_id",),
+    )
+    t.append(df, max_records_per_file=10)
+    t.refresh()
+    assert t.delete_where("doc_id = '3'")["rows_deleted"] == 1
+
+    # append feed: full array values survive the arrow round trip
+    got = _drain(
+        spark, root, os.path.join(tmp_table_dir, "eck"),
+        os.path.join(tmp_table_dir, "eout"), skip_delete_snapshots=True,
+    )
+    assert got.count() == 40
+    row = got.filter("doc_id = '2'").select("vec", "score").first()
+    assert row["vec"] == [20.0, 21.0, 22.0, 23.0]
+    assert float(row["score"]) == 2.0
+
+    # changelog feed: inserts carry the arrays; the pos-delete retraction
+    # resolves the full before-image including the nested column
+    got2 = _drain(
+        spark, root, os.path.join(tmp_table_dir, "cck"),
+        os.path.join(tmp_table_dir, "cout"),
+        starting="earliest", mode="changelog",
+    )
+    assert got2.count() == 41
+    d = got2.filter("_change_type = 'delete'").select("vec").collect()
+    assert len(d) == 1 and d[0]["vec"] == [30.0, 31.0, 32.0, 33.0]
