@@ -998,11 +998,15 @@ def knn_ivfpq(
             "neighbor_id",
         )
     )
+    # candidate rows carry (query_id, neighbor_id, codes) — NEVER the query
+    # vector: at 768-dim a per-candidate qv is ~6 KB of join/shuffle width
+    # and forces D-dim FLOPs per candidate, exactly the constant IVF-PQ
+    # exists to eliminate. The exact oracle twin joins qv back on the
+    # (tiny, broadcast) query side only for its fold expression.
     qprobe = assign_cells(
         queries, id_col, vec_col, cents, nprobe,
         out_id="query_id", exact=exact,
-    ).select("query_id", F.col("_v").alias("qv"),
-             F.col("cent_id").alias("q_cell"))
+    ).select("query_id", F.col("cent_id").alias("q_cell"))
     cand = (
         posting.join(
             F.broadcast(qprobe),
@@ -1010,7 +1014,7 @@ def knn_ivfpq(
             & (F.col("query_id") != F.col("neighbor_id")),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select("query_id", "qv", "neighbor_id", "codes")
+        .select("query_id", "neighbor_id", "codes")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_ad").asc(), F.col("neighbor_id").asc()
@@ -1021,27 +1025,44 @@ def knn_ivfpq(
             .dropDuplicates(["_cid"]),
             "_cid", cb,
         )
-        scored = cand.join(
-            recon, cand["neighbor_id"] == recon["_cid"]
-        ).withColumn("_ad", sqdist_expr("qv", "rv"))
+        qv = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        scored = (
+            cand.join(recon, cand["neighbor_id"] == recon["_cid"])
+            .join(F.broadcast(qv), "query_id")
+            .withColumn("_ad", sqdist_expr("qv", "rv"))
+        )
     else:
         tensor, tnorm, mm, K, d = _codebook_tensor(cb)
+        # per-query ADC tables (nq × m × K doubles), built ONCE driver-side
+        # from the small-by-contract query set and shipped in the UDF
+        # closure — each candidate then costs m table gathers on its m-byte
+        # code, independent of D (the knn_pq pattern).
+        qrows = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ).collect()
+        qids = [r["query_id"] for r in qrows]
+        qs = np.stack(
+            [np.asarray(r["qv"], dtype=np.float64) for r in qrows]
+        ).reshape(len(qids), mm, d)
+        tables = (
+            (qs * qs).sum(axis=2)[:, :, None]
+            - 2.0 * np.einsum("qmd,mkd->qmk", qs, tensor)
+            + tnorm[None, :, :]
+        )
+        qindex = {qid: i for i, qid in enumerate(qids)}
 
-        def adc(qvs: pd.Series, codes: pd.Series) -> pd.Series:
-            qm = np.stack(qvs.to_numpy()).astype(np.float64)
+        def adc(query_ids: pd.Series, codes: pd.Series) -> pd.Series:
+            if len(query_ids) == 0:
+                return pd.Series([], dtype=np.float64)
+            qi = query_ids.map(qindex).to_numpy(dtype=np.int64)
             cm = np.stack(codes.to_numpy()).astype(np.int64)  # (n, m)
-            b = qm.shape[0]
-            qsub = qm.reshape(b, mm, d)  # (n, m, d)
-            csub = tensor[np.arange(mm)[None, :], cm]  # (n, m, d)
-            dist = (
-                (qsub * qsub).sum(axis=2)
-                - 2.0 * (qsub * csub).sum(axis=2)
-                + tnorm[np.arange(mm)[None, :], cm]
-            ).sum(axis=1)
+            dist = tables[qi[:, None], np.arange(mm)[None, :], cm].sum(axis=1)
             return pd.Series(dist)
 
         adc_udf = pandas_udf(adc, "double")
-        scored = cand.withColumn("_ad", adc_udf(F.col("qv"),
+        scored = cand.withColumn("_ad", adc_udf(F.col("query_id"),
                                                 F.col("codes")))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -390,3 +390,56 @@ class TestAnnPq:
         assert [x[:3] for x in rows[True]] == [x[:3] for x in rows[False]]
         for a, b in zip(rows[True], rows[False]):
             assert abs(a[3] - b[3]) <= 1, (a, b)
+
+
+def test_ivfpq_production_candidates_carry_codes_not_vectors(spark):
+    """The production IVF-PQ plan ships m-byte codes to the ADC scorer,
+    never query vectors: the analyzed plan must reference the query vector
+    column only at the driver (collect for ADC tables) — no `qv` attribute
+    may survive into the distributed plan."""
+    from olake_spark.operators.ann import knn_ivfpq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 3")
+    res = knn_ivfpq(emb, q, "vec_id", "embedding", k=3, exact=False)
+    plan = res._jdf.queryExecution().analyzed().toString()
+    assert "qv#" not in plan
+    assert "codes" in plan
+
+
+def test_ivfpq_trained_end_to_end_recall(spark):
+    """The full trained pipeline — train_ivf_centroids_kmeans +
+    train_pq_codebooks → encode → knn_ivfpq — recovers planted near-twins
+    at k=1 on BOTH paths (today the trainers and the search were only
+    recall-tested separately)."""
+    import numpy as np
+
+    from olake_spark.operators.ann import (knn_ivfpq,
+                                           train_ivf_centroids_kmeans,
+                                           train_pq_codebooks)
+
+    rng = np.random.default_rng(23)
+    dim, n, nq = 16, 400, 60
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    qv = base[:nq] + 0.02 * rng.standard_normal((nq, dim)).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(1000 + i, qv[i].tolist()) for i in range(nq)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = train_ivf_centroids_kmeans(corpus, "embedding", n_cells=8)
+    cbs = train_pq_codebooks(corpus, "embedding", m=4, n_codes=32)
+    for exact in (True, False):
+        res = knn_ivfpq(
+            corpus, queries, "vec_id", "embedding", k=1,
+            n_cells=8, nprobe=4, m=4, n_codes=32,
+            centroids=cents, codebooks=cbs, exact=exact,
+        )
+        got = {r.query_id: r.neighbor_id for r in res.collect()}
+        hits = sum(1 for i in range(nq) if got.get(1000 + i) == i)
+        assert hits >= int(0.8 * nq), (
+            f"IVF-PQ trained recall {hits}/{nq} < 0.8 (exact={exact})"
+        )
