@@ -17,20 +17,16 @@ Conformance matrix (spec area → status):
                                              transform names (identity,
                                              bucket[N], truncate[W], year…)
                                              match the spec
-  partition VALUES in manifests            → typed as optional STRING in the
-                                             partition Avro record — this is
-                                             icelite's value encoding, NOT
-                                             the spec's (which types each
-                                             field by its transform result:
-                                             int for bucket/year, source
-                                             type for identity…). Only
-                                             identity/truncate over string
-                                             sources coincide; bucket also
-                                             differs in hash (xxhash64, not
-                                             murmur3). A spec reader can
-                                             scan the files (partition
-                                             pruning aside); import_iceberg
-                                             round-trips them exactly.
+  partition VALUES in manifests            → spec-typed per transform result
+                                             type (_partition_codec): int for
+                                             bucket, years/months/hours since
+                                             epoch for year/month/hour, int
+                                             logicalType=date for day, source
+                                             type for identity/truncate —
+                                             matching the reference's real
+                                             output shape
+                                             (IcebergUtil.java:139-217);
+                                             import_iceberg inverts exactly.
   manifest list (Avro, field-ids 500-519)  → emitted
   manifest_entry / data_file (ids 0-4,     → emitted; eq-delete manifests
     100-142)                                 carry equality_ids
@@ -181,14 +177,85 @@ def _kv_array(name: str, kid: int, vid: int, vtype) -> dict:
     }
 
 
-def _partition_avro_schema(spec_fields: list[dict]) -> dict:
+def _partition_codec(transform: str, src_dt: T.DataType):
+    """Spec partition-value codec for one partition field: returns
+    (avro_type, encode, decode) where `encode` maps icelite's native
+    directory-string value to the SPEC's typed value (the transform's
+    result type — int for bucket, years/months/days/hours since epoch for
+    time transforms, source type for identity/truncate) and `decode` is the
+    exact inverse back to icelite's string form. This is what makes the
+    exported manifests carry Appendix-D-typed partition tuples instead of
+    icelite's string encoding."""
+    import datetime as _dt
+
+    epoch = _dt.date(1970, 1, 1)
+    if transform == "bucket":
+        return "int", lambda v: int(v), lambda v: str(int(v))
+    if transform == "year":
+        # icelite stores the calendar year; spec counts years from 1970
+        return "int", (lambda v: int(v) - 1970), (lambda v: str(int(v) + 1970))
+    if transform == "month":
+        def enc(v):
+            y, m = str(v).split("-")
+            return (int(y) - 1970) * 12 + int(m) - 1
+
+        def dec(v):
+            y, m = divmod(int(v), 12)
+            return f"{1970 + y:04d}-{m + 1:02d}"
+
+        return "int", enc, dec
+    if transform == "day":
+        def enc(v):
+            return (_dt.date.fromisoformat(str(v)) - epoch).days
+
+        def dec(v):
+            return (epoch + _dt.timedelta(days=int(v))).isoformat()
+
+        return {"type": "int", "logicalType": "date"}, enc, dec
+    if transform == "hour":
+        def enc(v):
+            d, h = str(v).rsplit("-", 1)
+            return (_dt.date.fromisoformat(d) - epoch).days * 24 + int(h)
+
+        def dec(v):
+            days, h = divmod(int(v), 24)
+            return f"{(epoch + _dt.timedelta(days=days)).isoformat()}-{h:02d}"
+
+        return "int", enc, dec
+    if transform in ("identity", "truncate"):
+        # result type = source type (truncate is defined on int/long/string/
+        # decimal; icelite writes int/long/string)
+        if isinstance(src_dt, (T.IntegerType, T.ShortType, T.ByteType)):
+            return "int", lambda v: int(v), lambda v: str(int(v))
+        if isinstance(src_dt, T.LongType):
+            return "long", lambda v: int(v), lambda v: str(int(v))
+        if isinstance(src_dt, T.StringType):
+            return "string", lambda v: str(v), lambda v: str(v)
+        if transform == "identity":
+            if isinstance(src_dt, T.BooleanType):
+                return ("boolean", lambda v: str(v).lower() == "true",
+                        lambda v: "true" if v else "false")
+            if isinstance(src_dt, T.DateType):
+                return ({"type": "int", "logicalType": "date"},
+                        lambda v: (_dt.date.fromisoformat(str(v)) - epoch).days,
+                        lambda v: (epoch + _dt.timedelta(days=int(v)))
+                        .isoformat())
+        raise ValueError(
+            f"no spec partition-value codec for {transform} over "
+            f"{src_dt.simpleString()}"
+        )
+    raise ValueError(f"unknown transform {transform!r}")
+
+
+def _partition_avro_schema(spec_fields: list[dict],
+                           avro_types: dict[str, object]) -> dict:
     return {
         "type": "record",
         "name": "r102",
         "fields": [
             {
                 "name": f["name"],
-                "type": ["null", "string"],
+                "type": ["null", avro_types[f["name"]]],
                 "default": None,
                 "field-id": f["field-id"],
             }
@@ -301,7 +368,13 @@ def export_iceberg(table: Table, dest_dir: str) -> dict:
     snap_id = table.current_snapshot_id or 0
     seq = table.meta["last_sequence_number"]
     entries = table.entries()
-    part_schema = _partition_avro_schema(spec_fields)
+    part_codecs = {
+        pf.name: _partition_codec(pf.transform, dts[pf.source])
+        for pf in table.spec.fields
+    }
+    part_schema = _partition_avro_schema(
+        spec_fields, {n: c[0] for n, c in part_codecs.items()}
+    )
     entry_schema = _manifest_entry_schema(part_schema)
 
     def _bounds(e, which):
@@ -325,7 +398,12 @@ def export_iceberg(table: Table, dest_dir: str) -> dict:
                 "file_path": table._abs(e.file_path),
                 "file_format": _FMT,
                 "partition": {
-                    f["name"]: e.partition.get(f["name"])
+                    f["name"]: (
+                        None if e.partition.get(f["name"]) is None
+                        else part_codecs[f["name"]][1](
+                            e.partition[f["name"]]
+                        )
+                    )
                     for f in spec_fields
                 },
                 "record_count": e.record_count,
@@ -562,6 +640,11 @@ def import_iceberg(spark, metadata_json: str, dest_root: str, io=None) -> Table:
             n = int(arg)
         pfields.append(PartitionField(by_id[f["source-id"]], tr, n))
 
+    part_codecs = {
+        pf.name: _partition_codec(pf.transform, schema[pf.source].dataType)
+        for pf in pfields
+    }
+
     snap_id = meta["current-snapshot-id"]
     snap = next(
         s for s in meta["snapshots"] if s["snapshot-id"] == snap_id
@@ -626,7 +709,9 @@ def import_iceberg(spark, metadata_json: str, dest_root: str, io=None) -> Table:
         mins = _decode_bounds(df["lower_bounds"])
         maxs = _decode_bounds(df["upper_bounds"])
         partition = {
-            k: v for k, v in (df["partition"] or {}).items() if v is not None
+            k: part_codecs[k][2](v)  # spec-typed value → icelite string
+            for k, v in (df["partition"] or {}).items()
+            if v is not None and k in part_codecs
         }
         if df["content"] == POS_DELETES:
             # rewrite row keys to the importer's tagging (clone.py pattern)

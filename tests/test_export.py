@@ -280,3 +280,70 @@ def test_multi_branch_union_refused():
                           "type": ["null", "int", "string"]}]}
     with pytest.raises(ValueError, match="2-branch"):
         write_ocf(schema, [{"v": "s"}])
+
+
+def test_partition_values_spec_typed(spark, tmp_table_dir):
+    """Exported manifests carry partition tuples in the SPEC's typed form
+    (transform result types, time transforms counted from epoch), not
+    icelite's directory strings — and import inverts them exactly."""
+    from olake_spark.icelite.export import import_iceberg
+
+    df = spark.range(0, 24).selectExpr(
+        "cast(id as string) as doc_id",
+        "cast(id as int) as n",
+        "timestamp'2024-03-05 07:00:00' + make_interval(0,0,0,0,id) as ts",
+    )
+    t = Table.create(
+        spark, os.path.join(tmp_table_dir, "pt"), df.schema,
+        PartitionSpec((
+            PartitionField("doc_id", "bucket", 4),
+            PartitionField("ts", "month"),
+            PartitionField("ts", "day"),
+            PartitionField("ts", "hour"),
+            PartitionField("ts", "year"),
+            PartitionField("n", "truncate", 10),
+        )),
+        identifier_fields=("doc_id",),
+    )
+    t.append(df)
+    out = export_iceberg(t, os.path.join(tmp_table_dir, "exp"))
+
+    from olake_spark.icelite.avro import read_ocf
+    schema_j, recs = read_ocf(open(out["manifests"][0], "rb").read())
+    df_schema = next(
+        fl["type"] for fl in schema_j["fields"] if fl["name"] == "data_file"
+    )
+    part_schema = next(
+        f["type"] for f in df_schema["fields"] if f["name"] == "partition"
+    )
+    pfields = {f["name"]: f["type"] for f in part_schema["fields"]}
+    # every partition field is an optional non-string typed value; the
+    # 24-hour window starts 2024-03-05T07 and crosses midnight, so anchor
+    # on the earliest-hour entry and check cross-field consistency on all
+    import datetime
+    days = (datetime.date(2024, 3, 5) - datetime.date(1970, 1, 1)).days
+    parts = [r["data_file"]["partition"] for r in recs]
+    for part in parts:
+        assert isinstance(part["_p_doc_id_bucket4"], int)
+        assert part["_p_ts_year"] == 2024 - 1970
+        assert part["_p_ts_month"] == (2024 - 1970) * 12 + 2  # March
+        assert part["_p_ts_hour"] // 24 == part["_p_ts_day"]
+        assert isinstance(part["_p_n_truncate10"], int)
+        assert part["_p_n_truncate10"] % 10 == 0
+    assert min(p["_p_ts_hour"] for p in parts) == days * 24 + 7
+    assert {p["_p_ts_day"] for p in parts} == {days, days + 1}
+    # day field carries the date logicalType
+    day_t = pfields["_p_ts_day"]
+    assert day_t[1] == {"type": "int", "logicalType": "date"}
+
+    # round trip: imported partition dict equals the source's strings
+    imp = import_iceberg(
+        spark, out["metadata_json"], os.path.join(tmp_table_dir, "imp")
+    )
+    src = {(e.file_path, tuple(sorted(e.partition.items())))
+           for e in t.entries()}
+    got = {(e.file_path, tuple(sorted(e.partition.items())))
+           for e in imp.entries()}
+    assert {p for _, p in got} == {p for _, p in src}
+    assert imp.scan().orderBy("doc_id").collect() == \
+        t.scan().orderBy("doc_id").collect()
