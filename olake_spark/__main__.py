@@ -152,8 +152,11 @@ def main(argv: list[str] | None = None) -> int:
                         "(metadata.json + Avro manifests; zero-copy)")
     p = sub.add_parser("import")
     p.add_argument("--metadata", required=True,
-                   help="spec-v2 Iceberg metadata.json (from `export`)")
-    p.add_argument("--dest", required=True, help="new icelite table root")
+                   help="spec-v2 Iceberg metadata.json or table root")
+    p.add_argument("--dest", default=None,
+                   help="new icelite table root; omit to OPEN the table "
+                        "in place (zero-copy read, no table created) and "
+                        "print its live row count")
     p = sub.add_parser("catalog")
     p.add_argument("--warehouse", default=None)
     p.add_argument("--uri", default=None,
@@ -318,8 +321,16 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(out))
         return 0
     if args.verb == "import":
-        from olake_spark.icelite.export import import_iceberg
+        from olake_spark.icelite.export import import_iceberg, open_iceberg
 
+        if args.dest is None:
+            df = open_iceberg(spark, args.metadata)
+            print(json.dumps({
+                "in_place": True,
+                "rows": df.count(),
+                "columns": df.columns,
+            }))
+            return 0
         t = import_iceberg(spark, args.metadata, args.dest)
         print(json.dumps({
             "dest": t.root,

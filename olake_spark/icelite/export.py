@@ -45,6 +45,13 @@ this container, so the interop proof is the in-repo ROUND TRIP:
 back into a brand-new icelite table — schema, identifier fields, partition
 spec, per-entry sequence numbers, bounds, and BOTH delete kinds survive,
 and the imported table's scan equals the source's (tests/test_export.py).
+
+The read direction also works IN PLACE: `open_iceberg` scans a spec table
+where it lies — metadata.json or table root, no copy, no icelite table, no
+write of any kind — with both delete kinds reconciled, status=2 (DELETED)
+entries excluded, and null entry sequence numbers inherited from the
+manifest list (the spec's ADDED-entry inheritance rule). That is the
+zero-copy migration path out of a warehouse written by real Iceberg.
 """
 
 from __future__ import annotations
@@ -54,6 +61,7 @@ import os
 import time
 import uuid
 
+from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from .avro import write_ocf
@@ -592,21 +600,61 @@ def _bound_value(dt: T.DataType, raw: bytes):
     return None
 
 
-def import_iceberg(spark, metadata_json: str, dest_root: str, io=None) -> Table:
-    """Reverse direction: build a NEW icelite table at `dest_root` from a
-    spec-v2 Iceberg export (metadata.json + Avro manifests) — the proof the
-    exported manifests are not write-only. Data and equality-delete files
-    are registered by reference (zero copy, absolute manifest paths);
-    positional-delete files are re-written with row keys remapped to the
-    importer's absolute-path tagging (same mechanics as clone.py). Eq-delete
-    reconciliation needs no `_delete_seq` column — the manifest entry's
-    sequence number is authoritative (table.py:_apply_deletes)."""
+def _resolve_metadata_path(location: str) -> str:
+    """Accept either a metadata.json path or a table ROOT directory (the
+    HadoopTables layout real Iceberg writes): a root resolves through
+    `metadata/version-hint.text` when present, else the highest
+    `vN.metadata.json` under `metadata/` — the same newest-wins convention
+    HadoopTableOperations uses."""
+    if os.path.isfile(location):
+        return location
+    mdir = os.path.join(location, "metadata")
+    if not os.path.isdir(mdir):
+        raise FileNotFoundError(
+            f"no metadata.json and no metadata/ dir under {location!r}"
+        )
+    hint = os.path.join(mdir, "version-hint.text")
+    if os.path.isfile(hint):
+        v = open(hint).read().strip()
+        cand = os.path.join(mdir, f"v{v}.metadata.json")
+        if os.path.isfile(cand):
+            return cand
+    versions = []
+    for n in os.listdir(mdir):
+        if n.startswith("v") and n.endswith(".metadata.json"):
+            digits = n[1:-len(".metadata.json")]
+            if digits.isdigit():
+                versions.append((int(digits), n))
+    if not versions:
+        raise FileNotFoundError(f"no vN.metadata.json under {mdir!r}")
+    return os.path.join(mdir, max(versions)[1])
+
+
+def _norm_uri(p: str) -> str:
+    """file:///a/b and file:/a/b → /a/b (other schemes pass through)."""
+    if p.startswith("file:"):
+        rest = p[len("file:"):]
+        return "/" + rest.lstrip("/")
+    return p
+
+
+def _load_iceberg(metadata_json: str, snapshot_id: int | None = None):
+    """Shared spec-v2 reader for import_iceberg and open_iceberg: parse
+    metadata.json + the pinned snapshot's Avro manifest list + manifests into
+    (meta, Spark schema, id maps, identifier fields, partition fields/codecs,
+    snapshot dict, entry tuples). Real-Iceberg fidelity rules applied here so
+    both consumers inherit them: entries with status=2 (DELETED) are dropped
+    from the live set, and a null entry sequence number inherits the
+    manifest-list entry's sequence number (spec inheritance for ADDED
+    entries)."""
+    from types import SimpleNamespace
+
     from .avro import read_ocf
-    from .spec import PartitionField, PartitionSpec
+    from .spec import PartitionField
 
     meta = json.load(open(metadata_json))
     if meta.get("format-version") != 2:
-        raise ValueError("import_iceberg reads format-version 2 metadata")
+        raise ValueError("icelite reads format-version 2 Iceberg metadata")
     schema_json = next(
         sc for sc in meta["schemas"]
         if sc.get("schema-id") == meta["current-schema-id"]
@@ -639,17 +687,183 @@ def import_iceberg(spark, metadata_json: str, dest_root: str, io=None) -> Table:
             tr, arg = tr[:-1].split("[")
             n = int(arg)
         pfields.append(PartitionField(by_id[f["source-id"]], tr, n))
-
     part_codecs = {
         pf.name: _partition_codec(pf.transform, schema[pf.source].dataType)
         for pf in pfields
     }
 
-    snap_id = meta["current-snapshot-id"]
-    snap = next(
-        s for s in meta["snapshots"] if s["snapshot-id"] == snap_id
+    snap_id = snapshot_id if snapshot_id is not None else (
+        meta["current-snapshot-id"]
     )
-    _, mlist = read_ocf(open(snap["manifest-list"], "rb").read())
+    snap = next(
+        (s for s in meta["snapshots"] if s["snapshot-id"] == snap_id), None
+    )
+    if snap is None:
+        raise ValueError(f"snapshot {snap_id} not in {metadata_json!r}")
+    base = os.path.dirname(os.path.abspath(metadata_json))
+
+    def _local(p: str) -> str:
+        p = _norm_uri(p)
+        return p if os.path.isabs(p) else os.path.join(base, p)
+
+    _, mlist = read_ocf(open(_local(snap["manifest-list"]), "rb").read())
+    raw_entries: list[tuple[int, dict, int]] = []
+    for m in mlist:
+        _, recs = read_ocf(open(_local(m["manifest_path"]), "rb").read())
+        for r in recs:
+            if r.get("status") == 2:  # DELETED: not part of the live set
+                continue
+            seq = r["sequence_number"]
+            if seq is None:
+                seq = m.get("sequence_number") or 0
+            raw_entries.append((seq, r["data_file"], m["content"]))
+
+    return SimpleNamespace(
+        meta=meta, schema=schema, by_id=by_id, types_by_id=types_by_id,
+        ident=ident, pfields=pfields, part_codecs=part_codecs,
+        snap_id=snap_id, snap=snap, entries=raw_entries,
+    )
+
+
+def open_iceberg(
+    spark,
+    location: str,
+    snapshot_id: int | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """IN-PLACE read of a spec-v2 Iceberg table: no icelite table is
+    created, no file is copied or written — metadata.json + Avro manifests
+    are parsed where they lie and the result is a DataFrame scan of the
+    pinned snapshot with BOTH delete kinds reconciled, the zero-copy
+    migration path out of a real Iceberg warehouse (the reference's native
+    output format, IcebergUtil.java:139-217). `location` is a metadata.json
+    path or a table root (version-hint / highest-vN, HadoopTables layout);
+    `snapshot_id` time-travels across the metadata's snapshot list.
+
+    Delete semantics match table.py's scan: an equality delete at sequence s
+    kills matching rows in data files with sequence < s (grouped one read
+    per distinct seq, broadcast when small); positional deletes anti-join on
+    (file_path, pos) row identity from parquet `_metadata`. Pos-delete row
+    keys are resolved against the manifest's data paths by exact
+    URI-normalized match first, then by unique-basename suffix match — which
+    covers both real Iceberg writers (full-URI keys) and icelite exports
+    (source-root-relative keys left in place by the zero-copy exporter)."""
+    from pyspark.sql import functions as F
+
+    ice = _load_iceberg(_resolve_metadata_path(location), snapshot_id)
+    data = [
+        (s, _norm_uri(df["file_path"]))
+        for s, df, _ in ice.entries if df["content"] == DATA
+    ]
+    eq_dels = [
+        (s, _norm_uri(df["file_path"]), df.get("equality_ids") or [])
+        for s, df, _ in ice.entries if df["content"] == EQ_DELETES
+    ]
+    pos_dels = [
+        _norm_uri(df["file_path"])
+        for s, df, _ in ice.entries if df["content"] == POS_DELETES
+    ]
+    keep = columns or [f.name for f in ice.schema.fields]
+    if not data:
+        return spark.createDataFrame(
+            [], T.StructType([ice.schema[c] for c in keep])
+        )
+
+    reader = spark.read.schema(ice.schema)
+    need_pos = bool(pos_dels)
+
+    def _tag(d: DataFrame) -> DataFrame:
+        if need_pos:
+            return d.withColumn(
+                "_file_path",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+            ).withColumn("_pos", F.col("_metadata.row_index"))
+        return d
+
+    if not eq_dels:
+        df = _tag(reader.parquet(*[p for _, p in data]))
+    else:
+        by_seq: dict[int, list[str]] = {}
+        for s, p in data:
+            by_seq.setdefault(s, []).append(p)
+        parts = [
+            _tag(reader.parquet(*paths)).withColumn("_seq", F.lit(s))
+            for s, paths in sorted(by_seq.items())
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        # one pass per distinct equality-id set (one set in practice); a
+        # delete file without equality_ids falls back to identifier fields
+        by_ids: dict[tuple, dict[int, list[str]]] = {}
+        for s, p, eids in eq_dels:
+            names = (
+                tuple(ice.by_id[i] for i in sorted(eids))
+                if eids else tuple(ice.ident)
+            )
+            by_ids.setdefault(names, {}).setdefault(s, []).append(p)
+        for names, seq_files in by_ids.items():
+            keys = list(names)
+            dparts = [
+                spark.read.parquet(*paths).select(*keys)
+                .withColumn("_delete_seq", F.lit(s))
+                for s, paths in sorted(seq_files.items())
+            ]
+            ddf = dparts[0]
+            for p in dparts[1:]:
+                ddf = ddf.unionByName(p)
+            agg = F.broadcast(
+                ddf.groupBy(*keys).agg(
+                    F.max("_delete_seq").alias("_max_del_seq")
+                )
+            )
+            df = df.join(agg, on=keys, how="left").filter(
+                F.col("_max_del_seq").isNull()
+                | (F.col("_max_del_seq") <= F.col("_seq"))
+            ).drop("_max_del_seq")
+
+    if pos_dels:
+        # basename → abs map (writer file names are uuid-unique) resolves
+        # relative row keys; exact matches pass through untouched
+        bn_map = spark.createDataFrame(
+            [(os.path.basename(p), p) for _, p in data], "_bn string, _abs string"
+        )
+        pdel = spark.read.parquet(*pos_dels).select(
+            F.regexp_replace("file_path", "^file:/+", "/").alias("_k"),
+            F.col("pos").alias("_pos"),
+        ).join(
+            F.broadcast(bn_map),
+            F.element_at(F.split(F.col("_k"), "/"), -1) == F.col("_bn"),
+            "left",
+        ).select(
+            F.when(
+                (F.col("_abs") == F.col("_k"))
+                | F.col("_abs").endswith(F.concat(F.lit("/"), F.col("_k"))),
+                F.col("_abs"),
+            ).otherwise(F.col("_k")).alias("_file_path"),
+            "_pos",
+        )
+        df = df.join(F.broadcast(pdel), ["_file_path", "_pos"], "left_anti")
+
+    return df.select(*keep)
+
+
+def import_iceberg(spark, metadata_json: str, dest_root: str, io=None) -> Table:
+    """Reverse direction: build a NEW icelite table at `dest_root` from a
+    spec-v2 Iceberg export (metadata.json + Avro manifests) — the proof the
+    exported manifests are not write-only. Data and equality-delete files
+    are registered by reference (zero copy, absolute manifest paths);
+    positional-delete files are re-written with row keys remapped to the
+    importer's absolute-path tagging (same mechanics as clone.py). Eq-delete
+    reconciliation needs no `_delete_seq` column — the manifest entry's
+    sequence number is authoritative (table.py:_apply_deletes). For a scan
+    with no table creation at all, see open_iceberg."""
+    ice = _load_iceberg(metadata_json, None)
+    meta = ice.meta
+    by_id, types_by_id = ice.by_id, ice.types_by_id
+    schema, ident, pfields = ice.schema, ice.ident, ice.pfields
+    part_codecs, snap_id = ice.part_codecs, ice.snap_id
+    from .spec import PartitionSpec
 
     def _decode_bounds(kvs):
         out = {}
@@ -678,20 +892,15 @@ def import_iceberg(spark, metadata_json: str, dest_root: str, io=None) -> Table:
         io=io,
     )
 
-    raw_entries: list[tuple[int, dict, int]] = []
-    for m in mlist:
-        _, recs = read_ocf(open(m["manifest_path"], "rb").read())
-        for r in recs:
-            raw_entries.append(
-                (r["sequence_number"] or 0, r["data_file"], m["content"])
-            )
+    raw_entries = ice.entries
     if not raw_entries:
         return dest
 
     # rel → abs map for positional-delete row-key remapping: every data
     # path in the export is absolute; relative row keys are suffixes
     data_abs = [
-        df["file_path"] for _, df, _ in raw_entries if df["content"] == DATA
+        _norm_uri(df["file_path"])
+        for _, df, _ in raw_entries if df["content"] == DATA
     ]
     by_suffix: dict[str, str] = {}
     for a in data_abs:
@@ -720,11 +929,11 @@ def import_iceberg(spark, metadata_json: str, dest_root: str, io=None) -> Table:
             import pyarrow as pa
             import pyarrow.parquet as pq
 
-            t = pq.read_table(df["file_path"])
+            t = pq.read_table(_norm_uri(df["file_path"]))
             cols = t.to_pydict()
             cols["file_path"] = [
                 p if os.path.isabs(p) else by_suffix.get(p, p)
-                for p in cols["file_path"]
+                for p in map(_norm_uri, cols["file_path"])
             ]
             rel = os.path.join(
                 "deletes", f"posdel-import-{_uuid.uuid4().hex}.parquet"
@@ -742,7 +951,7 @@ def import_iceberg(spark, metadata_json: str, dest_root: str, io=None) -> Table:
             ))
         else:
             entries.append(FileEntry(
-                df["content"], df["file_path"], partition, seq,
+                df["content"], _norm_uri(df["file_path"]), partition, seq,
                 df["record_count"], df["file_size_in_bytes"],
                 mins, maxs, nulls,
             ))

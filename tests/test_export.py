@@ -225,6 +225,125 @@ class TestImportRoundTrip:
         assert {tuple(r) for r in imp.scan(columns=cols).collect()} == src_rows
 
 
+class TestOpenInPlace:
+    """open_iceberg: scan a spec table where it lies — zero writes, both
+    delete kinds, real-Iceberg manifest shapes the exporter never emits."""
+
+    COLS = ["image_id", "w", "h", "fmt", "caption", "phash"]
+
+    @staticmethod
+    def _tree(root):
+        return {
+            os.path.join(d, f)
+            for d, _, fs in os.walk(root) for f in fs
+        }
+
+    def test_scan_equality_zero_write(self, spark, exported):
+        from olake_spark.icelite.export import open_iceberg
+
+        t, out = exported
+        exp_dir = os.path.dirname(os.path.dirname(out["metadata_json"]))
+        before = self._tree(exp_dir) | self._tree(t.root)
+        got = {
+            tuple(r) for r in
+            open_iceberg(spark, out["metadata_json"])
+            .select(*self.COLS).collect()
+        }
+        src = {tuple(r) for r in t.scan(columns=self.COLS).collect()}
+        assert got == src and got
+        # in-place means IN PLACE: not one file created anywhere
+        assert (self._tree(exp_dir) | self._tree(t.root)) == before
+
+    def test_root_resolution_columns_and_bad_snapshot(self, spark, exported):
+        from olake_spark.icelite.export import open_iceberg
+
+        t, out = exported
+        root = os.path.dirname(os.path.dirname(out["metadata_json"]))
+        df = open_iceberg(spark, root, columns=["image_id"])
+        assert df.columns == ["image_id"]
+        assert {r.image_id for r in df.collect()} == {
+            r.image_id for r in t.scan(columns=["image_id"]).collect()
+        }
+        with pytest.raises(ValueError, match="snapshot"):
+            open_iceberg(spark, root, snapshot_id=999999)
+
+    def test_real_iceberg_manifest_shapes(self, spark, exported):
+        """Shapes real Iceberg writers produce that icelite's own exporter
+        never does: file:// URIs on every path, null entry sequence numbers
+        (spec inheritance from the manifest-list entry), a status=2 DELETED
+        data entry that must leave the live set, and a positional-delete
+        file whose row keys are full URIs."""
+        import copy
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from olake_spark.icelite.export import open_iceberg
+
+        t, out = exported
+        mdir = os.path.dirname(out["metadata_json"])
+        base = {r.image_id for r in t.scan(columns=["image_id"]).collect()}
+
+        data_mf = next(
+            p for p in out["manifests"]
+            if os.path.basename(p).startswith("manifest-data-")
+        )
+        eschema, recs = read_ocf(open(data_mf, "rb").read())
+        assert len(recs) >= 2
+        victim, survivor = recs[0], recs[1]
+        victim_ids = {
+            r.image_id for r in spark.read.parquet(
+                victim["data_file"]["file_path"]
+            ).select("image_id").collect()
+        }
+        for r in recs:
+            r["data_file"]["file_path"] = \
+                "file://" + r["data_file"]["file_path"]
+            r["sequence_number"] = None
+            r["file_sequence_number"] = None
+        victim["status"] = 2  # DELETED in this snapshot
+        with open(data_mf, "wb") as f:
+            f.write(write_ocf(eschema, recs))
+
+        # full-URI pos-delete killing row 0 of the survivor file
+        surv_path = survivor["data_file"]["file_path"][len("file://"):]
+        pos0_id = pq.read_table(
+            surv_path, columns=["image_id"]
+        )["image_id"][0].as_py()
+        pdel_path = os.path.join(mdir, "extra-posdel.parquet")
+        pq.write_table(
+            pa.table(
+                {"file_path": ["file://" + surv_path], "pos": [0]},
+                schema=pa.schema(
+                    [("file_path", pa.string()), ("pos", pa.int64())]
+                ),
+            ),
+            pdel_path,
+        )
+        pos_mf = next(
+            p for p in out["manifests"]
+            if os.path.basename(p).startswith("manifest-pos-deletes-")
+        )
+        pschema, precs = read_ocf(open(pos_mf, "rb").read())
+        extra = copy.deepcopy(precs[0])
+        extra["data_file"]["file_path"] = pdel_path
+        extra["data_file"]["record_count"] = 1
+        extra["data_file"]["file_size_in_bytes"] = \
+            os.path.getsize(pdel_path)
+        extra["data_file"]["lower_bounds"] = None
+        extra["data_file"]["upper_bounds"] = None
+        precs.append(extra)
+        with open(pos_mf, "wb") as f:
+            f.write(write_ocf(pschema, precs))
+
+        got = {
+            r.image_id for r in open_iceberg(
+                spark, out["metadata_json"], columns=["image_id"]
+            ).collect()
+        }
+        assert got == (base - victim_ids) - {pos0_id}
+
+
 class TestAvroCodecProperties:
     def test_random_values_roundtrip(self):
         """Hypothesis: any value assignment for a compound schema survives
