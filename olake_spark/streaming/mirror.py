@@ -25,6 +25,22 @@ Scale: per batch the work is O(changed rows) — the window dedup keys on
 the identifier (one shuffle of the delta, never the table), and row_delta
 writes only the delta's files. The destination stays independently
 maintainable (compact/cluster/expire run there on their own schedule).
+
+Replication-lag model (catch-up bound): with a backlog of F source files
+across K commits and ``max_files_per_batch = m``, a mirror started on a
+FRESH checkpoint converges in at most K batches and at least ceil(F/m) —
+each batch bundles whole commits until the m-file budget is spent (a
+snapshot is the atomic unit: one over-budget commit still plans whole, so
+a batch reads at most max(m, largest-single-commit) files). Per batch the
+cost is that bounded file read + one delta shuffle + one atomic commit,
+independent of destination size; steady-state lag is one trigger interval
+plus one such batch. Source rewrites add zero batches (the changelog
+skips them), so maintenance on the source never stalls catch-up. One
+engine-imposed exception: a mirror RESTARTED from an existing checkpoint
+runs its first batch unbounded — Spark shows the source neither the
+checkpoint nor the initial offset before asking for the latest one — and
+bounding resumes from batch two (IceliteStreamReader.__init__ has the
+full rationale). (tests/test_mirror.py::test_catchup_rate_bounded_converges)
 """
 
 from __future__ import annotations
@@ -78,11 +94,24 @@ def apply_changelog_batch(dst: Table, batch_df, txn=None) -> dict:
 
 def mirror_table_stream(spark, src_root: str, dst_root: str,
                         checkpoint: str, app: str = "icelite-mirror",
-                        trigger: dict | None = None):
+                        trigger: dict | None = None,
+                        max_files_per_batch: int = 0):
     """Start the replication query. The destination must exist with the
     source's schema and identifier fields (create it or clone an empty
-    shell first)."""
-    feed = read_table_stream(spark, src_root, mode="changelog")
+    shell first). max_files_per_batch bounds how many source files one
+    micro-batch may plan (whole commits only — see the module docstring's
+    catch-up model); because the mirror owns the checkpoint it can tell a
+    fresh start from a restart, so the bound covers the very first batch
+    on fresh checkpoints and a RESTARTED mirror keeps Spark's mandatory
+    unbounded first batch (see IceliteStreamReader.__init__)."""
+    import os
+
+    feed = read_table_stream(
+        spark, src_root, mode="changelog",
+        max_files_per_batch=max_files_per_batch,
+        initial_batch_bounded=bool(max_files_per_batch)
+        and not os.path.exists(checkpoint),
+    )
 
     def apply(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -190,15 +190,29 @@ class IceliteStreamReader(DataSourceStreamReader):
         # each batch stays a clean snapshot range and the checkpoint
         # contract is untouched. 0 = unbounded.
         self.max_files = int(options.get("max_files_per_batch", 0))
-        # rate-limit walk state. Spark only calls initialOffset() on a
-        # FRESH query; on a checkpoint restart the committed offset is
-        # recovered engine-side and never shown to latestOffset(). So the
-        # budget walk may only be seeded from initialOffset() when we SAW
-        # that call — after a restart the first batch runs unbounded (to
-        # current), and bounding resumes from there. Seeding from
-        # initialOffset() after a restart would plan an offset BEHIND the
-        # checkpoint: Spark would then call partitions(ckpt, older) and the
-        # ancestor walk would raise on every retry, wedging the query.
+        # rate-limit walk state. The engine calls latestOffset() BEFORE
+        # initialOffset() even on a fresh query (constructNextBatch precedes
+        # runBatch, which is where batch 0's start is resolved), and on a
+        # checkpoint restart the committed offset is recovered engine-side
+        # and never shown to latestOffset() at all — so at the first
+        # latestOffset() call, fresh and restarted streams are
+        # indistinguishable. The safe default is therefore an UNBOUNDED
+        # first batch (to current), with bounding resuming once the walk is
+        # seeded: anchoring that first walk at the stream's `starting`
+        # position would, after a restart, plan an offset BEHIND the
+        # checkpoint — Spark then calls partitions(ckpt, older) and the
+        # ancestor walk raises on every retry, wedging the query (and any
+        # end offset behind the checkpoint re-emits committed rows).
+        #
+        # option("initial_batch_bounded", true) opts into bounding the
+        # FIRST batch too, for callers that KNOW the checkpoint is fresh
+        # (they own its lifecycle — e.g. the table mirror checks the
+        # checkpoint dir before setting this). Never set it on a query that
+        # may be restarting from an existing checkpoint.
+        self.bounded_initial = (
+            str(options.get("initial_batch_bounded", "false")).lower()
+            == "true"
+        )
         self._last_planned: int | None = None
 
     def _table(self) -> Table:
@@ -207,6 +221,15 @@ class IceliteStreamReader(DataSourceStreamReader):
         return Table(None, self.root).refresh()
 
     def initialOffset(self) -> dict:
+        off = self._anchor()
+        self._last_planned = off["snapshot_id"]  # fresh query: safe seed
+        return off
+
+    def _anchor(self) -> dict:
+        """The stream's declared starting offset (pure — no walk-state
+        mutation): initialOffset() seeds the rate-limit walk from it, and
+        an `initial_batch_bounded` latestOffset() anchors there when the
+        engine asks for an offset before ever resolving batch 0's start."""
         if self.from_ts is not None:
             # Iceberg stream-from-timestamp: the offset is the NEWEST
             # retained lineage snapshot committed strictly before T, so the
@@ -230,7 +253,6 @@ class IceliteStreamReader(DataSourceStreamReader):
             off = {"snapshot_id": self._table().current_snapshot_id or 0}
         else:
             off = {"snapshot_id": int(self.starting)}
-        self._last_planned = off["snapshot_id"]  # fresh query: safe seed
         return off
 
     def latestOffset(self) -> dict:
@@ -239,9 +261,17 @@ class IceliteStreamReader(DataSourceStreamReader):
         if not self.max_files or cur == 0:
             return {"snapshot_id": cur}
         start = self._last_planned
-        if start is None:  # restart: checkpoint offset unknown — unbounded
-            self._last_planned = cur
-            return {"snapshot_id": cur}
+        if start is None:
+            if self.bounded_initial:
+                # caller vouched the checkpoint is fresh: anchor the walk
+                # at the declared start so even batch 0 is budget-bounded
+                # (the catch-up case — a large committed backlog)
+                start = self._anchor()["snapshot_id"]
+            else:
+                # checkpoint offset unknown (could be a restart) — the
+                # first batch runs unbounded; see __init__'s rationale
+                self._last_planned = cur
+                return {"snapshot_id": cur}
         if start == cur:
             return {"snapshot_id": cur}
         budget = self.max_files
@@ -602,12 +632,21 @@ def register(spark) -> None:
 def read_table_stream(spark, root: str, starting: str = "earliest",
                       skip_delete_snapshots: bool = False,
                       mode: str = "append",
-                      from_timestamp_ms: int | None = None):
+                      from_timestamp_ms: int | None = None,
+                      max_files_per_batch: int = 0,
+                      initial_batch_bounded: bool = False):
     """Convenience: register + readStream.load over a table root.
     mode="changelog" streams the delete-aware CDC feed (rows +
     _change_type + _commit_snapshot_id) instead of the append-only one;
     from_timestamp_ms anchors the stream at wall-clock time instead of
-    `starting` (Iceberg's stream-from-timestamp)."""
+    `starting` (Iceberg's stream-from-timestamp); max_files_per_batch > 0
+    rate-limits each micro-batch to whole snapshots summing to at most that
+    many source files (a single over-budget snapshot still plans whole —
+    snapshots are the atomic unit). By engine necessity the FIRST batch of
+    a (re)started query runs unbounded — Spark shows latestOffset neither
+    the checkpoint nor the initial offset — unless initial_batch_bounded
+    is set, which is safe ONLY when the checkpoint is known fresh (see
+    IceliteStreamReader.__init__)."""
     register(spark)
     if from_timestamp_ms is not None and starting != "earliest":
         raise ValueError(
@@ -620,6 +659,10 @@ def read_table_stream(spark, root: str, starting: str = "earliest",
         .option("skip_delete_snapshots", str(skip_delete_snapshots).lower())
         .option("mode", mode)
     )
+    if max_files_per_batch:
+        r = r.option("max_files_per_batch", int(max_files_per_batch))
+        if initial_batch_bounded:
+            r = r.option("initial_batch_bounded", "true")
     if from_timestamp_ms is not None:
         r = r.option("stream_from_timestamp_ms", int(from_timestamp_ms))
     else:

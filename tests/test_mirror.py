@@ -130,3 +130,59 @@ def test_bootstrap_into_empty_dst_writes_no_delete_files(spark,
     fresh.refresh()
     assert _caps(fresh)["img-000000000000"] == "v2"
     assert [e for e in fresh.entries() if e.content == EQ_DELETES]
+
+
+def test_catchup_rate_bounded_converges(spark, tmp_table_dir):
+    """Catch-up bound (module docstring's replication-lag model): a mirror
+    started against a large committed backlog with max_files_per_batch must
+    (a) split the backlog into multiple rate-bounded micro-batches instead
+    of swallowing it whole, (b) keep every post-bootstrap batch O(delta) —
+    bounded by the file cap, never by destination size — and (c) converge
+    to the source's exact state."""
+    from pyspark.sql import functions as F
+
+    from olake_spark.streaming.mirror import mirror_table_stream
+
+    src = Table.create(
+        spark, os.path.join(tmp_table_dir, "csrc"), datagen.IMAGES_SCHEMA,
+        PartitionSpec(()), identifier_fields=("image_id",),
+    )
+    # backlog: one 120-row bootstrap commit + six small upsert commits
+    src.append(datagen.gen_images_df(spark, 120), max_records_per_file=30)
+    for i in range(6):
+        upd = (
+            datagen.gen_images_df(spark, 120)
+            .filter(F.substring("image_id", -1, 1).isin(str(i), str(i + 1)))
+            .withColumn("caption", F.lit(f"v{i}"))
+            .coalesce(1)
+        )
+        src.row_delta(upd, upd.select("image_id"))
+
+    dst = Table.create(
+        spark, os.path.join(tmp_table_dir, "cdst"), datagen.IMAGES_SCHEMA,
+        PartitionSpec(()), identifier_fields=("image_id",),
+    )
+    q = mirror_table_stream(
+        spark, src.root, dst.root,
+        os.path.join(tmp_table_dir, "cckpt"),
+        trigger={"processingTime": "0 seconds"},
+        max_files_per_batch=3,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    dst.refresh()
+    src.refresh()
+    cols = ["image_id", "caption"]
+    assert {tuple(r) for r in dst.scan(columns=cols).collect()} == \
+        {tuple(r) for r in src.scan(columns=cols).collect()}
+    snaps = dst.meta["snapshots"]
+    # 6 upsert commits at ~2 changelog files each under a 3-file budget
+    # cannot fit one batch; the bootstrap commit plans whole (atomic unit)
+    assert len(snaps) >= 4, f"backlog not split: {len(snaps)} batches"
+    boot = int(snaps[0]["summary"]["added-records"])
+    assert boot == 120  # bootstrap carries the base state once
+    for s in snaps[1:]:
+        # inserts + retraction keys for <= cap files' worth of commits —
+        # far below the 120-row table (O(delta), not O(table))
+        assert int(s["summary"]["added-records"]) <= 48, s["summary"]

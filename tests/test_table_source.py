@@ -196,6 +196,48 @@ def test_restart_with_rate_limit_never_plans_backwards(spark, tmp_table_dir):
     assert nxt["snapshot_id"] != t.current_snapshot_id  # held back again
 
 
+def test_initial_batch_bounded_opt_in(spark, tmp_table_dir):
+    """The engine calls latestOffset() BEFORE initialOffset() even on a
+    FRESH query (constructNextBatch precedes runBatch), so by default the
+    first batch runs unbounded — the only restart-safe answer. A caller
+    that KNOWS the checkpoint is fresh opts into bounding batch 0 with
+    initial_batch_bounded=true: the walk anchors at the declared start and
+    a committed backlog drains in budget-sized batches from the first."""
+    from olake_spark.streaming.table_source import IceliteStreamReader
+
+    t = Table.create(
+        spark, os.path.join(tmp_table_dir, "ib"), datagen.IMAGES_SCHEMA,
+        identifier_fields=("image_id",),
+    )
+    for _ in range(4):
+        t.append(datagen.gen_images_df(spark, 20), max_records_per_file=10)
+    per_commit = len(t._added_entries(t.snapshot()))  # same every commit
+
+    # default: first (unseeded) latestOffset jumps to current
+    r = IceliteStreamReader(
+        t.schema, {"path": t.root, "max_files_per_batch": str(per_commit)}
+    )
+    assert r.latestOffset()["snapshot_id"] == t.current_snapshot_id
+
+    # opted in: bounded from the very first call, engine order respected
+    r2 = IceliteStreamReader(
+        t.schema, {"path": t.root, "max_files_per_batch": str(per_commit),
+                   "initial_batch_bounded": "true"},
+    )
+    start = {"snapshot_id": 0}
+    steps = []
+    while True:
+        end = r2.latestOffset()  # called before any initialOffset
+        if end == start:
+            break
+        steps.append(len(r2.partitions(start, end)))
+        start = end
+        assert len(steps) < 10
+    assert end["snapshot_id"] == t.current_snapshot_id
+    # one commit per batch INCLUDING batch 0
+    assert steps == [per_commit] * 4
+
+
 def test_earliest_over_expired_history_streams_full_state(spark, tmp_table_dir):
     """An expired-history table whose oldest retained snapshot is a rewrite
     commit must stream its FULL state from earliest, not silently nothing."""
