@@ -750,17 +750,20 @@ def open_iceberg(
     (source-root-relative keys left in place by the zero-copy exporter)."""
     from pyspark.sql import functions as F
 
+    from .table import BROADCAST_DELETE_ROWS
+
     ice = _load_iceberg(_resolve_metadata_path(location), snapshot_id)
     data = [
         (s, _norm_uri(df["file_path"]))
         for s, df, _ in ice.entries if df["content"] == DATA
     ]
     eq_dels = [
-        (s, _norm_uri(df["file_path"]), df.get("equality_ids") or [])
+        (s, _norm_uri(df["file_path"]), df.get("equality_ids") or [],
+         df["record_count"])
         for s, df, _ in ice.entries if df["content"] == EQ_DELETES
     ]
     pos_dels = [
-        _norm_uri(df["file_path"])
+        (_norm_uri(df["file_path"]), df["record_count"])
         for s, df, _ in ice.entries if df["content"] == POS_DELETES
     ]
     keep = columns or [f.name for f in ice.schema.fields]
@@ -796,12 +799,14 @@ def open_iceberg(
         # one pass per distinct equality-id set (one set in practice); a
         # delete file without equality_ids falls back to identifier fields
         by_ids: dict[tuple, dict[int, list[str]]] = {}
-        for s, p, eids in eq_dels:
+        rows_by_ids: dict[tuple, int] = {}
+        for s, p, eids, rc in eq_dels:
             names = (
                 tuple(ice.by_id[i] for i in sorted(eids))
                 if eids else tuple(ice.ident)
             )
             by_ids.setdefault(names, {}).setdefault(s, []).append(p)
+            rows_by_ids[names] = rows_by_ids.get(names, 0) + rc
         for names, seq_files in by_ids.items():
             keys = list(names)
             dparts = [
@@ -812,11 +817,14 @@ def open_iceberg(
             ddf = dparts[0]
             for p in dparts[1:]:
                 ddf = ddf.unionByName(p)
-            agg = F.broadcast(
-                ddf.groupBy(*keys).agg(
-                    F.max("_delete_seq").alias("_max_del_seq")
-                )
+            agg = ddf.groupBy(*keys).agg(
+                F.max("_delete_seq").alias("_max_del_seq")
             )
+            # same broadcast gate as table.py's scan: manifests know the
+            # delete row counts, so a huge delete set shuffles (SMJ)
+            # instead of being forced through the driver
+            if rows_by_ids[names] <= BROADCAST_DELETE_ROWS:
+                agg = F.broadcast(agg)
             df = df.join(agg, on=keys, how="left").filter(
                 F.col("_max_del_seq").isNull()
                 | (F.col("_max_del_seq") <= F.col("_seq"))
@@ -828,7 +836,7 @@ def open_iceberg(
         bn_map = spark.createDataFrame(
             [(os.path.basename(p), p) for _, p in data], "_bn string, _abs string"
         )
-        pdel = spark.read.parquet(*pos_dels).select(
+        pdel = spark.read.parquet(*[p for p, _ in pos_dels]).select(
             F.regexp_replace("file_path", "^file:/+", "/").alias("_k"),
             F.col("pos").alias("_pos"),
         ).join(
@@ -843,7 +851,9 @@ def open_iceberg(
             ).otherwise(F.col("_k")).alias("_file_path"),
             "_pos",
         )
-        df = df.join(F.broadcast(pdel), ["_file_path", "_pos"], "left_anti")
+        if sum(rc for _, rc in pos_dels) <= BROADCAST_DELETE_ROWS:
+            pdel = F.broadcast(pdel)
+        df = df.join(pdel, ["_file_path", "_pos"], "left_anti")
 
     return df.select(*keep)
 

@@ -262,10 +262,15 @@ class IceliteStreamReader(DataSourceStreamReader):
             return {"snapshot_id": cur}
         start = self._last_planned
         if start is None:
-            if self.bounded_initial:
+            if self.bounded_initial and self.starting != "latest":
                 # caller vouched the checkpoint is fresh: anchor the walk
                 # at the declared start so even batch 0 is budget-bounded
-                # (the catch-up case — a large committed backlog)
+                # (the catch-up case — a large committed backlog). A
+                # "latest" stream is excluded: its anchor is call-time
+                # dependent — a commit racing between this call and the
+                # engine's later initialOffset() would put batch 0's start
+                # AHEAD of a bounded end — and its backlog is empty by
+                # definition, so there is nothing to bound.
                 start = self._anchor()["snapshot_id"]
             else:
                 # checkpoint offset unknown (could be a restart) — the
