@@ -4,13 +4,19 @@ This container ships no PIL/libjpeg, so:
 
 - ``fmt == "png"``  → a real, spec-compliant PNG encoder/decoder (zlib +
   filter-0 scanlines, 8-bit RGB). Lossless, byte-deterministic.
-- ``fmt == "jpeg"`` → **STUB for a real JPEG codec**: a deterministic lossy
-  stand-in that quantizes pixels to a step of 4 (MSE ≈ q²/12 ≈ 1.33 →
-  PSNR ≈ 46.9 dB, satisfying the ≥40 dB lossy gate) and stores them PNG-framed
-  behind a distinct magic. The Spark-side plumbing (binary columns, Arrow
-  batch UDF signatures, PSNR verification) is real; only the entropy-coding
-  internals of JPEG are faked. Swap `_encode_lossy`/`_decode_lossy` for
-  PIL/turbojpeg in a real deployment.
+- ``fmt == "jpeg"`` → a deterministic lossy FIXTURE container: pixels
+  quantized to a step of 4 (MSE ≈ q²/12 ≈ 1.33 → PSNR ≈ 46.9 dB,
+  satisfying the ≥40 dB lossy gate), PNG-framed behind a distinct magic.
+  Kept as the synthetic fixture's lossy format because it is vectorized
+  across a whole batch and entropy-coder-free, so the 1.2M-image scaling
+  benchmarks measure the ENGINE, not a sequential bit-packing loop.
+- **real JPEG** → a full baseline ITU-T T.81 codec lives in
+  ``jpegcodec.py`` (pure numpy: Huffman, DCT, 4:2:0/4:2:2/4:4:4,
+  restart markers; validated against libjpeg-written files).
+  ``decode_image`` auto-routes real JPEG magic (FF D8) there, so every
+  decode-bearing operator ingests real-world JPEG bytes unchanged;
+  ``jpegcodec.jpeg_encode`` emits spec-compliant baseline JPEG any
+  external consumer can read.
 
 Everything is vectorized numpy per image; batch helpers operate over pandas
 Series for use inside ``pandas_udf`` (no per-row Python in Spark hot paths —
@@ -132,6 +138,13 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
 def decode_image(data: bytes) -> np.ndarray:
     if data[:5] == _LOSSY_MAGIC:
         return _decode_lossy(data)
+    if bytes(data[:2]) == b"\xff\xd8":
+        # real JPEG bytes (SOI magic): full baseline T.81 decoder — every
+        # decode-bearing operator (multimodal stats/resize, PSNR verify)
+        # accepts real-world payloads, not just fixture containers
+        from olake_spark.functions.jpegcodec import jpeg_decode
+
+        return jpeg_decode(data)
     return png_decode(bytes(data))
 
 

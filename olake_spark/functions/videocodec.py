@@ -100,3 +100,23 @@ def decode_y4m(data: bytes) -> tuple["np.ndarray", int, int]:
     if not frames:
         raise ValueError("Y4M stream has no frames")
     return np.stack(frames), fps_num, fps_den
+
+
+def decode_video(data: bytes) -> tuple["np.ndarray", int, int]:
+    """Container dispatch: video bytes → (luma frames (n, h, w) uint8,
+    fps_num, fps_den).
+
+    Routes by magic — YUV4MPEG2 (uncompressed, this module) or RIFF/AVI
+    MJPEG (compressed, functions/avicodec.py over the baseline JPEG codec).
+    Both return per-frame luma: Y4M's stored Y plane, MJPEG's coded Y plane
+    (jpeg_decode(luma_only=True), no RGB roundtrip). Every decode-bearing
+    video kernel goes through this seam, so adding a container = one new
+    branch here."""
+    head = bytes(data[:12])
+    if head.startswith(_MAGIC):
+        return decode_y4m(data)
+    if head[:4] == b"RIFF" and head[8:12] == b"AVI ":
+        from olake_spark.functions.avicodec import decode_mjpeg_avi
+
+        return decode_mjpeg_avi(data, luma_only=True)
+    raise ValueError("unrecognized video container (want Y4M or MJPEG AVI)")

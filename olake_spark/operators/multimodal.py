@@ -193,18 +193,20 @@ FRAME_SAMPLE_SCHEMA = StructType(
 
 
 def sample_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
-    """REAL video frame sampler over Y4M payloads (pure-numpy container
-    parser, functions/videocodec.py — uncompressed Y4M needs no demuxer):
-    every `every_n`-th frame's luma plane is emitted with integer-exact
-    stats (mean_luma_milli = sum(luma)*1000 div n_pixels, pure int
-    arithmetic so a SQL twin reproduces it bit-identically) and re-encoded
-    as a real PNG (luma replicated to RGB) for downstream image kernels.
-    Same mapInPandas shape as the image/audio kernels: one Arrow batch of
-    encoded payloads decoded per Python roundtrip; undecodable payloads
-    yield one decode_ok=false row and never poison the batch. Compressed
-    containers (mp4/webm) plug into the decode seam when the deployment
-    image ships a demuxer."""
-    from olake_spark.functions.videocodec import decode_y4m
+    """REAL video frame sampler over Y4M and MJPEG-AVI payloads (pure-numpy
+    container parsers — functions/videocodec.py for uncompressed Y4M,
+    functions/avicodec.py + the baseline JPEG codec for compressed MJPEG;
+    routed by magic through videocodec.decode_video): every `every_n`-th
+    frame's luma plane is emitted with integer-exact stats
+    (mean_luma_milli = sum(luma)*1000 div n_pixels, pure int arithmetic so
+    a SQL twin reproduces it bit-identically) and re-encoded as a real PNG
+    (luma replicated to RGB) for downstream image kernels. Same mapInPandas
+    shape as the image/audio kernels: one Arrow batch of encoded payloads
+    decoded per Python roundtrip; undecodable payloads yield one
+    decode_ok=false row and never poison the batch. Other containers
+    (mp4/webm) plug into the decode_video seam when the deployment image
+    ships a demuxer."""
+    from olake_spark.functions.videocodec import decode_video
 
     if every_n < 1:
         raise ValueError(f"every_n must be >= 1, got {every_n}")
@@ -214,7 +216,7 @@ def sample_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
             rows = []
             for vid, raw in zip(b["video_id"], b["bytes"]):
                 try:
-                    frames, _, _ = decode_y4m(bytes(raw))
+                    frames, _, _ = decode_video(bytes(raw))
                 except Exception:
                     rows.append({
                         "video_id": vid, "decode_ok": False, "frame_idx": -1,

@@ -1,0 +1,342 @@
+"""Real baseline JPEG codec: roundtrip quality, decode of real
+libjpeg-written files from the CPython/IPython/rustup test suites
+(grayscale, 4:2:0, 4:4:4-with-restart-markers), cross-validation by an
+INDEPENDENT naive scalar decoder written in this file (the same
+independence pattern as test_avro_independent.py — the production decoder
+is never the only reader of a stream it claims to understand), and the
+Spark-side routing through decode_image / multimodal.decode_stats."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from olake_spark.functions.jpegcodec import jpeg_decode, jpeg_encode
+
+# real JPEG files written by libjpeg, shipped with public packages
+# (IPython / CPython test suites, rust docs) — resolved dynamically from
+# whatever environment runs the tests, read in place; skipped if absent
+
+
+def _real_files() -> dict:
+    import glob
+
+    out = {}
+    try:
+        import IPython.core.tests as _ict
+
+        out["gray_1x1_sampling"] = os.path.join(
+            os.path.dirname(_ict.__file__), "2x2.jpg"
+        )
+    except ImportError:
+        pass
+    try:
+        import test.test_email as _te
+
+        out["color_420"] = os.path.join(
+            os.path.dirname(_te.__file__), "data", "python.jpg"
+        )
+    except ImportError:
+        pass
+    rust = sorted(glob.glob(os.path.expanduser(
+        "~/.rustup/toolchains/*/share/doc/rust/html"
+        "/embedded-book/assets/verify.jpeg"
+    )))
+    if rust:
+        out["color_444_restart"] = rust[0]
+    return out
+
+
+REAL_FILES = _real_files()
+
+
+def _structured(h, w, seed=3, noise=8):
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    img = np.stack(
+        [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], axis=-1
+    ).astype(np.int32)
+    if noise:
+        rng = np.random.default_rng(seed)
+        img += rng.integers(-noise, noise + 1, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _psnr(a, b):
+    mse = float(np.mean((a.astype(float) - b.astype(float)) ** 2))
+    return float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+# ------------------------------------------------ independent decoder
+
+ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def naive_jpeg_decode(data: bytes) -> np.ndarray:
+    """From-scratch scalar baseline decoder, deliberately structured
+    differently from the production one: bitstring-keyed Huffman maps, an
+    up-front unstuffed bit list, and the spec's literal O(64^2) IDCT
+    double sum per sample. Slow; for small fixtures only. No restart
+    support (the production decoder covers that on the 4:4:4 file)."""
+    assert data[:2] == b"\xff\xd8"
+    i = 2
+    qts, hts, comps = {}, {}, []
+    H = W = 0
+    while True:
+        assert data[i] == 0xFF
+        m = data[i + 1]
+        i += 2
+        if 0xD0 <= m <= 0xD9 or m == 0x01:
+            continue
+        ln = struct.unpack(">H", data[i:i + 2])[0]
+        seg = data[i + 2:i + ln]
+        if m == 0xDB:
+            j = 0
+            while j < len(seg):
+                tq = seg[j] & 0xF
+                qts[tq] = [seg[j + 1 + k] for k in range(64)]
+                j += 65
+        elif m == 0xC4:
+            j = 0
+            while j < len(seg):
+                tcth = seg[j]
+                bits = seg[j + 1:j + 17]
+                vals = seg[j + 17:j + 17 + sum(bits)]
+                code, k, tbl = 0, 0, {}
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        tbl[format(code, f"0{length}b")] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                hts[tcth] = tbl
+                j += 17 + sum(bits)
+        elif m == 0xC0:
+            H, W = struct.unpack(">HH", seg[1:5])
+            for c in range(seg[5]):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append([cid, hv >> 4, hv & 0xF, tq, None, None, 0])
+        elif m == 0xDA:
+            for c in range(seg[0]):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(x for x in comps if x[0] == cs)
+                comp[4], comp[5] = tt >> 4, tt & 0xF
+            i += ln
+            break
+        i += ln
+
+    # unstuff the entropy segment into a flat bit list
+    bits = []
+    while i < len(data) - 1:
+        b = data[i]
+        if b == 0xFF:
+            if data[i + 1] == 0x00:
+                bits.extend((b >> s) & 1 for s in range(7, -1, -1))
+                i += 2
+                continue
+            break  # a real marker ends the scan
+        bits.extend((b >> s) & 1 for s in range(7, -1, -1))
+        i += 1
+
+    pos = [0]
+
+    def readbits(n):
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | bits[pos[0]]
+            pos[0] += 1
+        return v
+
+    def huffsym(tbl):
+        s = ""
+        while True:
+            s += str(bits[pos[0]])
+            pos[0] += 1
+            if s in tbl:
+                return tbl[s]
+
+    def extend(v, t):
+        return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mx = -(-W // (8 * hmax))
+    my = -(-H // (8 * vmax))
+    planes = {
+        c[0]: np.zeros((my * c[2] * 8, mx * c[1] * 8)) for c in comps
+    }
+    for mcu in range(mx * my):
+        row, col = divmod(mcu, mx)
+        for c in comps:
+            cid, ch, cv, tq, td, ta, _ = c
+            for by in range(cv):
+                for bx in range(cl := ch):
+                    coef = [0] * 64
+                    t = huffsym(hts[td])  # DC table (tc=0 → key 0x0t)
+                    diff = extend(readbits(t), t)
+                    c[6] += diff
+                    coef[0] = c[6]
+                    k = 1
+                    while k < 64:
+                        rs = huffsym(hts[0x10 | ta])
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break
+                        k += r
+                        coef[ZZ[k]] = extend(readbits(s), s)
+                        k += 1
+                    # dequant + literal A.3.3 IDCT double sum
+                    dq = [coef[j] * qts[tq][ZZ.index(j)] for j in range(64)]
+                    out = np.zeros((8, 8))
+                    for x in range(8):
+                        for y in range(8):
+                            sv = 0.0
+                            for u in range(8):
+                                for v in range(8):
+                                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                                    cvv = 1 / np.sqrt(2) if v == 0 else 1.0
+                                    sv += (
+                                        cu * cvv * dq[u * 8 + v]
+                                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                                    )
+                            out[x, y] = sv / 4 + 128
+                    r0 = (row * cv + by) * 8
+                    c0 = (col * cl + bx) * 8
+                    planes[cid][r0:r0 + 8, c0:c0 + 8] = out
+
+    full = []
+    for c in comps:
+        cid, ch, cv = c[0], c[1], c[2]
+        p = planes[cid][: -(-H * cv // vmax), : -(-W * ch // hmax)]
+        p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        full.append(p[:H, :W])
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    y, cb, cr = full[0], full[1] - 128, full[2] - 128
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------- tests
+
+
+class TestRoundTrip:
+    def test_psnr_by_quality(self):
+        # noise-free gradients: quality curve must rise well past the
+        # north rule's 40 dB lossy gate by q=85
+        img = _structured(40, 56, noise=0)
+        last = 0
+        for q, floor in ((50, 38), (85, 45), (95, 50)):
+            out = jpeg_decode(jpeg_encode(img, q))
+            assert out.shape == img.shape
+            p = _psnr(img, out)
+            assert p >= floor, f"q={q}: {p:.1f} dB"
+            assert p > last  # quality is monotone
+            last = p
+
+    def test_noisy_image_saturates_at_noise_floor(self):
+        # +/-8 uniform noise has variance ~24 -> if quantization removes
+        # it entirely, PSNR caps at 10*log10(255^2/24) ~ 34.3 dB. A
+        # correct codec lands NEAR that floor at mid quality (removing
+        # the noise) and ABOVE it at q=95 (partially preserving it);
+        # far below would mean real signal loss, not noise loss.
+        img = _structured(40, 56)
+        assert _psnr(img, jpeg_decode(jpeg_encode(img, 85))) >= 33.0
+        assert _psnr(img, jpeg_decode(jpeg_encode(img, 95))) >= 35.5
+
+    def test_non_multiple_of_8_dims(self):
+        img = _structured(13, 21)
+        out = jpeg_decode(jpeg_encode(img, 90))
+        assert out.shape == (13, 21, 3)
+        assert _psnr(img, out) >= 35
+
+    def test_deterministic_bytes(self):
+        img = _structured(24, 24, seed=9)
+        assert jpeg_encode(img, 85) == jpeg_encode(img, 85)
+
+    def test_flat_image_is_tiny_and_exact(self):
+        img = np.full((32, 32, 3), 200, dtype=np.uint8)
+        b = jpeg_encode(img, 85)
+        assert len(b) < 800
+        out = jpeg_decode(b)
+        assert int(np.abs(out.astype(int) - 200).max()) <= 2
+
+
+class TestRealFiles:
+    @pytest.mark.parametrize("name", sorted(REAL_FILES))
+    def test_decodes_real_libjpeg_output(self, name):
+        path = REAL_FILES[name]
+        if not os.path.exists(path):
+            pytest.skip(f"{path} not in this container")
+        arr = jpeg_decode(open(path, "rb").read())
+        assert arr.dtype == np.uint8 and arr.ndim == 3 and arr.shape[2] == 3
+        expected = {
+            "gray_1x1_sampling": (2, 2, 3),
+            "color_420": (16, 16, 3),
+            "color_444_restart": (477, 720, 3),
+        }[name]
+        assert arr.shape == expected
+        if name != "gray_1x1_sampling":
+            assert float(arr.std()) > 10  # real content, not garbage/flat
+
+    @pytest.mark.parametrize(
+        "name", ["gray_1x1_sampling", "color_420"]
+    )
+    def test_independent_decoder_agrees(self, name):
+        """The naive in-test decoder and the production decoder must agree
+        pixel-for-pixel (±1 for float-rounding at .5 boundaries) on REAL
+        libjpeg streams — neither implementation validates itself."""
+        path = REAL_FILES[name]
+        if not os.path.exists(path):
+            pytest.skip(f"{path} not in this container")
+        data = open(path, "rb").read()
+        a = jpeg_decode(data)
+        b = naive_jpeg_decode(data)
+        assert a.shape == b.shape
+        assert int(np.abs(a.astype(int) - b.astype(int)).max()) <= 1
+
+    def test_independent_decoder_reads_our_encoder(self):
+        """Cross-pair: our encoder's output parsed by the independent
+        decoder (never by the production decoder alone)."""
+        img = _structured(16, 24, seed=5)
+        out = naive_jpeg_decode(jpeg_encode(img, 90))
+        assert _psnr(img, out) >= 35
+
+
+class TestSparkRouting:
+    def test_decode_image_routes_real_jpeg(self):
+        from olake_spark.functions.imagecodec import decode_image
+
+        img = _structured(20, 20, seed=11)
+        b = jpeg_encode(img, 90)
+        assert np.array_equal(decode_image(b), jpeg_decode(b))
+
+    def test_multimodal_stats_over_real_jpeg_payload(self, spark):
+        """End to end through the Spark kernel: a table row carrying REAL
+        baseline JPEG bytes decodes in multimodal.decode_stats."""
+        from olake_spark.operators.multimodal import decode_stats
+
+        img = _structured(18, 30, seed=13)
+        payload = jpeg_encode(img, 92)
+        df = spark.createDataFrame(
+            [("jpg-1", bytearray(payload))], "image_id string, bytes binary"
+        )
+        row = decode_stats(df).collect()[0]
+        assert row.decode_ok and row.n_pixels == 18 * 30
+        want = img.astype(np.float64).mean(axis=(0, 1))
+        assert abs(row.mean_r - want[0]) < 3
+        assert abs(row.mean_g - want[1]) < 3
+        assert abs(row.mean_b - want[2]) < 3
