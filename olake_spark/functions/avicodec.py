@@ -131,15 +131,19 @@ def encode_mjpeg_avi(
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
-def _walk_movi(data: bytes, pos: int, end: int, payloads: list) -> None:
-    """Collect '..dc'/'..db' chunk payloads, recursing into LIST('rec ')."""
+def _walk_movi(data: bytes, pos: int, end: int, payloads: list,
+               stream: bytes) -> None:
+    """Collect the target stream's 'NNdc'/'NNdb' chunk payloads, recursing
+    into LIST('rec ') groupings. Chunks of OTHER streams (a second video,
+    audio 'NNwb', subtitles) are skipped, not fed to the JPEG decoder."""
     while pos + 8 <= end:
         fourcc = data[pos:pos + 4]
         size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
         body = pos + 8
         if fourcc == b"LIST" and data[body:body + 4] == b"rec ":
-            _walk_movi(data, body + 4, body + size, payloads)
-        elif fourcc[2:4] in (b"dc", b"db") and size:
+            _walk_movi(data, body + 4, body + size, payloads, stream)
+        elif (fourcc[:2] == stream and fourcc[2:4] in (b"dc", b"db")
+                and size):
             payloads.append(data[body:body + size])
         pos = body + size + (size & 1)
 
@@ -151,17 +155,24 @@ def decode_mjpeg_avi(data: bytes, luma_only: bool = False):
     ``luma_only`` (no YCbCr→RGB roundtrip — exact and ~3× less work, the
     frame-stats path). Frames with dimensions differing from the first are
     rejected (one stream = one raster in AVI).
+
+    Reads the FIRST 'vids' stream (stream number = that strh's position in
+    strl order, per the AVI stream-numbering rule), ignoring audio/text/
+    secondary-video chunks; frames in OpenDML 'RIFF AVIX' extension chunks
+    (how muxers exceed the 32-bit first-RIFF limit on >1 GB files) are
+    included — the walk covers every top-level RIFF, not just the first.
     """
     data = bytes(data)
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI stream")
-    end = min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
+
     fps_num, fps_den = 0, 0
     usec_per_frame = 0
-    payloads: list[bytes] = []
-    stack = [(12, end)]
-    while stack:
-        pos, lim = stack.pop()
+    strh_types: list[bytes] = []   # fccType per stream, in strl order
+    movi_spans: list[tuple] = []   # movi LIST bodies, in document order
+
+    def walk(pos: int, lim: int) -> None:
+        nonlocal fps_num, fps_den, usec_per_frame
         while pos + 8 <= lim:
             fourcc = data[pos:pos + 4]
             size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
@@ -169,19 +180,39 @@ def decode_mjpeg_avi(data: bytes, luma_only: bool = False):
             if fourcc == b"LIST":
                 kind = data[body:body + 4]
                 if kind == b"movi":
-                    _walk_movi(data, body + 4, body + size, payloads)
-                else:  # hdrl / strl / odml — descend
-                    stack.append((body + 4, body + size))
+                    movi_spans.append((body + 4, min(body + size, lim)))
+                else:  # hdrl / strl / odml — descend, keeping doc order
+                    walk(body + 4, min(body + size, lim))
             elif fourcc == b"avih" and size >= 4:
                 usec_per_frame = struct.unpack("<I", data[body:body + 4])[0]
             elif fourcc == b"strh" and size >= 32:
-                if data[body:body + 4] == b"vids":
+                fcc_type = data[body:body + 4]
+                strh_types.append(fcc_type)
+                if fcc_type == b"vids" and not fps_num:
                     scale, rate = struct.unpack(
                         "<II", data[body + 20:body + 28]
                     )
                     if rate and scale:
                         fps_num, fps_den = rate, scale
             pos = body + size + (size & 1)
+
+    # every top-level RIFF: the primary 'AVI ' plus OpenDML 'AVIX' extensions
+    pos = 0
+    while pos + 12 <= len(data):
+        if data[pos:pos + 4] != b"RIFF" or \
+                data[pos + 8:pos + 12] not in (b"AVI ", b"AVIX"):
+            break
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        walk(pos + 12, min(pos + 8 + size, len(data)))
+        pos = pos + 8 + size + (size & 1)
+
+    vids = next(
+        (i for i, t in enumerate(strh_types) if t == b"vids"), 0
+    )
+    stream = b"%02d" % vids
+    payloads: list[bytes] = []
+    for s, e in movi_spans:
+        _walk_movi(data, s, e, payloads, stream)
     if not payloads:
         raise ValueError("AVI stream has no video frame chunks")
     if not fps_num:  # no vids strh — fall back to the main header

@@ -190,8 +190,14 @@ class _BitReader:
                 nxt = self.d[self.pos + 1]
                 if nxt == 0x00:
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7 or nxt in (0xD9,):
-                    # marker: pad with 1-bits per F.2.2.5 until consumed
+                elif nxt == 0xFF:
+                    # B.1.1.2 fill byte preceding a marker — skip it
+                    self.pos += 1
+                    continue
+                elif 0xD0 <= nxt <= 0xD7 or nxt in (0xD9, 0xDA, 0xC4,
+                                                    0xDB, 0xDD):
+                    # a marker (RST / EOI / the next scan's headers):
+                    # pad with 1-bits per F.2.2.5 until consumed
                     self.bitbuf = (self.bitbuf << 8) | 0xFF
                     self.nbits += 8
                     continue
@@ -246,8 +252,92 @@ def jpeg_decode(data: bytes, luma_only: bool = False) -> np.ndarray:
 
     ``luma_only`` returns the coded Y plane as (h, w) uint8 — the exact
     luma the encoder quantized, with no YCbCr→RGB→luma roundtrip error —
-    for luma-driven consumers (frame stats, perceptual features)."""
-    data = bytes(data)
+    for luma-driven consumers (frame stats, perceptual features).
+
+    Error contract: any malformed or truncated stream raises ValueError
+    (byte-access overruns are translated, never leaked as IndexError)."""
+    try:
+        return _decode_impl(bytes(data), luma_only)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated or corrupt JPEG stream ({exc})") from None
+
+
+def _decode_block(r: _BitReader, c: dict, dc_t: dict, ac_t: dict,
+                  row: int, col: int) -> None:
+    """Entropy-decode one 8x8 block of component `c` into its coefficient
+    grid at (row, col): DC prediction + EXTEND, AC run-length (F.2.2)."""
+    blk = np.zeros(64, dtype=np.int32)
+    t = r.huff(dc_t)
+    c["pred"] += _extend(r.bits(t), t)
+    blk[0] = c["pred"]
+    k = 1
+    while k < 64:
+        rs = r.huff(ac_t)
+        rr, ss = rs >> 4, rs & 0xF
+        if ss == 0:
+            if rr == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += rr
+        if k > 63:
+            raise ValueError("AC run past block end")
+        blk[ZIGZAG[k]] = _extend(r.bits(ss), ss)
+        k += 1
+    c["coef"][row * c["bw"] + col] = blk.reshape(8, 8)
+
+
+def _decode_scan(data: bytes, pos: int, scan: list[dict],
+                 huff_dc: dict, huff_ac: dict, dri: int,
+                 mcus_x: int, mcus_y: int, w: int, h: int,
+                 hmax: int, vmax: int) -> int:
+    """Decode one scan's entropy-coded segment. Ns>1 scans interleave
+    MCUs of h x v blocks per component (A.2.3); Ns=1 scans are
+    NON-interleaved — the MCU is a single block and the data unit count is
+    the component's OWN block grid, ceil(cw/8) x ceil(ch/8) (A.2.2), NOT
+    the interleaved MCU geometry. Returns the offset of the next marker."""
+    r = _BitReader(data, pos)
+    for c in scan:
+        c["pred"] = 0  # F.2.1.3.1: DC prediction resets at scan start
+        c["scanned"] = True
+    interleaved = len(scan) > 1
+    if interleaved:
+        n_units = mcus_x * mcus_y
+    else:
+        c0 = scan[0]
+        cw = -(-w * c0["h"] // hmax)
+        ch = -(-h * c0["v"] // vmax)
+        cbw, cbh = -(-cw // 8), -(-ch // 8)
+        n_units = cbw * cbh
+    for unit in range(n_units):
+        if dri and unit and unit % dri == 0:
+            r.restart()
+            for c in scan:
+                c["pred"] = 0
+        if interleaved:
+            my, mx = divmod(unit, mcus_x)
+            for c in scan:
+                dc_t, ac_t = huff_dc[c["td"]], huff_ac[c["ta"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        _decode_block(r, c, dc_t, ac_t,
+                                      my * c["v"] + by, mx * c["h"] + bx)
+        else:
+            row, col = divmod(unit, cbw)
+            _decode_block(r, c0, huff_dc[c0["td"]], huff_ac[c0["ta"]],
+                          row, col)
+    # skip residual entropy bytes / stuffing / RSTs up to the next marker
+    pos = r.pos
+    while not (
+        data[pos] == 0xFF
+        and data[pos + 1] != 0x00
+        and not (0xD0 <= data[pos + 1] <= 0xD7)
+    ):
+        pos += 1
+    return pos
+
+
+def _decode_impl(data: bytes, luma_only: bool) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -255,15 +345,19 @@ def jpeg_decode(data: bytes, luma_only: bool = False) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     comps: list[dict] = []
     h = w = 0
+    hmax = vmax = mcus_x = mcus_y = 0
     dri = 0
     pos = 2
     while True:
+        # B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while data[pos] == 0xFF and data[pos + 1] == 0xFF:
+            pos += 1
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
         m = data[pos + 1]
         pos += 2
-        if m == 0xD9:  # EOI before any scan
-            raise ValueError("no scan data (EOI)")
+        if m == 0xD9:  # EOI — done parsing
+            break
         if m == 0x01 or 0xD0 <= m <= 0xD7:
             continue
         ln = struct.unpack(">H", data[pos:pos + 2])[0]
@@ -298,7 +392,21 @@ def jpeg_decode(data: bytes, luma_only: bool = False) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({
                     "id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq,
+                    "scanned": False,
                 })
+            # allocate every component's coefficient grid over the full
+            # interleaved MCU geometry; non-interleaved scans write into
+            # its top-left ceil(cw/8) x ceil(ch/8) sub-grid
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for c in comps:
+                c["bw"] = mcus_x * c["h"]  # blocks per row in the MCU grid
+                c["bh"] = mcus_y * c["v"]
+                c["coef"] = np.zeros((c["bh"] * c["bw"], 8, 8),
+                                     dtype=np.int32)
+                c["pred"] = 0
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -307,6 +415,8 @@ def jpeg_decode(data: bytes, luma_only: bool = False) -> np.ndarray:
         elif m == 0xDD:  # DRI
             dri = struct.unpack(">H", seg[:2])[0]
         elif m == 0xDA:  # SOS — scan parameters then entropy data
+            if not comps or h == 0:
+                raise ValueError("missing SOF0 before SOS")
             ns = seg[0]
             scan = []
             for c in range(ns):
@@ -314,59 +424,18 @@ def jpeg_decode(data: bytes, luma_only: bool = False) -> np.ndarray:
                 comp = next(x for x in comps if x["id"] == cs)
                 comp["td"], comp["ta"] = tdta >> 4, tdta & 0xF
                 scan.append(comp)
-            pos += ln
-            break
+            pos = _decode_scan(data, pos + ln, scan, huff_dc, huff_ac,
+                               dri, mcus_x, mcus_y, w, h, hmax, vmax)
+            continue  # keep parsing — multi-scan files have more SOS
         pos += ln
     if not comps or h == 0:
-        raise ValueError("missing SOF0 before SOS")
-
-    hmax = max(c["h"] for c in scan)
-    vmax = max(c["v"] for c in scan)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    for c in scan:
-        c["bw"] = mcus_x * c["h"]  # blocks per row in the MCU grid
-        c["bh"] = mcus_y * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 8, 8), dtype=np.int32)
-        c["pred"] = 0
-
-    r = _BitReader(data, pos)
-    n_mcus = mcus_x * mcus_y
-    for mcu in range(n_mcus):
-        if dri and mcu and mcu % dri == 0:
-            r.restart()
-            for c in scan:
-                c["pred"] = 0
-        my, mx = divmod(mcu, mcus_x)
-        for c in scan:
-            dc_t, ac_t = huff_dc[c["td"]], huff_ac[c["ta"]]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    blk = np.zeros(64, dtype=np.int32)
-                    t = r.huff(dc_t)
-                    diff = _extend(r.bits(t), t)
-                    c["pred"] += diff
-                    blk[0] = c["pred"]
-                    k = 1
-                    while k < 64:
-                        rs = r.huff(ac_t)
-                        rr, ss = rs >> 4, rs & 0xF
-                        if ss == 0:
-                            if rr == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += rr
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        blk[ZIGZAG[k]] = _extend(r.bits(ss), ss)
-                        k += 1
-                    row = my * c["v"] + by
-                    col = mx * c["h"] + bx
-                    c["coef"][row * c["bw"] + col] = blk.reshape(8, 8)
+        raise ValueError("no SOF0 frame header")
+    missing = [c["id"] for c in comps if not c["scanned"]]
+    if missing:
+        raise ValueError(f"no scan data for component(s) {missing}")
 
     planes = []
-    for c in scan:
+    for c in comps:
         deq = c["coef"] * qt[c["tq"]][None, :, :]
         px = _idct_blocks(deq.astype(np.float64)) + 128.0
         grid = (
@@ -383,9 +452,9 @@ def jpeg_decode(data: bytes, luma_only: bool = False) -> np.ndarray:
         planes.append(grid[:h, :w])
 
     if luma_only:
-        return np.clip(planes[0], 0, 255).astype(np.uint8)
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     if len(planes) == 1:
-        y = np.clip(planes[0], 0, 255).astype(np.uint8)
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return np.stack([y, y, y], axis=-1)
     y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
     rgb = np.stack([
@@ -439,10 +508,9 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
-def _encode_blocks(bw: _BitWriter, blocks: np.ndarray, dc_tab: dict,
-                   ac_tab: dict, pred: int) -> int:
-    """Entropy-encode a (n, 8, 8) quantized-coefficient stack in order."""
-    zz = blocks.reshape(-1, 64)[:, ZIGZAG]  # (n, 64) zigzag order
+def _encode_zz(bw: _BitWriter, zz: np.ndarray, dc_tab: dict,
+               ac_tab: dict, pred: int) -> int:
+    """Entropy-encode (n, 64) zigzag-ordered quantized coefficients."""
     for row in zz:
         diff = int(row[0]) - pred
         pred = int(row[0])
@@ -527,18 +595,19 @@ def jpeg_encode(arr: np.ndarray, quality: int = 85) -> bytes:
     dc_c = _build_encode_table(*K3_DC_CHROM)
     ac_c = _build_encode_table(*K3_AC_CHROM)
     bw = _BitWriter()
-    quant = []
+    zzs = []  # zigzag once per component plane, not per MCU
     for plane, q in ((y, qy), (cb, qc), (cr, qc)):
         co = _dct_blocks(_blocks_of(plane) - 128.0)
-        quant.append(np.round(co / q[None, :, :]).astype(np.int32))
+        quant = np.round(co / q[None, :, :]).astype(np.int32)
+        zzs.append(quant.reshape(-1, 64)[:, ZIGZAG])
     # interleaved 4:4:4 MCU = one block per component
     preds = [0, 0, 0]
     tabs = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
-    n = quant[0].shape[0]
+    n = zzs[0].shape[0]
     for i in range(n):
         for ci in range(3):
-            preds[ci] = _encode_blocks(
-                bw, quant[ci][i:i + 1], *tabs[ci], preds[ci]
+            preds[ci] = _encode_zz(
+                bw, zzs[ci][i:i + 1], *tabs[ci], preds[ci]
             )
     bw.flush()
     out += bw.out

@@ -202,6 +202,65 @@ class TestDecoderTolerance:
         assert out.shape == frames.shape
         assert (fn, fd) == (1_000_000, 1_000_000 // 25)
 
+    def test_second_stream_chunks_are_not_fed_to_the_jpeg_decoder(self):
+        """A two-stream AVI (audio stream 00 + MJPEG vids stream 01): the
+        decoder must read ONLY the vids stream's '01dc' chunks and skip the
+        '00wb' audio payloads instead of crashing on them."""
+        frames = _frames(3)
+        base = encode_mjpeg_avi(frames, 30, 1, 90)
+        chunks = walk_riff(base)
+        avih = next(b for p, f, _, b in chunks if f == b"avih")
+        strh_vids = next(b for p, f, _, b in chunks if f == b"strh")
+        strf_vids = next(b for p, f, _, b in chunks if f == b"strf")
+        dcs = [b for p, f, _, b in chunks if f == b"00dc"]
+
+        def chunk(fourcc, body):
+            pad = b"\x00" if len(body) % 2 else b""
+            return fourcc + struct.pack("<I", len(body)) + body + pad
+
+        def lst(kind, body):
+            return chunk(b"LIST", kind + body)
+
+        strh_auds = b"auds" + b"\x00" * 52
+        strl_a = lst(b"strl", chunk(b"strh", strh_auds)
+                     + chunk(b"strf", b"\x00" * 16))
+        strl_v = lst(b"strl", chunk(b"strh", strh_vids)
+                     + chunk(b"strf", strf_vids))
+        hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl_a + strl_v)
+        movi_body = b""
+        for i, d in enumerate(dcs):
+            movi_body += chunk(b"00wb", b"\x11\x22\x33" * (40 + i))  # audio
+            movi_body += chunk(b"01dc", d)                           # video
+        body = b"AVI " + hdrl + lst(b"movi", movi_body)
+        two_stream = b"RIFF" + struct.pack("<I", len(body)) + body
+
+        out, fn, fd = decode_mjpeg_avi(two_stream)
+        ref, _, _ = decode_mjpeg_avi(base)
+        assert (out == ref).all() and (fn, fd) == (30, 1)
+
+    def test_opendml_avix_extension_frames_are_included(self):
+        """Frames stored in a trailing 'RIFF AVIX' extension (OpenDML, how
+        muxers exceed the first RIFF's 32-bit limit) must be decoded, not
+        silently dropped."""
+        frames = _frames(4)
+        full = encode_mjpeg_avi(frames, 30, 1, 90)
+        dcs = [b for p, f, _, b in walk_riff(full) if f == b"00dc"]
+        first = encode_mjpeg_avi(frames[:2], 30, 1, 90)
+
+        def chunk(fourcc, body):
+            pad = b"\x00" if len(body) % 2 else b""
+            return fourcc + struct.pack("<I", len(body)) + body + pad
+
+        movi = chunk(
+            b"LIST",
+            b"movi" + chunk(b"00dc", dcs[2]) + chunk(b"00dc", dcs[3]),
+        )
+        avix = b"RIFF" + struct.pack("<I", 4 + len(movi)) + b"AVIX" + movi
+        out, fn, fd = decode_mjpeg_avi(first + avix)
+        ref, _, _ = decode_mjpeg_avi(full)
+        assert out.shape[0] == 4
+        assert (out == ref).all() and (fn, fd) == (30, 1)
+
     def test_dimension_change_rejected(self):
         a = encode_mjpeg_avi(_frames(2, h=32, w=48), 30, 1)
         b = encode_mjpeg_avi(_frames(2, h=16, w=16), 30, 1)

@@ -274,6 +274,160 @@ class TestRoundTrip:
         out = jpeg_decode(b)
         assert int(np.abs(out.astype(int) - 200).max()) <= 2
 
+    def test_luma_only_flat_is_exact(self):
+        # regression: luma/gray paths must ROUND like the RGB path, not
+        # truncate (flat 200 decoded 199 before the fix)
+        flat = np.full((16, 16, 3), 200, dtype=np.uint8)
+        luma = jpeg_decode(jpeg_encode(flat, 85), luma_only=True)
+        assert luma.shape == (16, 16)
+        assert set(np.unique(luma)) == {200}
+
+
+def _mux_scans(w, h, comp_defs, scans, qtables, entropy_parts,
+               dri=0) -> bytes:
+    """Hand-mux a baseline stream with arbitrary SOF sampling factors and
+    one SOS (+ entropy segment) per entry in `scans` — builds the legal
+    shapes the production ENCODER never emits (non-interleaved Ns=1 scans,
+    multi-scan files, sampling >1 with a single component)."""
+    from olake_spark.functions.jpegcodec import (
+        K3_AC_CHROM, K3_AC_LUM, K3_DC_CHROM, K3_DC_LUM,
+    )
+    from olake_spark.functions.jpegcodec import ZIGZAG as PZZ
+
+    out = bytearray(b"\xff\xd8")
+    for tid, tbl in qtables:
+        z = tbl.reshape(64)[PZZ].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + z
+    out += b"\xff\xc0" + struct.pack(
+        ">HBHHB", 8 + 3 * len(comp_defs), 8, h, w, len(comp_defs)
+    )
+    for cid, hv, tq in comp_defs:
+        out += struct.pack("BBB", cid, hv, tq)
+    for tc, th, tdef in ((0, 0, K3_DC_LUM), (1, 0, K3_AC_LUM),
+                         (0, 1, K3_DC_CHROM), (1, 1, K3_AC_CHROM)):
+        bits, vals = tdef
+        body = bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    for scan_comps, entropy in zip(scans, entropy_parts):
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(scan_comps),
+                                         len(scan_comps))
+        for cid, tdta in scan_comps:
+            out += struct.pack("BB", cid, tdta)
+        out += b"\x00\x3f\x00"
+        out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _entropy_for(plane, q, dc_key, ac_key) -> bytes:
+    """Quantize one component plane and entropy-code its blocks in raster
+    order (one non-interleaved scan), via the production encoder kernels."""
+    from olake_spark.functions.jpegcodec import (
+        ZIGZAG, _BitWriter, _blocks_of, _build_encode_table, _dct_blocks,
+        _encode_zz,
+    )
+    from olake_spark.functions import jpegcodec as J
+
+    co = _dct_blocks(_blocks_of(plane.astype(np.float64)) - 128.0)
+    zz = np.round(co / q[None, :, :]).astype(np.int32).reshape(-1, 64)[
+        :, ZIGZAG
+    ]
+    bw = _BitWriter()
+    dc = _build_encode_table(*getattr(J, dc_key))
+    ac = _build_encode_table(*getattr(J, ac_key))
+    _encode_zz(bw, zz, dc, ac, 0)
+    bw.flush()
+    return bytes(bw.out)
+
+
+class TestSpecShapes:
+    """Legal baseline shapes the production encoder never writes — the
+    decoder must still read them (T.81 A.2.2 non-interleaved data order,
+    B.2.3 multiple scans per frame, B.1.1.2 fill bytes)."""
+
+    def test_single_component_scan_with_sampling_gt_one(self):
+        # Ns=1 ⇒ NON-interleaved: data units = the component's own block
+        # grid ceil(w/8)*ceil(h/8), not the h=v=2 MCU geometry
+        from olake_spark.functions.jpegcodec import _quality_tables
+
+        gray = _structured(24, 40, noise=0)[..., 0]  # smooth gradient
+        qy, _ = _quality_tables(90)
+        b = _mux_scans(
+            40, 24,
+            comp_defs=[(1, 0x22, 0)],        # h=v=2, single component
+            scans=[[(1, 0x00)]],
+            qtables=[(0, qy)],
+            entropy_parts=[_entropy_for(gray, qy, "K3_DC_LUM", "K3_AC_LUM")],
+        )
+        out = jpeg_decode(b)
+        assert out.shape == (24, 40, 3)
+        assert _psnr(np.stack([gray] * 3, axis=-1), out) >= 44
+        # the pre-fix decoder applied interleaved ceil(w/16) MCU geometry
+        # here and died with 'invalid Huffman code in scan'
+
+    def test_three_scan_color_equals_interleaved(self):
+        # same quantized coefficients muxed as three Ns=1 scans must decode
+        # pixel-identically to the interleaved single-scan encoder output
+        from olake_spark.functions.jpegcodec import _quality_tables
+
+        img = _structured(21, 29, noise=0)
+        interleaved = jpeg_decode(jpeg_encode(img, 88))
+        qy, qc = _quality_tables(88)
+        f = img.astype(np.float64)
+        y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+        cb = (-0.168736 * f[..., 0] - 0.331264 * f[..., 1]
+              + 0.5 * f[..., 2] + 128)
+        cr = (0.5 * f[..., 0] - 0.418688 * f[..., 1]
+              - 0.081312 * f[..., 2] + 128)
+        b = _mux_scans(
+            29, 21,
+            comp_defs=[(1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)],
+            scans=[[(1, 0x00)], [(2, 0x11)], [(3, 0x11)]],
+            qtables=[(0, qy), (1, qc)],
+            entropy_parts=[
+                _entropy_for(y, qy, "K3_DC_LUM", "K3_AC_LUM"),
+                _entropy_for(cb, qc, "K3_DC_CHROM", "K3_AC_CHROM"),
+                _entropy_for(cr, qc, "K3_DC_CHROM", "K3_AC_CHROM"),
+            ],
+        )
+        assert (jpeg_decode(b) == interleaved).all()
+
+    def test_fill_bytes_before_markers(self):
+        img = _structured(16, 16)
+        b = jpeg_encode(img, 85)
+        base = jpeg_decode(b)
+        for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xda", b"\xff\xd9"):
+            i = b.find(marker)
+            padded = b[:i] + b"\xff" * 3 + b[i:]
+            assert (jpeg_decode(padded) == base).all()
+
+    def test_truncated_streams_raise_valueerror(self):
+        b = jpeg_encode(_structured(16, 16), 85)
+        for cut in (4, 10, 30, len(b) // 2, len(b) - 3):
+            with pytest.raises(ValueError):
+                jpeg_decode(b[:cut])
+
+    def test_missing_component_scan_raises(self):
+        # color SOF but only the luma scan present → explicit error, not a
+        # silently-gray image
+        from olake_spark.functions.jpegcodec import _quality_tables
+
+        img = _structured(16, 16, noise=0)
+        qy, qc = _quality_tables(85)
+        f = img.astype(np.float64)
+        y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+        b = _mux_scans(
+            16, 16,
+            comp_defs=[(1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)],
+            scans=[[(1, 0x00)]],
+            qtables=[(0, qy), (1, qc)],
+            entropy_parts=[_entropy_for(y, qy, "K3_DC_LUM", "K3_AC_LUM")],
+        )
+        with pytest.raises(ValueError, match="no scan data for component"):
+            jpeg_decode(b)
+
 
 class TestRealFiles:
     @pytest.mark.parametrize("name", sorted(REAL_FILES))
