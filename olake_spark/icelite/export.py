@@ -197,6 +197,9 @@ def _partition_codec(transform: str, src_dt: T.DataType):
     import datetime as _dt
 
     epoch = _dt.date(1970, 1, 1)
+    if transform == "void":
+        # dropped partition field (v1 spec evolution): always null
+        return "int", (lambda v: None), (lambda v: None)
     if transform == "bucket":
         return "int", lambda v: int(v), lambda v: str(int(v))
     if transform == "year":
@@ -232,13 +235,33 @@ def _partition_codec(transform: str, src_dt: T.DataType):
         return "int", enc, dec
     if transform in ("identity", "truncate"):
         # result type = source type (truncate is defined on int/long/string/
-        # decimal; icelite writes int/long/string)
+        # decimal; identity on any primitive — real Iceberg tables partition
+        # by identity(ts)/float/decimal too, and open_iceberg must load them)
         if isinstance(src_dt, (T.IntegerType, T.ShortType, T.ByteType)):
             return "int", lambda v: int(v), lambda v: str(int(v))
         if isinstance(src_dt, T.LongType):
             return "long", lambda v: int(v), lambda v: str(int(v))
         if isinstance(src_dt, T.StringType):
             return "string", lambda v: str(v), lambda v: str(v)
+        if isinstance(src_dt, T.DecimalType):
+            scale = src_dt.scale
+
+            def enc_dec(v):
+                from decimal import Decimal
+
+                unscaled = int(Decimal(str(v)).scaleb(scale))
+                n = max(1, (unscaled.bit_length() + 8) // 8)
+                return unscaled.to_bytes(n, "big", signed=True)
+
+            def dec_dec(v):
+                from decimal import Decimal
+
+                unscaled = int.from_bytes(bytes(v), "big", signed=True)
+                return str(Decimal(unscaled).scaleb(-scale))
+
+            return ({"type": "bytes", "logicalType": "decimal",
+                     "precision": src_dt.precision, "scale": scale},
+                    enc_dec, dec_dec)
         if transform == "identity":
             if isinstance(src_dt, T.BooleanType):
                 return ("boolean", lambda v: str(v).lower() == "true",
@@ -248,6 +271,23 @@ def _partition_codec(transform: str, src_dt: T.DataType):
                         lambda v: (_dt.date.fromisoformat(str(v)) - epoch).days,
                         lambda v: (epoch + _dt.timedelta(days=int(v)))
                         .isoformat())
+            if isinstance(src_dt, T.TimestampType):
+                ep = _dt.datetime(1970, 1, 1)
+
+                def enc_ts(v):
+                    d = _dt.datetime.fromisoformat(str(v).replace("Z", ""))
+                    return round((d - ep).total_seconds() * 1_000_000)
+
+                def dec_ts(v):
+                    return (ep + _dt.timedelta(microseconds=int(v))
+                            ).isoformat()
+
+                return ({"type": "long", "logicalType": "timestamp-micros"},
+                        enc_ts, dec_ts)
+            if isinstance(src_dt, T.FloatType):
+                return "float", lambda v: float(v), lambda v: repr(float(v))
+            if isinstance(src_dt, T.DoubleType):
+                return "double", lambda v: float(v), lambda v: repr(float(v))
         raise ValueError(
             f"no spec partition-value codec for {transform} over "
             f"{src_dt.simpleString()}"
@@ -605,7 +645,9 @@ def _resolve_metadata_path(location: str) -> str:
     HadoopTables layout real Iceberg writes): a root resolves through
     `metadata/version-hint.text` when present, else the highest
     `vN.metadata.json` under `metadata/` — the same newest-wins convention
-    HadoopTableOperations uses."""
+    HadoopTableOperations uses. file: URIs (the form real metadata
+    self-references and catalogs hand out) are normalized first."""
+    location = _norm_uri(location)
     if os.path.isfile(location):
         return location
     mdir = os.path.join(location, "metadata")
@@ -693,10 +735,19 @@ def _load_iceberg(metadata_json: str, snapshot_id: int | None = None):
     }
 
     snap_id = snapshot_id if snapshot_id is not None else (
-        meta["current-snapshot-id"]
+        meta.get("current-snapshot-id")
     )
+    if snapshot_id is None and (snap_id is None or snap_id == -1):
+        # real Iceberg writes current-snapshot-id -1 (or omits it) for a
+        # table with no commits yet: a legal, empty table — not an error
+        return SimpleNamespace(
+            meta=meta, schema=schema, by_id=by_id, types_by_id=types_by_id,
+            ident=ident, pfields=pfields, part_codecs=part_codecs,
+            snap_id=None, snap=None, entries=[],
+        )
     snap = next(
-        (s for s in meta["snapshots"] if s["snapshot-id"] == snap_id), None
+        (s for s in meta.get("snapshots", [])
+         if s["snapshot-id"] == snap_id), None
     )
     if snap is None:
         raise ValueError(f"snapshot {snap_id} not in {metadata_json!r}")
@@ -867,7 +918,10 @@ def import_iceberg(spark, metadata_json: str, dest_root: str, io=None) -> Table:
     importer's absolute-path tagging (same mechanics as clone.py). Eq-delete
     reconciliation needs no `_delete_seq` column — the manifest entry's
     sequence number is authoritative (table.py:_apply_deletes). For a scan
-    with no table creation at all, see open_iceberg."""
+    with no table creation at all, see open_iceberg. `metadata_json`
+    accepts the same forms as open_iceberg: a metadata.json path or a table
+    root (version-hint / highest-vN resolution)."""
+    metadata_json = _resolve_metadata_path(metadata_json)
     ice = _load_iceberg(metadata_json, None)
     meta = ice.meta
     by_id, types_by_id = ice.by_id, ice.types_by_id
@@ -927,8 +981,22 @@ def import_iceberg(spark, metadata_json: str, dest_root: str, io=None) -> Table:
         }
         mins = _decode_bounds(df["lower_bounds"])
         maxs = _decode_bounds(df["upper_bounds"])
+        def _dec_part(k, v):
+            atype, _enc, dec = part_codecs[k]
+            is_str_type = atype == "string" or (
+                isinstance(atype, dict) and atype.get("type") == "string"
+            )
+            if isinstance(v, str) and not is_str_type:
+                # legacy (round-4) export: partition values were written as
+                # icelite's native strings under an Avro "string" schema —
+                # the OCF reader surfaces them as str; they ARE the target
+                # form, so pass through instead of mis-decoding ('2024' is
+                # the year 2024, not 1970+2024)
+                return v
+            return dec(v)
+
         partition = {
-            k: part_codecs[k][2](v)  # spec-typed value → icelite string
+            k: _dec_part(k, v)  # spec-typed value → icelite string
             for k, v in (df["partition"] or {}).items()
             if v is not None and k in part_codecs
         }

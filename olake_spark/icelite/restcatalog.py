@@ -92,14 +92,15 @@ class _CatalogState:
         root = os.path.abspath(
             location or os.path.join(self.warehouse, ns, name)
         )
-        if location is not None and os.path.isdir(
-            os.path.join(root, "metadata")
-        ) and self.current_version(root) == 0:
-            # the server is the commit authority and reads versions through
-            # its OWN io — a pre-existing table the server cannot see would
-            # CAS against version 0 forever (and purge nothing on drop)
+        if location is not None and self.current_version(root) == 0:
+            # an explicit location only arrives via register_table (plain
+            # creates let the server mint a warehouse path), so the root
+            # must hold an EXISTING table readable through the server's own
+            # io: the server is the commit authority — a table it cannot
+            # see (invisible root or unparseable metadata dir) would CAS
+            # against version 0 forever and purge nothing on drop
             raise ValueError(
-                "location has a metadata dir the catalog server cannot "
+                "location has no table metadata the catalog server can "
                 "read; the REST catalog requires server-local storage"
             )
         self.registry[ident] = root

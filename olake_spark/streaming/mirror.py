@@ -92,6 +92,24 @@ def apply_changelog_batch(dst: Table, batch_df, txn=None) -> dict:
     )
 
 
+def _checkpoint_known_fresh(ck: str) -> bool:
+    """True only when we can POSITIVELY see the checkpoint is absent.
+    Local paths (and file: URIs) are checked on disk; any other scheme
+    (hdfs:, s3a:, ...) is unverifiable from here, so the answer is False —
+    the mirror then keeps Spark's mandatory unbounded first batch rather
+    than risk a bounded initial on what may be a RESTART (the one
+    configuration table_source.py documents as unsafe)."""
+    import os
+    from urllib.parse import urlparse
+
+    parsed = urlparse(ck)
+    if parsed.scheme == "":
+        return not os.path.exists(ck)
+    if parsed.scheme == "file":
+        return not os.path.exists(parsed.path)
+    return False
+
+
 def mirror_table_stream(spark, src_root: str, dst_root: str,
                         checkpoint: str, app: str = "icelite-mirror",
                         trigger: dict | None = None,
@@ -104,13 +122,11 @@ def mirror_table_stream(spark, src_root: str, dst_root: str,
     fresh start from a restart, so the bound covers the very first batch
     on fresh checkpoints and a RESTARTED mirror keeps Spark's mandatory
     unbounded first batch (see IceliteStreamReader.__init__)."""
-    import os
-
     feed = read_table_stream(
         spark, src_root, mode="changelog",
         max_files_per_batch=max_files_per_batch,
         initial_batch_bounded=bool(max_files_per_batch)
-        and not os.path.exists(checkpoint),
+        and _checkpoint_known_fresh(checkpoint),
     )
 
     def apply(batch_df, batch_id: int) -> None:

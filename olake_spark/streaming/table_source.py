@@ -94,11 +94,11 @@ class IceliteChangePartition(InputPartition):
 
 
 def _pa_type(spark_simple: str):
-    """Spark simpleString → pyarrow type, for columns that must be
-    SYNTHESIZED (null-backfill of schema-evolved or non-key columns).
-    Columns present in a parquet file take their arrow type from the file
-    schema instead (see :func:`_target_schema`) — this mapping only needs
-    to cover what a null column can be typed as."""
+    """Spark simpleString → CANONICAL pyarrow type. Batch columns are cast
+    to this (see :func:`_target_schema`) so by-reference files from other
+    writers (timestamp[ns], large_list, ...) surface uniformly; declared
+    types this mapping cannot express (struct/map/nested) keep the file's
+    own arrow type, and only then must the column be file-supplied."""
     import pyarrow as pa
 
     s = spark_simple.strip()
@@ -124,17 +124,25 @@ def _pa_type(spark_simple: str):
 
 def _target_schema(file_schema, columns: list[str], col_types: list[str],
                    extra_fields=()):
-    """Arrow schema for an output batch: columns the file supplies keep the
-    FILE's arrow type (so nested/struct/map columns work whenever parquet
-    can provide them natively); only missing, null-backfilled columns are
-    typed through :func:`_pa_type`."""
+    """Arrow schema for an output batch. Primitive columns are normalized
+    to the CANONICAL arrow type for the declared Spark type (so a
+    by-reference file written by another writer — e.g. imported
+    real-Iceberg parquet carrying timestamp[ns] — is cast to what the
+    source declared, not shipped raw); columns whose declared type
+    :func:`_pa_type` cannot express (struct/map/nested) take the file's own
+    arrow type, which parquet supplies natively; missing columns are
+    null-backfilled at the canonical type."""
     import pyarrow as pa
 
     have = set(file_schema.names) if file_schema is not None else set()
-    fields = [
-        file_schema.field(c) if c in have else pa.field(c, _pa_type(t))
-        for c, t in zip(columns, col_types)
-    ]
+    fields = []
+    for c, t in zip(columns, col_types):
+        try:
+            fields.append(pa.field(c, _pa_type(t)))
+        except ValueError:
+            if c not in have:
+                raise  # cannot synthesize a null column of this type
+            fields.append(file_schema.field(c))
     return pa.schema(fields + list(extra_fields))
 
 

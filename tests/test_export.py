@@ -466,3 +466,158 @@ def test_partition_values_spec_typed(spark, tmp_table_dir):
     assert {p for _, p in got} == {p for _, p in src}
     assert imp.scan().orderBy("doc_id").collect() == \
         t.scan().orderBy("doc_id").collect()
+
+
+class TestReviewRegressions:
+    """Round-5 review findings on the interop surface."""
+
+    def test_partition_codec_covers_real_iceberg_types(self):
+        """Real warehouses partition by identity(ts)/float/double/decimal,
+        truncate(decimal), and carry void transforms after spec evolution —
+        the codec must not refuse them at eager build time."""
+        from pyspark.sql import types as T
+
+        from olake_spark.icelite.export import _partition_codec
+
+        at, enc, dec = _partition_codec("identity", T.TimestampType())
+        assert at == {"type": "long", "logicalType": "timestamp-micros"}
+        assert dec(enc("2024-03-15 07:30:00.123456")) == \
+            "2024-03-15T07:30:00.123456"
+        for dt in (T.FloatType(), T.DoubleType()):
+            _, enc, dec = _partition_codec("identity", dt)
+            assert dec(enc("1.5")) == "1.5"
+        for tr in ("identity", "truncate"):
+            at, enc, dec = _partition_codec(tr, T.DecimalType(10, 2))
+            assert at["logicalType"] == "decimal"
+            assert dec(enc("-123.45")) == "-123.45"
+            assert dec(enc("0.00")) == "0.00"
+        _, enc, dec = _partition_codec("void", T.IntegerType())
+        assert enc("anything") is None and dec(None) is None
+
+    def test_open_iceberg_accepts_file_uris(self, spark, exported):
+        from olake_spark.icelite.export import open_iceberg
+
+        t, out = exported
+        base = {r.image_id for r in t.scan(columns=["image_id"]).collect()}
+        root = os.path.dirname(os.path.dirname(out["metadata_json"]))
+        for loc in ("file://" + out["metadata_json"], "file://" + root):
+            got = {
+                r.image_id
+                for r in open_iceberg(
+                    spark, loc, columns=["image_id"]
+                ).collect()
+            }
+            assert got == base
+
+    def test_open_iceberg_empty_table(self, spark, tmp_path):
+        """Real Iceberg writes current-snapshot-id -1 (and snapshots: [])
+        for a table with no commits — a legal empty table, not an error."""
+        import json
+
+        from olake_spark.icelite.export import open_iceberg
+
+        mdir = tmp_path / "t" / "metadata"
+        mdir.mkdir(parents=True)
+        meta = {
+            "format-version": 2,
+            "table-uuid": "0" * 32,
+            "location": str(tmp_path / "t"),
+            "current-schema-id": 0,
+            "schemas": [{
+                "schema-id": 0, "type": "struct",
+                "fields": [
+                    {"id": 1, "name": "image_id", "type": "string",
+                     "required": True},
+                    {"id": 2, "name": "w", "type": "int"},
+                ],
+            }],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "current-snapshot-id": -1,
+            "snapshots": [],
+        }
+        (mdir / "v1.metadata.json").write_text(json.dumps(meta))
+        df = open_iceberg(spark, str(tmp_path / "t"))
+        assert df.columns == ["image_id", "w"]
+        assert df.count() == 0
+        # the omitted-key form is legal too
+        del meta["current-snapshot-id"]
+        del meta["snapshots"]
+        (mdir / "v1.metadata.json").write_text(json.dumps(meta))
+        assert open_iceberg(spark, str(tmp_path / "t")).count() == 0
+
+    def test_import_accepts_table_root(self, spark, exported, tmp_table_dir):
+        from olake_spark.icelite.export import import_iceberg
+
+        t, out = exported
+        root = os.path.dirname(os.path.dirname(out["metadata_json"]))
+        dest = os.path.join(tmp_table_dir, "imported-from-root")
+        t2 = import_iceberg(spark, root, dest)
+        assert {r.image_id for r in t2.scan(columns=["image_id"]).collect()} \
+            == {r.image_id for r in t.scan(columns=["image_id"]).collect()}
+
+    def test_import_legacy_string_partition_values(self, spark, tmp_path,
+                                                   tmp_table_dir):
+        """Pre-round-5 exports serialized partition values as icelite's
+        native strings; the importer must pass them through, not mis-decode
+        ('2024' is the year 2024, not 1970+2024)."""
+        from pyspark.sql import types as T
+
+        from olake_spark.icelite.export import export_iceberg, import_iceberg
+        from olake_spark.icelite.spec import PartitionField, PartitionSpec
+
+        t = Table.create(
+            spark, os.path.join(tmp_table_dir, "dated"),
+            T.StructType([
+                T.StructField("id", T.StringType(), False),
+                T.StructField("d", T.DateType(), True),
+            ]),
+            PartitionSpec((PartitionField("d", "year", 0),)),
+            identifier_fields=("id",),
+        )
+        t.append(spark.createDataFrame(
+            [("a", "2024-03-15"), ("b", "2025-07-01")],
+            "id string, d string",
+        ).selectExpr("id", "cast(d as date) as d"))
+        out = export_iceberg(t, str(tmp_path / "exp"))
+
+        # rewrite the data manifest's partition values to the legacy
+        # string form under an Avro string schema
+        data_mf = next(
+            p for p in out["manifests"]
+            if os.path.basename(p).startswith("manifest-data-")
+        )
+        eschema, recs = read_ocf(open(data_mf, "rb").read())
+        pf = next(
+            f for f in _iter_fields(eschema) if f["name"].startswith("_p_")
+        )
+        pf["type"] = ["null", "string"]
+        for r in recs:
+            part = r["data_file"]["partition"]
+            for k, v in part.items():
+                part[k] = str(1970 + int(v))  # legacy: calendar-year string
+        with open(data_mf, "wb") as f:
+            f.write(write_ocf(eschema, recs))
+
+        t2 = import_iceberg(spark, out["metadata_json"],
+                            os.path.join(tmp_table_dir, "legacy-import"))
+        parts = {
+            v for e in t2.entries() for k, v in (e.partition or {}).items()
+        }
+        assert parts == {"2024", "2025"}
+        got = {(r.id, str(r.d)) for r in t2.scan().collect()}
+        assert got == {("a", "2024-03-15"), ("b", "2025-07-01")}
+
+
+def _iter_fields(schema):
+    """All record fields anywhere in an Avro schema tree."""
+    if isinstance(schema, dict):
+        if schema.get("type") == "record":
+            for f in schema["fields"]:
+                yield f
+                yield from _iter_fields(f["type"])
+        elif schema.get("type") == "array":
+            yield from _iter_fields(schema["items"])
+    elif isinstance(schema, list):
+        for b in schema:
+            yield from _iter_fields(b)

@@ -186,3 +186,22 @@ def test_catchup_rate_bounded_converges(spark, tmp_table_dir):
         # inserts + retraction keys for <= cap files' worth of commits —
         # far below the 120-row table (O(delta), not O(table))
         assert int(s["summary"]["added-records"]) <= 48, s["summary"]
+
+
+def test_checkpoint_freshness_is_conservative_for_remote_schemes(tmp_path):
+    """initial_batch_bounded is only safe on a checkpoint KNOWN fresh; a
+    URI-form checkpoint (hdfs:, s3a:) cannot be probed locally, so the
+    mirror must treat it as possibly-restarting and keep the unbounded
+    first batch. os.path.exists on such a URI is always False — the bug
+    this pins made every RESTART of a remote-checkpoint mirror bounded."""
+    from olake_spark.streaming.mirror import _checkpoint_known_fresh
+
+    missing = tmp_path / "not-there"
+    present = tmp_path / "there"
+    present.mkdir()
+    assert _checkpoint_known_fresh(str(missing)) is True
+    assert _checkpoint_known_fresh(f"file://{missing}") is True
+    assert _checkpoint_known_fresh(str(present)) is False
+    assert _checkpoint_known_fresh(f"file://{present}") is False
+    for remote in ("hdfs://nn/ck", "s3a://bucket/ck", "abfss://c@a/ck"):
+        assert _checkpoint_known_fresh(remote) is False

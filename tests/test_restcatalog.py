@@ -327,3 +327,36 @@ def test_version_parse_survives_five_digit_rollover(tmp_path):
         open(os.path.join(root, "metadata",
                           f"v{v:05d}.metadata.json"), "w").write("{}")
     assert st.current_version(root) == 100000
+
+
+def test_server_rejects_invisible_register_location(service, tmp_path):
+    """The create-time location guard must fire for the motivating case: a
+    root the server cannot see AT ALL (no readable table metadata) — not
+    only a visible-but-unparseable metadata dir. Accepting it would leave
+    commits CASing against version 0 forever."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    uri, _ = service
+
+    def post(path, body):
+        req = urllib.request.Request(
+            uri + path, data=_json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=10) as r:
+                return r.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    # nonexistent root
+    assert post("/v1/namespaces/reg/tables",
+                {"name": "ghost",
+                 "location": str(tmp_path / "nowhere")}) == 400
+    # existing dir with no table metadata
+    empty = tmp_path / "emptydir"
+    empty.mkdir()
+    assert post("/v1/namespaces/reg/tables",
+                {"name": "hollow", "location": str(empty)}) == 400

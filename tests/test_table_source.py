@@ -555,3 +555,33 @@ def test_stream_nested_array_column(spark, tmp_table_dir):
     assert got2.count() == 41
     d = got2.filter("_change_type = 'delete'").select("vec").collect()
     assert len(d) == 1 and d[0]["vec"] == [30.0, 31.0, 32.0, 33.0]
+
+
+def test_target_schema_normalizes_foreign_primitive_types():
+    """By-reference files from other writers carry non-canonical arrow
+    types (timestamp[ns], large_string); the stream must surface the
+    CANONICAL type for every primitive the declared schema can express,
+    keeping the file's own type only for nested/struct columns _pa_type
+    cannot synthesize."""
+    import pyarrow as pa
+
+    from olake_spark.streaming.table_source import _target_schema
+
+    file_schema = pa.schema([
+        ("ts", pa.timestamp("ns")),               # foreign: ns, no tz
+        ("name", pa.large_string()),              # foreign: large_string
+        ("meta", pa.struct([("a", pa.int32())])),  # not expressible
+    ])
+    target = _target_schema(
+        file_schema,
+        ["ts", "name", "meta"],
+        ["timestamp", "string", "struct<a:int>"],
+    )
+    assert target.field("ts").type == pa.timestamp("us", tz="UTC")
+    assert target.field("name").type == pa.string()
+    assert target.field("meta").type == file_schema.field("meta").type
+    # a column neither mappable nor file-supplied cannot be synthesized
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _target_schema(file_schema, ["gone"], ["struct<b:int>"])
