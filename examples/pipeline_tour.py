@@ -223,6 +223,54 @@ def main() -> None:
         mirror.refresh()
         step("clone_and_pipe", clone_rows=dev.scan().count(),
              mirrored_rows=mirror.scan().count())
+
+        # ---- Iceberg-spec interop: export → read in place → re-import
+        from olake_spark.icelite.export import (
+            export_iceberg, import_iceberg, open_iceberg,
+        )
+
+        exp = export_iceberg(dev, os.path.join(wd, "iceberg-export"))
+        exp_root = os.path.dirname(os.path.dirname(exp["metadata_json"]))
+        in_place = open_iceberg(spark, exp_root).count()
+        reimported = import_iceberg(
+            spark, exp_root, os.path.join(wd, "reimported")
+        ).scan().count()
+        step("iceberg_interop", exported_manifests=len(exp["manifests"]),
+             open_in_place_rows=in_place, reimported_rows=reimported)
+
+        # ---- real media: baseline-JPEG images and an MJPEG-AVI video
+        # through the same multimodal kernels the synthetic fixtures use
+        import numpy as np
+
+        from olake_spark.functions.avicodec import encode_mjpeg_avi
+        from olake_spark.functions.jpegcodec import jpeg_encode
+        from olake_spark.operators.multimodal import (
+            decode_stats, sample_frames,
+        )
+
+        xx, yy = np.meshgrid(np.arange(64), np.arange(48))
+        frames = np.stack([
+            np.stack([(xx * 3 + f * 9) % 256, (yy * 5 + f * 5) % 256,
+                      ((xx + yy) * 2 + f) % 256], axis=-1)
+            for f in range(12)
+        ]).astype(np.uint8)
+        jpgs = spark.createDataFrame(
+            [(f"jpg-{i}", bytearray(jpeg_encode(frames[i], 90)),
+              64, 48, "jpeg", f"real jpeg {i}", i) for i in range(4)],
+            "image_id string, bytes binary, w int, h int, fmt string, "
+            "caption string, phash long",
+        )
+        jstats = decode_stats(jpgs).collect()
+        vids = spark.createDataFrame(
+            [("clip-0", bytearray(encode_mjpeg_avi(frames, 24, 1, 90)))],
+            "video_id string, bytes binary",
+        )
+        vframes = sample_frames(vids, every_n=4).collect()
+        step("real_media",
+             jpeg_decoded=sum(r["decode_ok"] for r in jstats),
+             mjpeg_frames_sampled=len(vframes),
+             frame_indexes=[r["frame_idx"] for r in vframes])
+
         step("done", warehouse=wd)
     finally:
         spark.stop()
