@@ -57,12 +57,15 @@ def encode_mjpeg_avi(
     fps_num: int = 30,
     fps_den: int = 1,
     quality: int = 90,
+    subsampling: str = "444",
 ) -> bytes:
     """uint8 RGB frames (n, h, w, 3) → MJPEG AVI bytes.
 
     Every frame becomes an independent baseline JPEG ('00dc' chunk), so the
     stream is all-keyframes — the property that makes MJPEG the standard
     archival/intermediate format and every frame random-accessible.
+    ``subsampling`` passes through to :func:`jpegcodec.jpeg_encode`
+    ("444" full chroma, "420" for libjpeg-default half-rate chroma).
     """
     f = np.asarray(frames)
     if f.dtype != np.uint8 or f.ndim != 4 or f.shape[3] != 3:
@@ -73,7 +76,7 @@ def encode_mjpeg_avi(
     if fps_num <= 0 or fps_den <= 0:
         raise ValueError("fps must be a positive rational")
 
-    payloads = [jpeg_encode(f[i], quality) for i in range(n)]
+    payloads = [jpeg_encode(f[i], quality, subsampling) for i in range(n)]
     max_len = max(len(p) for p in payloads)
 
     # AVIMAINHEADER (56 bytes): rate as integer microseconds per frame

@@ -553,11 +553,39 @@ def _blocks_of(plane: np.ndarray) -> np.ndarray:
     )
 
 
-def jpeg_encode(arr: np.ndarray, quality: int = 85) -> bytes:
-    """Encode an HxWx3 uint8 RGB array as baseline sequential JPEG
-    (4:4:4, JFIF, Annex-K Huffman tables)."""
+def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Edge-replicate pad an HxW plane up to (mh, mw)."""
+    return np.pad(
+        plane,
+        ((0, mh - plane.shape[0]), (0, mw - plane.shape[1])),
+        mode="edge",
+    )
+
+
+def _quant_zz(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Plane → (n_blocks, 64) zigzag-ordered quantized coefficients."""
+    co = _dct_blocks(_blocks_of(plane) - 128.0)
+    return np.round(co / q[None, :, :]).astype(np.int32) \
+        .reshape(-1, 64)[:, ZIGZAG]
+
+
+def jpeg_encode(arr: np.ndarray, quality: int = 85,
+                subsampling: str = "444") -> bytes:
+    """Encode an HxWx3 uint8 RGB array as baseline sequential JPEG (JFIF,
+    Annex-K Huffman tables). ``subsampling``:
+
+    - ``"444"`` (default): full-resolution chroma, one block per component
+      per MCU — bit-deterministic and the highest-fidelity choice.
+    - ``"420"``: 2x2-averaged chroma (libjpeg's default), MCU = four Y
+      blocks + one Cb + one Cr — roughly half the chroma payload for
+      visually equivalent output on photographic content.
+    """
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError("jpeg_encode wants an HxWx3 uint8 array")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', "
+                         f"got {subsampling!r}")
+    sub = subsampling == "420"
     h, w = arr.shape[:2]
     f = arr.astype(np.float64)
     y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
@@ -575,8 +603,9 @@ def jpeg_encode(arr: np.ndarray, quality: int = 85) -> bytes:
 
     out += _dqt(0, qy) + _dqt(1, qc)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        out += struct.pack("BBB", cid, 0x11, tq)  # 4:4:4
+    y_hv = 0x22 if sub else 0x11
+    for cid, hv, tq in ((1, y_hv, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += struct.pack("BBB", cid, hv, tq)
 
     def _dht(tc: int, th: int, tdef) -> bytes:
         bits, vals = tdef
@@ -595,20 +624,47 @@ def jpeg_encode(arr: np.ndarray, quality: int = 85) -> bytes:
     dc_c = _build_encode_table(*K3_DC_CHROM)
     ac_c = _build_encode_table(*K3_AC_CHROM)
     bw = _BitWriter()
-    zzs = []  # zigzag once per component plane, not per MCU
-    for plane, q in ((y, qy), (cb, qc), (cr, qc)):
-        co = _dct_blocks(_blocks_of(plane) - 128.0)
-        quant = np.round(co / q[None, :, :]).astype(np.int32)
-        zzs.append(quant.reshape(-1, 64)[:, ZIGZAG])
-    # interleaved 4:4:4 MCU = one block per component
     preds = [0, 0, 0]
     tabs = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
-    n = zzs[0].shape[0]
-    for i in range(n):
-        for ci in range(3):
-            preds[ci] = _encode_zz(
-                bw, zzs[ci][i:i + 1], *tabs[ci], preds[ci]
+    if not sub:
+        zzs = [_quant_zz(p, q)  # zigzag once per plane, not per MCU
+               for p, q in ((y, qy), (cb, qc), (cr, qc))]
+        # interleaved 4:4:4 MCU = one block per component
+        for i in range(zzs[0].shape[0]):
+            for ci in range(3):
+                preds[ci] = _encode_zz(
+                    bw, zzs[ci][i:i + 1], *tabs[ci], preds[ci]
+                )
+    else:
+        # 4:2:0 MCU = 16x16 px: four Y blocks (2x2 raster) + Cb + Cr over
+        # the 2x2-averaged chroma planes (A.2.3 interleaved order)
+        mx, my = -(-w // 16), -(-h // 16)
+        yp = _pad_to(y, my * 16, mx * 16)
+        # average 2x2 neighborhoods on even-padded full-res chroma
+        che, cwe = my * 16, mx * 16
+        subs = []
+        for c in (cb, cr):
+            cp = _pad_to(c, che, cwe)
+            subs.append(
+                (cp[0::2, 0::2] + cp[1::2, 0::2]
+                 + cp[0::2, 1::2] + cp[1::2, 1::2]) / 4.0
             )
+        zz_y = _quant_zz(yp, qy)
+        zz_c = [_quant_zz(s, qc) for s in subs]
+        ybw = mx * 2  # Y blocks per row
+        for m in range(mx * my):
+            r, c = divmod(m, mx)
+            for by in range(2):
+                for bx in range(2):
+                    i = (2 * r + by) * ybw + (2 * c + bx)
+                    preds[0] = _encode_zz(
+                        bw, zz_y[i:i + 1], dc_l, ac_l, preds[0]
+                    )
+            ci = r * mx + c
+            preds[1] = _encode_zz(bw, zz_c[0][ci:ci + 1], dc_c, ac_c,
+                                  preds[1])
+            preds[2] = _encode_zz(bw, zz_c[1][ci:ci + 1], dc_c, ac_c,
+                                  preds[2])
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI

@@ -153,6 +153,25 @@ class TestRoundTrip:
         f = _frames(2)
         assert encode_mjpeg_avi(f, 30, 1, 85) == encode_mjpeg_avi(f, 30, 1, 85)
 
+    def test_420_subsampled_stream(self):
+        frames = _frames(4, h=48, w=64)
+        b420 = encode_mjpeg_avi(frames, 30, 1, 88, subsampling="420")
+        b444 = encode_mjpeg_avi(frames, 30, 1, 88)
+        assert len(b420) < len(b444)
+        out, fn, fd = decode_mjpeg_avi(b420)
+        assert out.shape == frames.shape and (fn, fd) == (30, 1)
+        # this fixture's chroma carries full-rate gradients, so 2x2
+        # averaging costs real chroma fidelity (that IS 4:2:0); the loss
+        # must be chroma-CONFINED: luma stays near-lossless
+        assert _psnr(frames, out) >= 29
+
+        def luma(a):
+            a = a.astype(np.float64)
+            return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+        mse = float(np.mean((luma(frames) - luma(out)) ** 2))
+        assert 10 * np.log10(255.0**2 / mse) >= 45
+
     def test_input_validation(self):
         with pytest.raises(ValueError):
             encode_mjpeg_avi(np.zeros((0, 8, 8, 3), np.uint8), 30, 1)

@@ -283,6 +283,71 @@ class TestRoundTrip:
         assert set(np.unique(luma)) == {200}
 
 
+class TestSubsampledEncode:
+    """4:2:0 encoding (libjpeg's default sampling): MCU = four Y blocks +
+    averaged Cb + Cr. Cross-validated by the INDEPENDENT naive decoder,
+    never only by our own decoder."""
+
+    def test_roundtrip_and_independent_agreement(self):
+        img = _structured(40, 56, noise=0)
+        b = jpeg_encode(img, 90, subsampling="420")
+        ours = jpeg_decode(b)
+        assert _psnr(img, ours) >= 42
+        theirs = naive_jpeg_decode(b)
+        assert int(np.abs(ours.astype(int) - theirs.astype(int)).max()) == 0
+
+    def test_chroma_payload_shrinks_on_real_content(self):
+        # on content large enough that entropy data dominates the fixed
+        # headers, 4:2:0 must be measurably smaller than 4:4:4
+        img = _structured(96, 128, noise=4)
+        b444 = jpeg_encode(img, 85)
+        b420 = jpeg_encode(img, 85, subsampling="420")
+        assert len(b420) < len(b444) * 0.9
+
+    @pytest.mark.parametrize("hw", [(13, 21), (17, 16), (8, 8), (15, 33),
+                                    (16, 16), (1, 1)])
+    def test_odd_dimensions(self, hw):
+        img = _structured(*hw, noise=0)
+        out = jpeg_decode(jpeg_encode(img, 90, subsampling="420"))
+        assert out.shape == img.shape
+        assert _psnr(img, out) >= 30
+
+    def test_deterministic_and_validated(self):
+        img = _structured(24, 24, seed=7)
+        assert jpeg_encode(img, 85, subsampling="420") == \
+            jpeg_encode(img, 85, subsampling="420")
+        with pytest.raises(ValueError, match="subsampling"):
+            jpeg_encode(img, 85, subsampling="422x")
+
+
+class TestFuzz:
+    def test_random_images_roundtrip_both_samplings(self):
+        """Hypothesis-style fuzz (seeded loop — hypothesis can't generate
+        numpy images cheaply): random sizes/content/quality must roundtrip
+        within the quantization-error bound for BOTH samplings, and the
+        independent decoder must agree with ours on every stream."""
+        rng = np.random.default_rng(42)
+        for trial in range(12):
+            h = int(rng.integers(1, 50))
+            w = int(rng.integers(1, 50))
+            q = int(rng.integers(35, 96))
+            smooth = rng.integers(0, 200)
+            img = np.clip(
+                smooth + rng.integers(-20, 21, (h, w, 3)).cumsum(axis=1)
+                // 4, 0, 255
+            ).astype(np.uint8)
+            for sub in ("444", "420"):
+                b = jpeg_encode(img, q, subsampling=sub)
+                out = jpeg_decode(b)
+                assert out.shape == img.shape
+                # noise-like content floors near 30 dB at q=35; real signal
+                # loss would land far lower
+                assert _psnr(img, out) >= 26, (trial, h, w, q, sub)
+                theirs = naive_jpeg_decode(b)
+                assert int(np.abs(out.astype(int)
+                                  - theirs.astype(int)).max()) == 0
+
+
 def _mux_scans(w, h, comp_defs, scans, qtables, entropy_parts,
                dri=0) -> bytes:
     """Hand-mux a baseline stream with arbitrary SOF sampling factors and
