@@ -57,16 +57,15 @@ def png_encode(arr: np.ndarray, level: int = 6) -> bytes:
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
-def _unfilter(raw: np.ndarray, h: int, w: int) -> np.ndarray:
-    """Reverse PNG scanline filters (types 0-4) for 3-byte RGB pixels."""
-    stride = w * 3
+def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int = 3) -> np.ndarray:
+    """Reverse PNG scanline filters (types 0-4) for bpp-byte pixels."""
+    stride = w * bpp
     rows = raw.reshape(h, 1 + stride)
     ftypes = rows[:, 0]
     data = rows[:, 1:]
     if not ftypes.any():  # fast path: all filter 0 (what png_encode emits)
-        return data.reshape(h, w, 3).copy()
+        return data.reshape(h, w, bpp).copy()
     out = np.zeros((h, stride), dtype=np.int32)
-    bpp = 3
     for y in range(h):
         f = ftypes[y]
         line = data[y].astype(np.int32)
@@ -91,30 +90,60 @@ def _unfilter(raw: np.ndarray, h: int, w: int) -> np.ndarray:
                     pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                     v = line[x] + pr
                 cur[x] = v & 0xFF
-    return out.astype(np.uint8).reshape(h, w, 3)
+    return out.astype(np.uint8).reshape(h, w, bpp)
+
+
+# color type → samples per pixel (8-bit depth, non-interlaced)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def png_decode(data: bytes) -> np.ndarray:
-    """Decode an RGB8 PNG produced by :func:`png_encode` (filters 0-4 handled)."""
+    """Decode an 8-bit non-interlaced PNG to (h, w, 3) uint8 RGB — every
+    color type real encoders write at that depth: gray (0), RGB (2),
+    palette (3, via PLTE), gray+alpha (4), RGBA (6). Alpha is dropped
+    (training-data ingest convention); 16-bit depths, sub-8-bit palettes,
+    and Adam7 interlacing raise a clear error. Filters 0-4 handled."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, w = 8, None
     idat = b""
+    plte = None
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if ctype == b"IHDR":
-            w, h, depth, color = struct.unpack(">IIBB", body[:10])
-            if depth != 8 or color != 2:
-                raise ValueError("only 8-bit RGB supported")
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
+            if depth != 8 or color not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"only 8-bit gray/RGB/palette/alpha PNGs supported "
+                    f"(depth={depth}, color type={color})"
+                )
+            if interlace:
+                raise ValueError("Adam7-interlaced PNGs not supported")
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
             break
+    bpp = _PNG_CHANNELS[color]
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    return _unfilter(raw, h, w)
+    px = _unfilter(raw, h, w, bpp)
+    if color == 2:
+        return px
+    if color == 6:
+        return px[:, :, :3].copy()
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if plte is None:
+        raise ValueError("palette PNG without PLTE chunk")
+    return plte[px[:, :, 0]]
 
 
 def _encode_lossy(arr: np.ndarray) -> bytes:

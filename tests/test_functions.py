@@ -114,3 +114,161 @@ class TestZOrder:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def _mux_png(w, h, color, raw_scanlines, plte=None):
+    """Hand-mux a PNG from pre-filtered scanline bytes (the shapes real
+    encoders write that png_encode never does: gray/palette/alpha color
+    types, non-zero filters)."""
+    import struct
+    import zlib
+
+    def chunk(ct, body):
+        return (struct.pack(">I", len(body)) + ct + body
+                + struct.pack(">I", zlib.crc32(ct + body)))
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    out += chunk(b"IDAT", zlib.compress(raw_scanlines))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+class TestPngRealWorldShapes:
+    """8-bit color types real encoders write beyond png_encode's RGB:
+    gray (0), palette (3), gray+alpha (4), RGBA (6) — each hand-muxed with
+    KNOWN pixels so the assertion is exact; plus real libpng files from
+    the container cross-checked by an independent scalar unfilter."""
+
+    def test_gray(self):
+        raw = bytes([0, 10, 20, 0, 30, 40])  # 2x2, filter 0
+        out = ic.png_decode(_mux_png(2, 2, 0, raw))
+        assert out.shape == (2, 2, 3)
+        assert (out == np.array([[[10] * 3, [20] * 3],
+                                 [[30] * 3, [40] * 3]])).all()
+
+    def test_gray_alpha_drops_alpha(self):
+        raw = bytes([0, 10, 255, 20, 0])  # 2x1, alpha 255/0
+        out = ic.png_decode(_mux_png(2, 1, 4, raw))
+        assert (out == np.array([[[10] * 3, [20] * 3]])).all()
+
+    def test_rgba_drops_alpha(self):
+        raw = bytes([0, 1, 2, 3, 9, 4, 5, 6, 0])  # 2x1 RGBA
+        out = ic.png_decode(_mux_png(2, 1, 6, raw))
+        assert (out == np.array([[[1, 2, 3], [4, 5, 6]]])).all()
+
+    def test_palette(self):
+        plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red green blue
+        raw = bytes([0, 0, 1, 0, 2, 0])  # 2 rows: (red,green),(blue,red)
+        out = ic.png_decode(_mux_png(2, 2, 3, raw, plte))
+        assert (out == np.array([[[255, 0, 0], [0, 255, 0]],
+                                 [[0, 0, 255], [255, 0, 0]]])).all()
+
+    def test_filters_on_multibyte_pixels(self):
+        # Sub(1) on RGBA: reconstructed a = pixel bpp=4 bytes to the left
+        raw = bytes([1, 10, 20, 30, 40, 5, 5, 5, 5])  # 2x1, second = first+5
+        out = ic.png_decode(_mux_png(2, 1, 6, raw))
+        assert (out == np.array([[[10, 20, 30], [15, 25, 35]]])).all()
+
+    def test_unsupported_shapes_raise(self):
+        import struct
+        import zlib
+
+        def chunk(ct, body):
+            return (struct.pack(">I", len(body)) + ct + body
+                    + struct.pack(">I", zlib.crc32(ct + body)))
+
+        def png(depth, color, interlace):
+            return (b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", struct.pack(
+                        ">IIBBBBB", 1, 1, depth, color, 0, 0, interlace))
+                    + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+                    + chunk(b"IEND", b""))
+
+        with pytest.raises(ValueError, match="depth=16"):
+            ic.png_decode(png(16, 0, 0))
+        with pytest.raises(ValueError, match="color type=1"):
+            ic.png_decode(png(8, 1, 0))
+        with pytest.raises(ValueError, match="interlaced"):
+            ic.png_decode(png(8, 0, 1))
+
+    def test_real_libpng_files_decode(self):
+        """Every 8-bit non-interlaced PNG shipped with public packages in
+        this environment must decode to (h, w, 3) uint8; the first real
+        RGB file is additionally cross-checked pixel-exactly by an
+        independent scalar unfilter written here."""
+        import glob
+        import struct
+        import zlib
+
+        cands = glob.glob(
+            "/root/.pyenv/versions/*/lib/python*/site-packages/**/*.png",
+            recursive=True,
+        ) + glob.glob(
+            "/root/.rustup/toolchains/stable-*/share/doc/rust/html/**/*.png",
+            recursive=True,
+        )
+        by_type = {}
+        for p in cands:
+            try:
+                d = open(p, "rb").read(33)
+            except OSError:
+                continue
+            if d[:8] != b"\x89PNG\r\n\x1a\n":
+                continue
+            w, h, depth, ct, _, _, inter = struct.unpack(">IIBBBBB", d[16:29])
+            if depth == 8 and inter == 0 and ct in (0, 2, 3, 4, 6):
+                by_type.setdefault(ct, p)
+        if not by_type:
+            pytest.skip("no real PNGs in this environment")
+        for ct, p in sorted(by_type.items()):
+            arr = ic.png_decode(open(p, "rb").read())
+            assert arr.ndim == 3 and arr.shape[2] == 3
+            assert arr.dtype == np.uint8
+
+        if 2 not in by_type:
+            return
+        # independent unfilter: pure-scalar, structured unlike production
+        data = open(by_type[2], "rb").read()
+        pos, idat = 8, b""
+        while pos < len(data):
+            (ln,) = struct.unpack(">I", data[pos:pos + 4])
+            ct_ = data[pos + 4:pos + 8]
+            if ct_ == b"IHDR":
+                w, h = struct.unpack(">II", data[pos + 8:pos + 16])
+            elif ct_ == b"IDAT":
+                idat += data[pos + 8:pos + 8 + ln]
+            pos += 12 + ln
+        raw = zlib.decompress(idat)
+        stride = w * 3
+        ref = []
+        prev = [0] * stride
+        for y in range(h):
+            row = raw[y * (stride + 1):(y + 1) * (stride + 1)]
+            f, line = row[0], list(row[1:])
+            cur = [0] * stride
+            for x in range(stride):
+                a = cur[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                if f == 0:
+                    v = line[x]
+                elif f == 1:
+                    v = line[x] + a
+                elif f == 2:
+                    v = line[x] + b
+                elif f == 3:
+                    v = line[x] + ((a + b) >> 1)
+                else:
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pr = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                    v = line[x] + pr
+                cur[x] = v & 0xFF
+            ref.append(cur)
+            prev = cur
+        ref_arr = np.array(ref, dtype=np.uint8).reshape(h, w, 3)
+        assert (ic.png_decode(data) == ref_arr).all()
