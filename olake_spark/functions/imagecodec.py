@@ -130,6 +130,8 @@ def png_decode(data: bytes) -> np.ndarray:
             idat += body
         elif ctype == b"IEND":
             break
+    if w is None:
+        raise ValueError("PNG missing IHDR chunk")
     bpp = _PNG_CHANNELS[color]
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
     px = _unfilter(raw, h, w, bpp)

@@ -193,6 +193,9 @@ class TestPngRealWorldShapes:
             ic.png_decode(png(8, 1, 0))
         with pytest.raises(ValueError, match="interlaced"):
             ic.png_decode(png(8, 0, 1))
+        # PNG signature but no IHDR chunk: a clear error, not a NameError
+        with pytest.raises(ValueError, match="missing IHDR"):
+            ic.png_decode(b"\x89PNG\r\n\x1a\n" + chunk(b"IEND", b""))
 
     def test_real_libpng_files_decode(self):
         """Every 8-bit non-interlaced PNG shipped with public packages in
