@@ -93,21 +93,61 @@ def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int = 3) -> np.ndarray:
     return out.astype(np.uint8).reshape(h, w, bpp)
 
 
-# color type → samples per pixel (8-bit depth, non-interlaced)
+# Adam7 pass layout (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _deinterlace_adam7(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reassemble an Adam7-interlaced image (PNG spec §8.2): the pixel
+    stream is seven consecutive reduced images, each filtered independently
+    as if it were its own image; unfilter each pass and scatter it into
+    place on the (y_start::y_step, x_start::x_step) grid. Empty passes
+    (reduced image has zero width or height) contribute no bytes."""
+    dims = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            dims.append((x0, y0, dx, dy, pw, ph))
+    need = sum(ph * (1 + pw * bpp) for *_, pw, ph in dims)
+    if need != len(raw):
+        raise ValueError(
+            f"Adam7 pixel-stream length mismatch: expected {need}, got {len(raw)}"
+        )
+    out = np.zeros((h, w, bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in dims:
+        n = ph * (1 + pw * bpp)
+        out[y0::dy, x0::dx] = _unfilter(raw[pos : pos + n], ph, pw, bpp)
+        pos += n
+    return out
+
+
+# color type → samples per pixel (8-bit depth)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def png_decode(data: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG to (h, w, 3) uint8 RGB — every
-    color type real encoders write at that depth: gray (0), RGB (2),
-    palette (3, via PLTE), gray+alpha (4), RGBA (6). Alpha is dropped
-    (training-data ingest convention); 16-bit depths, sub-8-bit palettes,
-    and Adam7 interlacing raise a clear error. Filters 0-4 handled."""
+    """Decode an 8-bit PNG to (h, w, 3) uint8 RGB — every color type real
+    encoders write at that depth: gray (0), RGB (2), palette (3, via PLTE),
+    gray+alpha (4), RGBA (6); both progressive-display modes (sequential and
+    Adam7-interlaced). Alpha is dropped (training-data ingest convention);
+    16-bit depths and sub-8-bit palettes raise a clear error. Filters 0-4
+    handled."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, w = 8, None
     idat = b""
     plte = None
+    interlace = 0
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
@@ -122,8 +162,8 @@ def png_decode(data: bytes) -> np.ndarray:
                     f"only 8-bit gray/RGB/palette/alpha PNGs supported "
                     f"(depth={depth}, color type={color})"
                 )
-            if interlace:
-                raise ValueError("Adam7-interlaced PNGs not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace method {interlace}")
         elif ctype == b"PLTE":
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
@@ -134,7 +174,7 @@ def png_decode(data: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR chunk")
     bpp = _PNG_CHANNELS[color]
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    px = _unfilter(raw, h, w, bpp)
+    px = _deinterlace_adam7(raw, h, w, bpp) if interlace else _unfilter(raw, h, w, bpp)
     if color == 2:
         return px
     if color == 6:

@@ -191,8 +191,8 @@ class TestPngRealWorldShapes:
             ic.png_decode(png(16, 0, 0))
         with pytest.raises(ValueError, match="color type=1"):
             ic.png_decode(png(8, 1, 0))
-        with pytest.raises(ValueError, match="interlaced"):
-            ic.png_decode(png(8, 0, 1))
+        with pytest.raises(ValueError, match="interlace method 2"):
+            ic.png_decode(png(8, 0, 2))
         # PNG signature but no IHDR chunk: a clear error, not a NameError
         with pytest.raises(ValueError, match="missing IHDR"):
             ic.png_decode(b"\x89PNG\r\n\x1a\n" + chunk(b"IEND", b""))
@@ -275,3 +275,120 @@ class TestPngRealWorldShapes:
             prev = cur
         ref_arr = np.array(ref, dtype=np.uint8).reshape(h, w, 3)
         assert (ic.png_decode(data) == ref_arr).all()
+
+
+# Adam7 pass origins/steps, transcribed from the PNG spec §8.2 pass grid
+# (the 8x8 tile "1 6 4 6 2 6 4 6 / 7... / 5 6 5 6... / ...") — written
+# out here independently of the production table so a transcription error
+# in either place breaks the round-trip below.
+_A7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_mux(arr, pass_filters=None):
+    """Independent spec-derived Adam7 ENCODER (RGB8): serialize the seven
+    reduced images with filter-0 scanlines (or a per-pass filter override),
+    one zlib stream, interlace=1 in IHDR. Never calls production code, and
+    asserts the passes tile the image exactly once."""
+    import struct
+    import zlib
+
+    h, w, _ = arr.shape
+    covered = np.zeros((h, w), dtype=np.int32)
+    raw = bytearray()
+    for i, (x0, y0, dx, dy) in enumerate(_A7_PASSES):
+        sub = arr[y0::dy, x0::dx]
+        covered[y0::dy, x0::dx] += 1
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        f = (pass_filters or {}).get(i, 0)
+        for r, row in enumerate(sub):
+            if f == 2 and r > 0:  # Up filter against the PASS's prior row
+                raw.append(2)
+                raw.extend(
+                    ((row.astype(np.int32) - sub[r - 1].astype(np.int32))
+                     & 0xFF).astype(np.uint8).tobytes())
+            else:
+                raw.append(0)
+                raw.extend(row.tobytes())
+    assert (covered == 1).all(), "Adam7 passes must tile the image exactly once"
+
+    def chunk(ct, body):
+        return (struct.pack(">I", len(body)) + ct + body
+                + struct.pack(">I", zlib.crc32(ct + body)))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+class TestPngAdam7:
+    """Adam7-interlaced decode vs an independent spec-derived encoder."""
+
+    def _img(self, h, w):
+        # deterministic non-repeating pixels so any scatter error shows
+        return (np.arange(h * w * 3, dtype=np.int64) * 97 % 251).astype(
+            np.uint8).reshape(h, w, 3)
+
+    @pytest.mark.parametrize(
+        "h,w",
+        [(1, 1), (1, 9), (9, 1), (2, 3), (5, 9), (7, 13), (8, 8),
+         (16, 16), (17, 31)],
+    )
+    def test_roundtrip_all_shapes(self, h, w):
+        arr = self._img(h, w)
+        assert (ic.png_decode(_adam7_mux(arr)) == arr).all()
+
+    def test_passes_filter_independently(self):
+        # Up-filter inside passes 6 and 7: each pass's filter context is its
+        # OWN previous reduced scanline, never the neighboring image row
+        arr = self._img(8, 8)
+        data = _adam7_mux(arr, pass_filters={5: 2, 6: 2})
+        assert (ic.png_decode(data) == arr).all()
+
+    def test_truncated_stream_raises(self):
+        import struct
+        import zlib
+
+        def chunk(ct, body):
+            return (struct.pack(">I", len(body)) + ct + body
+                    + struct.pack(">I", zlib.crc32(ct + body)))
+
+        # 2x2 RGB interlaced needs 4 pixels across passes; supply only 1
+        short = zlib.compress(bytes([0, 1, 2, 3]))
+        data = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+                + chunk(b"IDAT", short) + chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="Adam7"):
+            ic.png_decode(data)
+
+    def test_interlaced_gray_and_rgba(self):
+        # non-RGB color types flow through the same per-pass unfilter
+        import struct
+        import zlib
+
+        def chunk(ct, body):
+            return (struct.pack(">I", len(body)) + ct + body
+                    + struct.pack(">I", zlib.crc32(ct + body)))
+
+        # 2x2 gray, values 10..40: pass1=(0,0)->10, pass6? empty at 2x2;
+        # serialize per _A7_PASSES: p1 row [10], p4 empty, p5 empty? no —
+        # derive programmatically to stay spec-true
+        g = np.array([[10, 20], [30, 40]], dtype=np.uint8)
+        raw = bytearray()
+        for x0, y0, dx, dy in _A7_PASSES:
+            sub = g[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for row in sub:
+                raw.append(0)
+                raw.extend(row.tobytes())
+        data = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+        out = ic.png_decode(data)
+        assert (out == np.repeat(g[:, :, None], 3, axis=2)).all()
