@@ -10,9 +10,10 @@ This container ships no PIL/libjpeg, so:
   Kept as the synthetic fixture's lossy format because it is vectorized
   across a whole batch and entropy-coder-free, so the 1.2M-image scaling
   benchmarks measure the ENGINE, not a sequential bit-packing loop.
-- **real JPEG** → a full baseline ITU-T T.81 codec lives in
-  ``jpegcodec.py`` (pure numpy: Huffman, DCT, 4:2:0/4:2:2/4:4:4,
-  restart markers; validated against libjpeg-written files).
+- **real JPEG** → a full ITU-T T.81 codec (baseline sequential AND
+  progressive/SOF2) lives in ``jpegcodec.py`` (pure numpy: Huffman, DCT,
+  4:2:0/4:2:2/4:4:4, restart markers, Annex-G successive approximation;
+  validated against libjpeg-written files).
   ``decode_image`` auto-routes real JPEG magic (FF D8) there, so every
   decode-bearing operator ingests real-world JPEG bytes unchanged;
   ``jpegcodec.jpeg_encode`` emits spec-compliant baseline JPEG any
@@ -210,7 +211,8 @@ def decode_image(data: bytes) -> np.ndarray:
     if data[:5] == _LOSSY_MAGIC:
         return _decode_lossy(data)
     if bytes(data[:2]) == b"\xff\xd8":
-        # real JPEG bytes (SOI magic): full baseline T.81 decoder — every
+        # real JPEG bytes (SOI magic): full T.81 decoder (baseline +
+        # progressive) — every
         # decode-bearing operator (multimodal stats/resize, PSNR verify)
         # accepts real-world payloads, not just fixture containers
         from olake_spark.functions.jpegcodec import jpeg_decode

@@ -5,23 +5,30 @@ This closes the one declared stand-in left in the media layer
 engine can now DECODE real JPEG streams produced by real encoders and
 ENCODE spec-compliant baseline JPEG any libjpeg-based consumer can read.
 
-Decoder (``jpeg_decode``) — baseline sequential DCT, the profile the
-reference's image payloads use in practice:
+Decoder (``jpeg_decode``) — baseline sequential DCT plus PROGRESSIVE
+(SOF2, T.81 Annex G), the two profiles real-world JPEG files use:
   * markers: SOI/APPn/COM skipped, DQT (8-bit, multi-table segments), DHT
-    (multi-table segments), SOF0, DRI + RSTn restart handling, SOS, EOI
+    (multi-table segments), SOF0/SOF2, DRI + RSTn restart handling, SOS,
+    EOI
   * interleaved MCUs with arbitrary sampling factors (4:4:4, 4:2:2, 4:2:0,
     grayscale), canonical Huffman per Annex C, DC prediction + EXTEND
     (F.2.2.1), AC run-length with ZRL/EOB (F.2.2.2)
+  * progressive scans (G.1.2): DC first/refinement with the arithmetic
+    point transform, non-interleaved AC band scans with cross-block
+    end-of-band runs, and AC refinement correction bits
   * dequant → inverse zigzag → vectorized float IDCT over all blocks of a
     component at once (A.3.3) → level shift → per-axis sample replication
     upsample → JFIF YCbCr→RGB
   * output: HxWx3 uint8 (grayscale replicated), matching
     ``imagecodec.decode_image``'s contract
 
-Encoder (``jpeg_encode``) — baseline sequential, 4:4:4, one quant table
-pair scaled from the Annex-K.1 tables with the libjpeg quality curve, the
-Annex-K.3 "typical" Huffman tables, JFIF APP0 header. Deterministic:
-identical input + quality → identical bytes.
+Encoder (``jpeg_encode``) — baseline sequential (default) or progressive
+(``progressive=True``: libjpeg's default 10-scan script — spectral
+selection + successive approximation — transmitting coefficients identical
+to the baseline scan's, so both layouts decode to bit-identical pixels);
+4:4:4 or 4:2:0, one quant table pair scaled from the Annex-K.1 tables with
+the libjpeg quality curve, the Annex-K.3 "typical" Huffman tables, JFIF
+APP0 header. Deterministic: identical input + options → identical bytes.
 
 Scale note: entropy (de)coding is a sequential bit stream — a per-image
 Python loop by nature. That is fine where this codec runs (inside
@@ -337,6 +344,162 @@ def _decode_scan(data: bytes, pos: int, scan: list[dict],
     return pos
 
 
+def _refine_nonzero(r: _BitReader, flat: np.ndarray, z: int, p1: int) -> None:
+    """Apply one AC refinement correction bit to a nonzero-history
+    coefficient (G.1.2.3): if the bit is set and the bit at this scan's
+    precision is still 0, move the magnitude outward by 1 << Al."""
+    if r.bits(1) and (flat[z] & p1) == 0:
+        flat[z] += p1 if flat[z] > 0 else -p1
+
+
+def _decode_scan_prog(data: bytes, pos: int, scan: list[dict],
+                      huff_dc: dict, huff_ac: dict, dri: int,
+                      mcus_x: int, mcus_y: int, w: int, h: int,
+                      hmax: int, vmax: int,
+                      ss: int, se: int, ah: int, al: int) -> int:
+    """Decode one PROGRESSIVE scan (T.81 Annex G / G.1.2): DC scans
+    (Ss=Se=0, optionally interleaved) carry the high-order DC bits first
+    (arithmetic point transform) then one refinement bit per block; AC
+    scans (Ns=1 required by G.1.1) carry a zigzag band [Ss..Se] with
+    end-of-band RUNS spanning blocks, first pass placing values scaled by
+    2^Al and refinement passes appending one magnitude bit per coefficient.
+    Returns the offset of the next marker."""
+    r = _BitReader(data, pos)
+    state = {"eobrun": 0}
+    dc_scan = ss == 0
+    if dc_scan:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        for c in scan:
+            c["pred"] = 0
+            c["scanned"] = True
+        interleaved = len(scan) > 1
+        if interleaved:
+            n_units = mcus_x * mcus_y
+        else:
+            c0 = scan[0]
+            cw = -(-w * c0["h"] // hmax)
+            ch = -(-h * c0["v"] // vmax)
+            cbw, cbh = -(-cw // 8), -(-ch // 8)
+            n_units = cbw * cbh
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        c0 = scan[0]
+        c0["scanned"] = True
+        cw = -(-w * c0["h"] // hmax)
+        ch = -(-h * c0["v"] // vmax)
+        cbw, cbh = -(-cw // 8), -(-ch // 8)
+        n_units = cbw * cbh
+
+    def _dc_block(c: dict, row: int, col: int) -> None:
+        flat = c["coef"][row * c["bw"] + col].reshape(64)
+        if ah == 0:
+            t = r.huff(huff_dc[c["td"]])
+            c["pred"] += _extend(r.bits(t), t)
+            flat[0] = c["pred"] << al
+        elif r.bits(1):
+            flat[0] |= 1 << al  # two's-complement OR appends the bit
+
+    def _ac_first(flat: np.ndarray) -> None:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        ac_t = huff_ac[c0["ta"]]
+        k = ss
+        while k <= se:
+            rs = r.huff(ac_t)
+            run, s = rs >> 4, rs & 0xF
+            if s:
+                k += run
+                if k > se:
+                    raise ValueError("AC run past band end")
+                flat[ZIGZAG[k]] = _extend(r.bits(s), s) << al
+                k += 1
+            elif run != 15:
+                state["eobrun"] = (1 << run) - 1
+                if run:
+                    state["eobrun"] += r.bits(run)
+                break
+            else:
+                k += 16  # ZRL
+    def _ac_refine(flat: np.ndarray) -> None:
+        ac_t = huff_ac[c0["ta"]]
+        p1 = 1 << al
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = r.huff(ac_t)
+                run, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if run != 15:
+                        # NOT decremented here: the tail pass below must
+                        # still consume this block's remaining correction
+                        # bits before the run count drops (G.1.2.3)
+                        state["eobrun"] = 1 << run
+                        if run:
+                            state["eobrun"] += r.bits(run)
+                        break
+                    newval = 0  # ZRL: skip 16 zero-history slots
+                else:
+                    if s != 1:
+                        raise ValueError("invalid AC refinement magnitude")
+                    newval = p1 if r.bits(1) else -p1
+                # advance: correction bits over nonzero-history coeffs,
+                # `run` counts down over zero-history slots
+                while k <= se:
+                    z = int(ZIGZAG[k])
+                    if flat[z]:
+                        _refine_nonzero(r, flat, z, p1)
+                    else:
+                        run -= 1
+                        if run < 0:
+                            break
+                    k += 1
+                if k <= se and newval:
+                    flat[int(ZIGZAG[k])] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                z = int(ZIGZAG[k])
+                if flat[z]:
+                    _refine_nonzero(r, flat, z, p1)
+                k += 1
+            state["eobrun"] -= 1
+
+    for unit in range(n_units):
+        if dri and unit and unit % dri == 0:
+            r.restart()
+            state["eobrun"] = 0
+            for c in scan:
+                c["pred"] = 0
+        if dc_scan:
+            if interleaved:
+                my, mx = divmod(unit, mcus_x)
+                for c in scan:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            _dc_block(c, my * c["v"] + by, mx * c["h"] + bx)
+            else:
+                row, col = divmod(unit, cbw)
+                _dc_block(scan[0], row, col)
+        else:
+            row, col = divmod(unit, cbw)
+            flat = c0["coef"][row * c0["bw"] + col].reshape(64)
+            if ah == 0:
+                _ac_first(flat)
+            else:
+                _ac_refine(flat)
+    pos = r.pos
+    while not (
+        data[pos] == 0xFF
+        and data[pos + 1] != 0x00
+        and not (0xD0 <= data[pos + 1] <= 0xD7)
+    ):
+        pos += 1
+    return pos
+
+
 def _decode_impl(data: bytes, luma_only: bool) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
@@ -347,6 +510,7 @@ def _decode_impl(data: bytes, luma_only: bool) -> np.ndarray:
     h = w = 0
     hmax = vmax = mcus_x = mcus_y = 0
     dri = 0
+    progressive = False
     pos = 2
     while True:
         # B.1.1.2: any number of 0xFF fill bytes may precede a marker
@@ -383,7 +547,8 @@ def _decode_impl(data: bytes, luma_only: bool) -> np.ndarray:
                 (huff_dc if tc == 0 else huff_ac)[th] = \
                     _build_decode_table(bits, vals)
                 i += 17 + n
-        elif m == 0xC0:  # SOF0 — baseline
+        elif m in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = m == 0xC2
             if seg[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             h, w = struct.unpack(">HH", seg[1:5])
@@ -407,16 +572,17 @@ def _decode_impl(data: bytes, luma_only: bool) -> np.ndarray:
                 c["coef"] = np.zeros((c["bh"] * c["bw"], 8, 8),
                                      dtype=np.int32)
                 c["pred"] = 0
-        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"SOF{m - 0xC0}: only baseline sequential (SOF0) supported"
+                f"SOF{m - 0xC0}: only baseline sequential (SOF0) and "
+                f"progressive (SOF2) supported"
             )
         elif m == 0xDD:  # DRI
             dri = struct.unpack(">H", seg[:2])[0]
         elif m == 0xDA:  # SOS — scan parameters then entropy data
             if not comps or h == 0:
-                raise ValueError("missing SOF0 before SOS")
+                raise ValueError("missing SOF frame header before SOS")
             ns = seg[0]
             scan = []
             for c in range(ns):
@@ -424,12 +590,21 @@ def _decode_impl(data: bytes, luma_only: bool) -> np.ndarray:
                 comp = next(x for x in comps if x["id"] == cs)
                 comp["td"], comp["ta"] = tdta >> 4, tdta & 0xF
                 scan.append(comp)
-            pos = _decode_scan(data, pos + ln, scan, huff_dc, huff_ac,
-                               dri, mcus_x, mcus_y, w, h, hmax, vmax)
+            if progressive:
+                s_s, s_e = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                pos = _decode_scan_prog(
+                    data, pos + ln, scan, huff_dc, huff_ac, dri,
+                    mcus_x, mcus_y, w, h, hmax, vmax,
+                    s_s, s_e, ahal >> 4, ahal & 0xF,
+                )
+            else:
+                pos = _decode_scan(data, pos + ln, scan, huff_dc, huff_ac,
+                                   dri, mcus_x, mcus_y, w, h, hmax, vmax)
             continue  # keep parsing — multi-scan files have more SOS
         pos += ln
     if not comps or h == 0:
-        raise ValueError("no SOF0 frame header")
+        raise ValueError("no SOF frame header")
     missing = [c["id"] for c in comps if not c["scanned"]]
     if missing:
         raise ValueError(f"no scan data for component(s) {missing}")
@@ -569,16 +744,72 @@ def _quant_zz(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
         .reshape(-1, 64)[:, ZIGZAG]
 
 
+def _component_grids(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                     qy: np.ndarray, qc: np.ndarray, sub: bool,
+                     w: int, h: int) -> list[dict]:
+    """Quantized zigzag coefficient grids per component, padded to the MCU
+    geometry, with both the padded grid (bw, bh) and the component's TRUE
+    block grid (cbw, cbh — what a non-interleaved scan covers, A.2.2)."""
+    if not sub:
+        bw_, bh_ = -(-w // 8), -(-h // 8)
+        return [
+            {"zz": _quant_zz(p, q), "bw": bw_, "bh": bh_,
+             "cbw": bw_, "cbh": bh_}
+            for p, q in ((y, qy), (cb, qc), (cr, qc))
+        ]
+    mx, my = -(-w // 16), -(-h // 16)
+    yp = _pad_to(y, my * 16, mx * 16)
+    grids = [{"zz": _quant_zz(yp, qy), "bw": mx * 2, "bh": my * 2,
+              "cbw": -(-w // 8), "cbh": -(-h // 8)}]
+    ccw, cch = -(-w // 2), -(-h // 2)
+    for c in (cb, cr):
+        cp = _pad_to(c, my * 16, mx * 16)
+        s = (cp[0::2, 0::2] + cp[1::2, 0::2]
+             + cp[0::2, 1::2] + cp[1::2, 1::2]) / 4.0
+        grids.append({"zz": _quant_zz(s, qc), "bw": mx, "bh": my,
+                      "cbw": -(-ccw // 8), "cbh": -(-cch // 8)})
+    return grids
+
+
+def _mcu_schedule(grids: list[dict], sub: bool) -> list[tuple[int, int]]:
+    """(component, block-index) pairs in interleaved MCU stream order
+    (A.2.3) over the padded grids."""
+    sched = []
+    if not sub:
+        for i in range(grids[0]["bw"] * grids[0]["bh"]):
+            for ci in range(3):
+                sched.append((ci, i))
+        return sched
+    mx, my = grids[1]["bw"], grids[1]["bh"]
+    ybw = grids[0]["bw"]
+    for m in range(mx * my):
+        r, c = divmod(m, mx)
+        for by in range(2):
+            for bx in range(2):
+                sched.append((0, (2 * r + by) * ybw + (2 * c + bx)))
+        sched.append((1, m))
+        sched.append((2, m))
+    return sched
+
+
 def jpeg_encode(arr: np.ndarray, quality: int = 85,
-                subsampling: str = "444") -> bytes:
-    """Encode an HxWx3 uint8 RGB array as baseline sequential JPEG (JFIF,
-    Annex-K Huffman tables). ``subsampling``:
+                subsampling: str = "444", progressive: bool = False) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as JPEG (JFIF, Annex-K Huffman
+    tables). ``subsampling``:
 
     - ``"444"`` (default): full-resolution chroma, one block per component
       per MCU — bit-deterministic and the highest-fidelity choice.
     - ``"420"``: 2x2-averaged chroma (libjpeg's default), MCU = four Y
       blocks + one Cb + one Cr — roughly half the chroma payload for
       visually equivalent output on photographic content.
+
+    ``progressive=True`` emits SOF2 with libjpeg's default 10-scan script
+    (spectral selection + successive approximation, Annex G): the DCT
+    coefficients transmitted are identical to the baseline scan's, so the
+    decoded pixels are bit-identical to the sequential encoding — only the
+    bitstream layout differs. EOB runs are capped at one block because the
+    Annex-K.3 AC tables carry no EOBn (n>=1) symbols; cap aside, any
+    spec-conforming progressive decoder reads the output.
     """
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError("jpeg_encode wants an HxWx3 uint8 array")
@@ -602,7 +833,8 @@ def jpeg_encode(arr: np.ndarray, quality: int = 85,
         return b"\xff\xdb" + struct.pack(">HB", 67, tid) + z
 
     out += _dqt(0, qy) + _dqt(1, qc)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") \
+        + struct.pack(">HBHHB", 17, 8, h, w, 3)
     y_hv = 0x22 if sub else 0x11
     for cid, hv, tq in ((1, y_hv, 0), (2, 0x11, 1), (3, 0x11, 1)):
         out += struct.pack("BBB", cid, hv, tq)
@@ -614,6 +846,10 @@ def jpeg_encode(arr: np.ndarray, quality: int = 85,
 
     out += _dht(0, 0, K3_DC_LUM) + _dht(1, 0, K3_AC_LUM)
     out += _dht(0, 1, K3_DC_CHROM) + _dht(1, 1, K3_AC_CHROM)
+    if progressive:
+        _emit_progressive_scans(out, y, cb, cr, qy, qc, sub, w, h)
+        out += b"\xff\xd9"
+        return bytes(out)
     out += b"\xff\xda" + struct.pack(">HB", 12, 3)
     for cid, tdta in ((1, 0x00), (2, 0x11), (3, 0x11)):
         out += struct.pack("BB", cid, tdta)
@@ -669,3 +905,157 @@ def jpeg_encode(arr: np.ndarray, quality: int = 85,
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# ------------------------------------------- progressive scan emission
+
+# libjpeg's default progression script for a 3-component image
+# (jcparam.c jpeg_simple_progression): ("dc"/"ac", comp(s), Ss, Se, Ah, Al)
+_PROG_SCRIPT = (
+    ("dc", (0, 1, 2), 0, 0, 0, 1),
+    ("ac", 0, 1, 5, 0, 2),
+    ("ac", 2, 1, 63, 0, 1),
+    ("ac", 1, 1, 63, 0, 1),
+    ("ac", 0, 6, 63, 0, 2),
+    ("ac", 0, 1, 63, 2, 1),
+    ("dc", (0, 1, 2), 0, 0, 1, 0),
+    ("ac", 2, 1, 63, 1, 0),
+    ("ac", 1, 1, 63, 1, 0),
+    ("ac", 0, 1, 63, 1, 0),
+)
+
+
+def _flush_eob(bw: _BitWriter, st: dict, ac_tab: dict) -> None:
+    """Emit the pending end-of-band run (always length 1 here — the K.3
+    tables define no EOBn symbols for n >= 1) plus the correction bits
+    buffered for the blocks it covers."""
+    if st["eobrun"]:
+        code, ln = ac_tab[0x00]
+        bw.put(code, ln)
+        st["eobrun"] = 0
+        for b in st["bits"]:
+            bw.put(b, 1)
+        st["bits"] = []
+
+
+def _prog_ac_first_block(bw: _BitWriter, st: dict, ac_tab: dict,
+                         band: np.ndarray, ss: int, se: int,
+                         al: int) -> None:
+    """One block of a first AC scan (G.1.2.2): point transform is a
+    sign-magnitude shift, zero runs > 15 emit ZRL, a zero tail joins the
+    end-of-band run."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(band[k])
+        v = -((-v) >> al) if v < 0 else v >> al
+        if v == 0:
+            r += 1
+            continue
+        _flush_eob(bw, st, ac_tab)
+        while r > 15:
+            zc, zl = ac_tab[0xF0]
+            bw.put(zc, zl)
+            r -= 16
+        s = _category(v)
+        code, ln = ac_tab[(r << 4) | s]
+        bw.put(code, ln)
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        st["eobrun"] = 1
+        _flush_eob(bw, st, ac_tab)
+
+
+def _prog_ac_refine_block(bw: _BitWriter, st: dict, ac_tab: dict,
+                          band: np.ndarray, ss: int, se: int,
+                          al: int) -> None:
+    """One block of a refinement AC scan (G.1.2.3): coefficients already
+    nonzero at the previous precision send one correction bit (buffered
+    until the next symbol so the decoder reads them while advancing);
+    newly visible coefficients send (run, 1) + a sign bit; the zero tail
+    joins the end-of-band run."""
+    absv = []
+    eob = -1
+    for k in range(ss, se + 1):
+        v = int(band[k])
+        t = (-v if v < 0 else v) >> al
+        absv.append(t)
+        if t == 1:
+            eob = k
+    r = 0
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _flush_eob(bw, st, ac_tab)
+            zc, zl = ac_tab[0xF0]
+            bw.put(zc, zl)
+            r -= 16
+            for b in st["bits"]:
+                bw.put(b, 1)
+            st["bits"] = []
+        if t > 1:
+            st["bits"].append(t & 1)
+            continue
+        _flush_eob(bw, st, ac_tab)
+        code, ln = ac_tab[(r << 4) | 1]
+        bw.put(code, ln)
+        bw.put(0 if int(band[k]) < 0 else 1, 1)
+        for b in st["bits"]:
+            bw.put(b, 1)
+        st["bits"] = []
+        r = 0
+    if r > 0 or st["bits"]:
+        st["eobrun"] = 1
+        _flush_eob(bw, st, ac_tab)
+
+
+def _emit_progressive_scans(out: bytearray, y: np.ndarray, cb: np.ndarray,
+                            cr: np.ndarray, qy: np.ndarray, qc: np.ndarray,
+                            sub: bool, w: int, h: int) -> None:
+    """Append every SOS of the progressive scan script to `out`."""
+    grids = _component_grids(y, cb, cr, qy, qc, sub, w, h)
+    sched = _mcu_schedule(grids, sub)
+    dc_tabs = [_build_encode_table(*K3_DC_LUM),
+               _build_encode_table(*K3_DC_CHROM)]
+    ac_tabs = [_build_encode_table(*K3_AC_LUM),
+               _build_encode_table(*K3_AC_CHROM)]
+    tab_of = (0, 1, 1)  # component -> table id (luma / chroma / chroma)
+    for kind, comp, ss, se, ah, al in _PROG_SCRIPT:
+        bw = _BitWriter()
+        if kind == "dc":
+            out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+            for cid in comp:
+                out += struct.pack("BB", cid + 1, tab_of[cid] << 4)
+            out += struct.pack("BBB", ss, se, (ah << 4) | al)
+            if ah == 0:
+                preds = [0, 0, 0]
+                for ci, idx in sched:
+                    v = int(grids[ci]["zz"][idx, 0]) >> al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    t = _category(diff)
+                    code, ln = dc_tabs[tab_of[ci]][t]
+                    bw.put(code, ln)
+                    if t:
+                        bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            else:
+                for ci, idx in sched:
+                    bw.put((int(grids[ci]["zz"][idx, 0]) >> al) & 1, 1)
+        else:
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += struct.pack("BB", comp + 1, tab_of[comp])
+            out += struct.pack("BBB", ss, se, (ah << 4) | al)
+            g = grids[comp]
+            ac_tab = ac_tabs[tab_of[comp]]
+            st = {"eobrun": 0, "bits": []}
+            block = (_prog_ac_refine_block if ah else _prog_ac_first_block)
+            for row in range(g["cbh"]):
+                for col in range(g["cbw"]):
+                    block(bw, st, ac_tab, g["zz"][row * g["bw"] + col],
+                          ss, se, al)
+            _flush_eob(bw, st, ac_tab)
+        bw.flush()
+        out += bw.out

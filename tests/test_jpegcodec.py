@@ -559,3 +559,113 @@ class TestSparkRouting:
         assert abs(row.mean_r - want[0]) < 3
         assert abs(row.mean_g - want[1]) < 3
         assert abs(row.mean_b - want[2]) < 3
+
+
+def _real_progressive_files() -> list:
+    """Real libjpeg-written PROGRESSIVE (SOF2) files shipped with public
+    packages in this environment, found by marker scan."""
+    import glob
+
+    cands = glob.glob("/opt/spark*/data/mllib/images/**/*.jpg",
+                      recursive=True) + \
+        glob.glob("/usr/share/doc/nodejs/*.jpg")
+    out = []
+    for p in sorted(set(cands)):
+        try:
+            d = open(p, "rb").read()
+        except OSError:
+            continue
+        if d[:2] != b"\xff\xd8":
+            continue
+        i = 2
+        while i < len(d) - 3:
+            if d[i] != 0xFF:
+                i += 1
+                continue
+            m = d[i + 1]
+            if m == 0xC2:
+                out.append((p, d))
+                break
+            if m == 0xC0 or m == 0xDA:
+                break
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                i += 2
+                continue
+            i += 2 + ((d[i + 2] << 8) | d[i + 3])
+    return out
+
+
+class TestProgressive:
+    """SOF2 progressive: the encoder emits libjpeg's default 10-scan
+    script (spectral selection + successive approximation), so decoding
+    it must be BIT-IDENTICAL to decoding the baseline encoding of the
+    same image — the two bitstream layouts carry the same coefficients.
+    Real libjpeg progressive files (which use EOB runs > 1 and optimized
+    tables, paths our encoder never emits) cover the decoder's remaining
+    branches."""
+
+    @pytest.mark.parametrize("sub", ["444", "420"])
+    @pytest.mark.parametrize("quality", [60, 85, 95])
+    def test_progressive_equals_baseline(self, sub, quality):
+        rng = np.random.default_rng(42)
+        for hw in [(8, 8), (24, 24), (31, 17), (9, 70)]:
+            a = rng.integers(0, 256, size=(*hw, 3), dtype=np.uint8)
+            b0 = jpeg_decode(jpeg_encode(a, quality, sub))
+            b1 = jpeg_decode(jpeg_encode(a, quality, sub, progressive=True))
+            assert np.array_equal(b0, b1), (hw, sub, quality)
+
+    def test_progressive_structured_content(self):
+        # gradients + flat areas drive long zero runs / EOB-heavy blocks
+        yy, xx = np.mgrid[0:40, 0:56]
+        a = np.stack([(yy * 4) % 256, (xx * 3) % 256,
+                      np.full_like(yy, 128)], axis=-1).astype(np.uint8)
+        a[10:20, 10:30] = 255  # flat white patch
+        b0 = jpeg_decode(jpeg_encode(a, 85))
+        b1 = jpeg_decode(jpeg_encode(a, 85, progressive=True))
+        assert np.array_equal(b0, b1)
+
+    def test_progressive_marker_present(self):
+        a = np.zeros((16, 16, 3), dtype=np.uint8)
+        d = jpeg_encode(a, 85, progressive=True)
+        assert b"\xff\xc2" in d and b"\xff\xc0" not in d
+        # ten scans in the script -> ten SOS markers
+        assert d.count(b"\xff\xda") >= 10
+
+    def test_real_progressive_files_decode(self):
+        files = _real_progressive_files()
+        if not files:
+            pytest.skip("no real progressive JPEGs in this environment")
+        for p, d in files:
+            a = jpeg_decode(d)
+            assert a.ndim == 3 and a.shape[2] == 3 and a.dtype == np.uint8
+            # frame dims from SOF2 must match the decoded shape
+            i = 2
+            while True:
+                if d[i] == 0xFF and d[i + 1] == 0xC2:
+                    fh, fw = struct.unpack(">HH", d[i + 5:i + 9])
+                    break
+                if d[i] == 0xFF and not (
+                    d[i + 1] in (0x01,) or 0xD0 <= d[i + 1] <= 0xD8
+                ):
+                    i += 2 + ((d[i + 2] << 8) | d[i + 3])
+                else:
+                    i += 2
+            assert a.shape[:2] == (fh, fw), p
+            if "grayscale" in p:
+                # a single-component frame must replicate exactly
+                assert (a[:, :, 0] == a[:, :, 1]).all()
+                assert (a[:, :, 1] == a[:, :, 2]).all()
+            if "white-stripe" in p:
+                assert a.mean() > 200  # the image is mostly white
+
+    def test_truncated_progressive_raises(self):
+        a = (np.arange(24 * 24 * 3, dtype=np.int64) % 256).astype(
+            np.uint8).reshape(24, 24, 3)
+        d = jpeg_encode(a, 85, progressive=True)
+        with pytest.raises(ValueError):
+            jpeg_decode(d[: len(d) // 3])
+
+    def test_bad_subsampling_still_rejected(self):
+        a = np.zeros((8, 8, 3), dtype=np.uint8)
+        with pytest.raises(ValueError, match="subsampling"):
+            jpeg_encode(a, 85, "422", progressive=True)
