@@ -267,6 +267,13 @@ def jpeg_decode(data: bytes, luma_only: bool = False) -> np.ndarray:
         return _decode_impl(bytes(data), luma_only)
     except (IndexError, struct.error) as exc:
         raise ValueError(f"truncated or corrupt JPEG stream ({exc})") from None
+    except KeyError as exc:
+        # the only KeyErrors reachable from a decode are scan references to
+        # Huffman/quant tables the stream never defined (B.2.4.2 allows a
+        # table to arrive in any earlier segment — absence is malformed)
+        raise ValueError(
+            f"JPEG scan references undefined Huffman/quant table {exc}"
+        ) from None
 
 
 def _decode_block(r: _BitReader, c: dict, dc_t: dict, ac_t: dict,
@@ -587,7 +594,11 @@ def _decode_impl(data: bytes, luma_only: bool) -> np.ndarray:
             scan = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cs)
+                comp = next((x for x in comps if x["id"] == cs), None)
+                if comp is None:
+                    raise ValueError(
+                        f"SOS references component id {cs} not in SOF"
+                    )
                 comp["td"], comp["ta"] = tdta >> 4, tdta & 0xF
                 scan.append(comp)
             if progressive:

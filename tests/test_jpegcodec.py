@@ -493,6 +493,31 @@ class TestSpecShapes:
         with pytest.raises(ValueError, match="no scan data for component"):
             jpeg_decode(b)
 
+    def test_undefined_table_and_component_refs_raise_valueerror(self):
+        # the error contract covers references to things the stream never
+        # defined, not just byte-level truncation: an SOS naming a component
+        # absent from SOF, a scan using a Huffman table no DHT supplied, and
+        # a frame quantized with a table no DQT supplied must all surface as
+        # ValueError (not StopIteration / KeyError)
+        import struct as _struct
+
+        b = jpeg_encode(_structured(16, 16), 85)
+
+        i = b.find(b"\xff\xda")
+        mut = bytearray(b)
+        mut[i + 5] = 9  # component selector -> id SOF never declared
+        with pytest.raises(ValueError, match="component id 9 not in SOF"):
+            jpeg_decode(bytes(mut))
+
+        def _strip(d, marker):
+            j = d.find(marker)
+            ln = _struct.unpack(">H", d[j + 2 : j + 4])[0]
+            return d[:j] + d[j + 2 + ln :]
+
+        for marker in (b"\xff\xc4", b"\xff\xdb"):  # DHT, DQT
+            with pytest.raises(ValueError, match="undefined Huffman/quant"):
+                jpeg_decode(_strip(b, marker))
+
 
 class TestRealFiles:
     @pytest.mark.parametrize("name", sorted(REAL_FILES))
