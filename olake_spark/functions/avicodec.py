@@ -200,14 +200,20 @@ def decode_mjpeg_avi(data: bytes, luma_only: bool = False):
             pos = body + size + (size & 1)
 
     # every top-level RIFF: the primary 'AVI ' plus OpenDML 'AVIX' extensions
-    pos = 0
-    while pos + 12 <= len(data):
-        if data[pos:pos + 4] != b"RIFF" or \
-                data[pos + 8:pos + 12] not in (b"AVI ", b"AVIX"):
-            break
-        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
-        walk(pos + 12, min(pos + 8 + size, len(data)))
-        pos = pos + 8 + size + (size & 1)
+    try:
+        pos = 0
+        while pos + 12 <= len(data):
+            if data[pos:pos + 4] != b"RIFF" or \
+                    data[pos + 8:pos + 12] not in (b"AVI ", b"AVIX"):
+                break
+            size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+            walk(pos + 12, min(pos + 8 + size, len(data)))
+            pos = pos + 8 + size + (size & 1)
+    except struct.error as exc:
+        # a chunk header promised bytes the stream doesn't have (the walk
+        # guards cover the fourcc+size reads; header BODIES near a truncated
+        # EOF can still come up short inside avih/strh field unpacks)
+        raise ValueError(f"truncated or corrupt AVI stream ({exc})") from None
 
     vids = next(
         (i for i, t in enumerate(strh_types) if t == b"vids"), 0

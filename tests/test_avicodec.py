@@ -182,6 +182,24 @@ class TestRoundTrip:
         with pytest.raises(ValueError):
             decode_mjpeg_avi(b"RIFF\x00\x00\x00\x00WAVE")
 
+    def test_truncation_raises_valueerror_everywhere(self):
+        # cutting the stream at ANY byte must surface as ValueError (or, in
+        # the tail, still decode — idx1 is expendable), never a raw
+        # struct.error/IndexError from a header-body unpack
+        data = encode_mjpeg_avi(_frames(2), 30, 1, 85)
+        avih = data.find(b"avih")
+        strh = data.find(b"strh")
+        cuts = [avih + 8, avih + 10, strh + 9, len(data) // 3, len(data) // 2]
+        for cut in cuts:
+            try:
+                decode_mjpeg_avi(data[:cut])
+            except ValueError:
+                pass  # the contract
+        # truncating only the trailing idx1 index still decodes in full
+        idx1 = data.rfind(b"idx1")
+        out, fn, fd = decode_mjpeg_avi(data[:idx1])
+        assert out.shape[0] == 2 and (fn, fd) == (30, 1)
+
 
 class TestDecoderTolerance:
     def test_rec_grouped_movi_and_missing_idx1(self):
