@@ -39,7 +39,18 @@ def encode_wav(samples: "np.ndarray", sample_rate: int) -> bytes:
 
 
 def decode_wav(data: bytes) -> tuple["np.ndarray", int]:
-    """PCM WAV bytes → (int16 mono samples, sample_rate)."""
+    """PCM WAV bytes → (int16 mono samples, sample_rate).
+
+    Error contract: malformed or truncated streams raise ValueError (the
+    stdlib parser's wave.Error/EOFError are translated), matching the
+    image/video codecs."""
+    try:
+        return _decode_wav_impl(data)
+    except (wave.Error, EOFError) as exc:
+        raise ValueError(f"truncated or corrupt WAV stream ({exc})") from None
+
+
+def _decode_wav_impl(data: bytes) -> tuple["np.ndarray", int]:
     with wave.open(io.BytesIO(data), "rb") as w:
         if w.getnchannels() != 1:
             raise ValueError(

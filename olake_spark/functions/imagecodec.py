@@ -208,17 +208,27 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    if data[:5] == _LOSSY_MAGIC:
-        return _decode_lossy(data)
-    if bytes(data[:2]) == b"\xff\xd8":
-        # real JPEG bytes (SOI magic): full T.81 decoder (baseline +
-        # progressive) — every
-        # decode-bearing operator (multimodal stats/resize, PSNR verify)
-        # accepts real-world payloads, not just fixture containers
-        from olake_spark.functions.jpegcodec import jpeg_decode
+    """Container dispatch by magic. Error contract: a malformed or
+    truncated payload raises ValueError regardless of container — zlib,
+    struct and bounds failures inside the PNG path are translated here
+    (the JPEG decoder translates its own). The try block costs nothing on
+    the non-raising path (CPython 3.11 zero-cost exceptions)."""
+    try:
+        if data[:5] == _LOSSY_MAGIC:
+            return _decode_lossy(data)
+        if bytes(data[:2]) == b"\xff\xd8":
+            # real JPEG bytes (SOI magic): full T.81 decoder (baseline +
+            # progressive) — every
+            # decode-bearing operator (multimodal stats/resize, PSNR verify)
+            # accepts real-world payloads, not just fixture containers
+            from olake_spark.functions.jpegcodec import jpeg_decode
 
-        return jpeg_decode(data)
-    return png_decode(bytes(data))
+            return jpeg_decode(data)
+        return png_decode(bytes(data))
+    except (struct.error, zlib.error, IndexError) as exc:
+        raise ValueError(
+            f"truncated or corrupt image payload ({exc})"
+        ) from None
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -197,6 +197,47 @@ class TestPngRealWorldShapes:
         with pytest.raises(ValueError, match="missing IHDR"):
             ic.png_decode(b"\x89PNG\r\n\x1a\n" + chunk(b"IEND", b""))
 
+    def test_decode_image_error_contract_is_valueerror(self):
+        # the dispatch seam translates every container's low-level failure
+        # (struct/zlib/bounds) so operator kernels can rely on ValueError
+        import struct
+        import zlib
+
+        img = (np.arange(8 * 8 * 3) % 251).reshape(8, 8, 3).astype(np.uint8)
+        png = ic.png_encode(img)
+        with pytest.raises(ValueError, match="corrupt image payload"):
+            ic.decode_image(png[:20])  # chunk header cut short
+        with pytest.raises(ValueError, match="corrupt image payload"):
+            ic.decode_image(png[:33] + b"\x00" * 8 + png[41:])  # idat garbage
+        # palette index beyond the PLTE table: bounds failure -> ValueError
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+        raw = bytes([0, 0, 5, 0, 1, 7])  # indexes 5 and 7, palette has 2
+        bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + ic._chunk(b"IHDR", ihdr)
+            + ic._chunk(b"PLTE", bytes([0, 0, 0, 255, 255, 255]))
+            + ic._chunk(b"IDAT", zlib.compress(raw))
+            + ic._chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="corrupt image payload"):
+            ic.decode_image(bad)
+        # the lossy fixture container goes through the same boundary
+        lossy = ic.encode_image(img, "jpeg")
+        with pytest.raises(ValueError):
+            ic.decode_image(lossy[: len(lossy) // 2])
+
+    def test_decode_wav_error_contract_is_valueerror(self):
+        from olake_spark.functions.audiocodec import decode_wav, encode_wav
+
+        wav = encode_wav(np.zeros(64, np.int16), 16000)
+        with pytest.raises(ValueError, match="corrupt WAV"):
+            decode_wav(wav[:10])  # truncated RIFF header
+        with pytest.raises(ValueError, match="corrupt WAV"):
+            decode_wav(b"garbage")  # stdlib raises bare EOFError here
+        # intact streams still round-trip through the wrapper
+        samples, sr = decode_wav(wav)
+        assert sr == 16000 and samples.shape == (64,)
+
     def test_real_libpng_files_decode(self):
         """Every 8-bit non-interlaced PNG shipped with public packages in
         this environment must decode to (h, w, 3) uint8; the first real
