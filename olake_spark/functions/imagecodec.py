@@ -94,6 +94,36 @@ def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int = 3) -> np.ndarray:
     return out.astype(np.uint8).reshape(h, w, bpp)
 
 
+def _stride_bytes(w: int, ch: int, depth: int) -> int:
+    """Bytes per scanline excluding the filter byte (PNG spec §7.2:
+    sub-byte sample depths pack MSB-first and pad to a byte boundary)."""
+    return (w * ch * depth + 7) // 8
+
+
+def _pass_pixels(raw: np.ndarray, h: int, w: int, ch: int, depth: int) -> np.ndarray:
+    """Unfilter one (sub)image's scanlines at any legal sample depth and
+    return (h, w, ch) uint8 SAMPLES: 8-bit values for depths 8/16 (16-bit
+    samples are chopped to the high byte — libpng's default strip-16
+    convention; max error 1/257 of full scale, irrelevant for ingest
+    stats/phash), and raw 1/2/4-bit sample values for sub-byte depths
+    (gray bit-replication scaling / palette lookup happen in png_decode).
+
+    The filter's "pixel width" (the `a`/`c` lookback, spec §9.2) is
+    ``max(1, ch * depth // 8)`` bytes — whole bytes for sub-byte depths."""
+    if depth == 8:
+        return _unfilter(raw, h, w, ch)
+    if depth == 16:
+        b = _unfilter(raw, h, w, ch * 2)  # stride = w*ch*2, lookback ch*2
+        return b.reshape(h, w, ch, 2)[..., 0].copy()  # big-endian high byte
+    # depths 1/2/4: one channel (gray or palette index), bit-packed MSB-first
+    stride = _stride_bytes(w, 1, depth)
+    b = _unfilter(raw, h, stride, 1).reshape(h, stride)
+    bits = np.unpackbits(b, axis=1)  # (h, stride*8), MSB first
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (bits.reshape(h, -1, depth) * weights).sum(axis=2, dtype=np.uint8)
+    return vals[:, :w].reshape(h, w, 1)
+
+
 # Adam7 pass layout (PNG spec §8.2): (x_start, y_start, x_step, y_step)
 _ADAM7 = (
     (0, 0, 8, 8),
@@ -106,43 +136,58 @@ _ADAM7 = (
 )
 
 
-def _deinterlace_adam7(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+def _deinterlace_adam7(
+    raw: np.ndarray, h: int, w: int, ch: int, depth: int
+) -> np.ndarray:
     """Reassemble an Adam7-interlaced image (PNG spec §8.2): the pixel
     stream is seven consecutive reduced images, each filtered independently
     as if it were its own image; unfilter each pass and scatter it into
     place on the (y_start::y_step, x_start::x_step) grid. Empty passes
-    (reduced image has zero width or height) contribute no bytes."""
+    (reduced image has zero width or height) contribute no bytes. Each
+    pass packs its scanlines at the image's sample depth, so sub-byte
+    passes pad to a byte boundary PER REDUCED SCANLINE."""
     dims = []
     for x0, y0, dx, dy in _ADAM7:
         pw = (w - x0 + dx - 1) // dx
         ph = (h - y0 + dy - 1) // dy
         if pw > 0 and ph > 0:
             dims.append((x0, y0, dx, dy, pw, ph))
-    need = sum(ph * (1 + pw * bpp) for *_, pw, ph in dims)
+    need = sum(ph * (1 + _stride_bytes(pw, ch, depth)) for *_, pw, ph in dims)
     if need != len(raw):
         raise ValueError(
             f"Adam7 pixel-stream length mismatch: expected {need}, got {len(raw)}"
         )
-    out = np.zeros((h, w, bpp), dtype=np.uint8)
+    out = np.zeros((h, w, ch), dtype=np.uint8)
     pos = 0
     for x0, y0, dx, dy, pw, ph in dims:
-        n = ph * (1 + pw * bpp)
-        out[y0::dy, x0::dx] = _unfilter(raw[pos : pos + n], ph, pw, bpp)
+        n = ph * (1 + _stride_bytes(pw, ch, depth))
+        out[y0::dy, x0::dx] = _pass_pixels(raw[pos : pos + n], ph, pw, ch, depth)
         pos += n
     return out
 
 
-# color type → samples per pixel (8-bit depth)
+# color type → samples per pixel
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# color type → legal sample depths (PNG spec §11.2.2 table)
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
 
 
 def png_decode(data: bytes) -> np.ndarray:
-    """Decode an 8-bit PNG to (h, w, 3) uint8 RGB — every color type real
-    encoders write at that depth: gray (0), RGB (2), palette (3, via PLTE),
-    gray+alpha (4), RGBA (6); both progressive-display modes (sequential and
-    Adam7-interlaced). Alpha is dropped (training-data ingest convention);
-    16-bit depths and sub-8-bit palettes raise a clear error. Filters 0-4
-    handled."""
+    """Decode any spec-legal PNG to (h, w, 3) uint8 RGB — every color type
+    at every legal sample depth (spec §11.2.2): gray (0) at 1/2/4/8/16,
+    RGB (2) at 8/16, palette (3, via PLTE) at 1/2/4/8, gray+alpha (4) and
+    RGBA (6) at 8/16; both progressive-display modes (sequential and
+    Adam7-interlaced). Alpha is dropped and 16-bit samples chop to the
+    high byte (training-data ingest convention — libpng's strip-16
+    default); sub-8-bit gray scales by bit replication (spec §12.5, exact:
+    255/(2^d-1) is integral). Filters 0-4 handled; illegal depth/color
+    combinations raise a clear ValueError."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, w = 8, None
@@ -158,9 +203,9 @@ def png_decode(data: bytes) -> np.ndarray:
             w, h, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body[:13]
             )
-            if depth != 8 or color not in _PNG_CHANNELS:
+            if color not in _PNG_CHANNELS or depth not in _PNG_DEPTHS[color]:
                 raise ValueError(
-                    f"only 8-bit gray/RGB/palette/alpha PNGs supported "
+                    f"illegal PNG depth/color combination "
                     f"(depth={depth}, color type={color})"
                 )
             if interlace not in (0, 1):
@@ -173,14 +218,21 @@ def png_decode(data: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("PNG missing IHDR chunk")
-    bpp = _PNG_CHANNELS[color]
+    ch = _PNG_CHANNELS[color]
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    px = _deinterlace_adam7(raw, h, w, bpp) if interlace else _unfilter(raw, h, w, bpp)
+    if interlace:
+        px = _deinterlace_adam7(raw, h, w, ch, depth)
+    elif depth == 8:  # the overwhelmingly common case — straight to unfilter
+        px = _unfilter(raw, h, w, ch)
+    else:
+        px = _pass_pixels(raw, h, w, ch, depth)
     if color == 2:
         return px
     if color == 6:
         return px[:, :, :3].copy()
     if color == 0:
+        if depth < 8:  # bit replication to full scale (exact integer)
+            px = px * np.uint8(255 // ((1 << depth) - 1))
         return np.repeat(px, 3, axis=2)
     if color == 4:
         return np.repeat(px[:, :, :1], 3, axis=2)

@@ -187,8 +187,14 @@ class TestPngRealWorldShapes:
                     + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
                     + chunk(b"IEND", b""))
 
-        with pytest.raises(ValueError, match="depth=16"):
-            ic.png_decode(png(16, 0, 0))
+        # spec-ILLEGAL depth/color combinations (§11.2.2): 16-bit palette,
+        # sub-byte RGB, non-power-of-two depth, unknown color type
+        with pytest.raises(ValueError, match="depth=16, color type=3"):
+            ic.png_decode(png(16, 3, 0))
+        with pytest.raises(ValueError, match="depth=4, color type=2"):
+            ic.png_decode(png(4, 2, 0))
+        with pytest.raises(ValueError, match="depth=3"):
+            ic.png_decode(png(3, 0, 0))
         with pytest.raises(ValueError, match="color type=1"):
             ic.png_decode(png(8, 1, 0))
         with pytest.raises(ValueError, match="interlace method 2"):
@@ -433,3 +439,213 @@ class TestPngAdam7:
                 + chunk(b"IEND", b""))
         out = ic.png_decode(data)
         assert (out == np.repeat(g[:, :, None], 3, axis=2)).all()
+
+
+def _pack_bits(samples_row, depth):
+    """Independent MSB-first sub-byte bit packer (PNG spec §7.2), written
+    bit-at-a-time so a packing bug in the production unpacker can't be
+    mirrored here."""
+    bits = []
+    for v in samples_row:
+        for i in range(depth - 1, -1, -1):
+            bits.append((int(v) >> i) & 1)
+    while len(bits) % 8:
+        bits.append(0)  # scanlines pad to a byte boundary
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for bit in bits[i:i + 8]:
+            b = (b << 1) | bit
+        out.append(b)
+    return bytes(out)
+
+
+def _mux_png_d(w, h, color, depth, raw_scanlines, plte=None, interlace=0):
+    """Hand-mux a PNG at an arbitrary sample depth from pre-filtered
+    scanline bytes (filter bytes included)."""
+    import struct
+    import zlib
+
+    def chunk(ct, body):
+        return (struct.pack(">I", len(body)) + ct + body
+                + struct.pack(">I", zlib.crc32(ct + body)))
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR",
+                 struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace))
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    out += chunk(b"IDAT", zlib.compress(bytes(raw_scanlines)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+class TestPngDepths:
+    """Sample depths beyond 8-bit RGB that real encoders write: sub-byte
+    gray/palette (1/2/4) and 16-bit gray/RGB/GA/RGBA — each hand-muxed
+    with KNOWN pixels via the independent bit packer above, so the
+    assertions are exact and can't share a bug with the production
+    unpacker."""
+
+    def test_gray1_spans_byte_padding(self):
+        # w=10 → stride 2 bytes with 6 pad bits; padding must be ignored
+        row1 = [1, 0, 1, 0, 1, 0, 1, 0, 1, 1]
+        row2 = [0, 1, 1, 1, 0, 0, 0, 1, 0, 1]
+        raw = b"\x00" + _pack_bits(row1, 1) + b"\x00" + _pack_bits(row2, 1)
+        out = ic.png_decode(_mux_png_d(10, 2, 0, 1, raw))
+        want = np.array([row1, row2], dtype=np.uint8) * 255
+        assert (out == np.repeat(want[:, :, None], 3, axis=2)).all()
+
+    @pytest.mark.parametrize("depth,scale", [(2, 85), (4, 17)])
+    def test_gray_sub_byte_scaling_exact(self, depth, scale):
+        # spec §12.5 bit replication == integer multiply by 255/(2^d-1)
+        vals = list(range(1 << depth)) + [0, (1 << depth) - 1, 1]
+        raw = b"\x00" + _pack_bits(vals, depth)
+        out = ic.png_decode(_mux_png_d(len(vals), 1, 0, depth, raw))
+        want = (np.array(vals, dtype=np.uint8) * scale)[None, :, None]
+        assert (out == np.repeat(want, 3, axis=2)).all()
+
+    def test_palette_4bit_indices(self):
+        plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+        idx = [[3, 0, 2], [1, 3, 1]]  # w=3 → 12 bits + 4 pad per row
+        raw = (b"\x00" + _pack_bits(idx[0], 4)
+               + b"\x00" + _pack_bits(idx[1], 4))
+        out = ic.png_decode(_mux_png_d(3, 2, 3, 4, raw, plte))
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        assert (out == pal[np.array(idx)]).all()
+
+    def test_palette_1bit(self):
+        plte = bytes([10, 11, 12, 200, 201, 202])
+        idx = [1, 0, 1, 1, 0, 0, 1, 0, 1]  # w=9 spans a byte boundary
+        raw = b"\x00" + _pack_bits(idx, 1)
+        out = ic.png_decode(_mux_png_d(9, 1, 3, 1, raw, plte))
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        assert (out == pal[np.array(idx)][None]).all()
+
+    def test_gray16_high_byte_and_up_filter(self):
+        # row 1 filter 0: samples 0x1234, 0xFF01; row 2 is Up-filtered in
+        # the BYTE domain (spec: filters see bytes, not 16-bit samples)
+        row1 = bytes([0x12, 0x34, 0xFF, 0x01])
+        row2 = bytes([0x00, 0x40, 0x80, 0x02])  # raw bytes of row 2
+        up = bytes((b - a) & 0xFF for a, b in zip(row1, row2))
+        raw = b"\x00" + row1 + b"\x02" + up
+        out = ic.png_decode(_mux_png_d(2, 2, 0, 16, raw))
+        want = np.array([[0x12, 0xFF], [0x00, 0x80]], dtype=np.uint8)
+        assert (out == np.repeat(want[:, :, None], 3, axis=2)).all()
+
+    def test_rgb16_roundtrip_257_expansion(self):
+        # v*257 = (v<<8)|v, so the high byte of the expansion is v exactly:
+        # an 8-bit image pushed to 16 bits and decoded must come back
+        # bit-identical. Exercises every byte value through the 16-bit path.
+        arr = (np.arange(5 * 7 * 3, dtype=np.int64) * 131 % 256).astype(
+            np.uint8).reshape(5, 7, 3)
+        wide = (arr.astype(np.uint16) * 257).astype(">u2")
+        raw = bytearray()
+        for y in range(5):
+            raw.append(0)
+            raw.extend(wide[y].tobytes())
+        out = ic.png_decode(_mux_png_d(7, 5, 2, 16, raw))
+        assert (out == arr).all()
+
+    def test_rgb16_sub_filter_six_byte_lookback(self):
+        # Sub filter on 16-bit RGB: the `a` byte sits bpp=6 bytes back
+        px = bytes([0x10, 0x01, 0x20, 0x02, 0x30, 0x03])
+        second = bytes([0x05, 0x00, 0x06, 0x00, 0x07, 0x00])  # deltas
+        raw = b"\x01" + px + second  # one row, 2 px, whole row Sub-filtered
+        out = ic.png_decode(_mux_png_d(2, 1, 2, 16, raw))
+        assert (out == np.array(
+            [[[0x10, 0x20, 0x30], [0x15, 0x26, 0x37]]])).all()
+
+    def test_rgba16_drops_alpha_ga16_expands(self):
+        rgba = bytes([0xAA, 1, 0xBB, 2, 0xCC, 3, 0xDD, 4])  # 1 px RGBA16
+        out = ic.png_decode(_mux_png_d(1, 1, 6, 16, b"\x00" + rgba))
+        assert (out == np.array([[[0xAA, 0xBB, 0xCC]]])).all()
+        ga = bytes([0x7F, 9, 0x00, 9])  # 1 px gray16+alpha16
+        out = ic.png_decode(_mux_png_d(1, 1, 4, 16, b"\x00" + ga))
+        assert (out == np.array([[[0x7F] * 3]])).all()
+
+    def test_interlaced_gray4(self):
+        # Adam7 at a sub-byte depth: each reduced scanline packs and pads
+        # independently
+        g = (np.arange(9 * 9, dtype=np.int64) * 5 % 16).astype(
+            np.uint8).reshape(9, 9)
+        raw = bytearray()
+        for x0, y0, dx, dy in _A7_PASSES:
+            sub = g[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for row in sub:
+                raw.append(0)
+                raw.extend(_pack_bits(row.tolist(), 4))
+        out = ic.png_decode(_mux_png_d(9, 9, 0, 4, raw, interlace=1))
+        want = np.repeat((g * 17)[:, :, None], 3, axis=2)
+        assert (out == want).all()
+
+    def test_interlaced_rgb16(self):
+        arr = (np.arange(6 * 10 * 3, dtype=np.int64) * 37 % 256).astype(
+            np.uint8).reshape(6, 10, 3)
+        wide = (arr.astype(np.uint16) * 257).astype(">u2")
+        raw = bytearray()
+        for x0, y0, dx, dy in _A7_PASSES:
+            sub = wide[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for row in sub:
+                raw.append(0)
+                raw.extend(row.tobytes())
+        out = ic.png_decode(_mux_png_d(10, 6, 2, 16, raw, interlace=1))
+        assert (out == arr).all()
+
+    def test_truncated_sub_byte_stream_raises_valueerror(self):
+        raw = b"\x00" + _pack_bits([1, 0, 1], 1)
+        data = _mux_png_d(30, 4, 0, 1, raw)  # claims 4 rows, supplies 1
+        with pytest.raises(ValueError):
+            ic.decode_image(data)
+
+
+class TestPngDepthsRealFiles:
+    """Real libpng-written files in the container at the new depths.
+    The strongest check is cross-depth: CPython ships the SAME idle icon
+    as 16-bit RGBA (py<=3.8) and 8-bit RGBA (py>=3.9); libpng's 16->8
+    conversion is the high-byte strip, so our 16-bit decode must be
+    BIT-IDENTICAL to our 8-bit decode of the other file — two different
+    code paths meeting on independently-authored inputs."""
+
+    _ICON16 = "/root/.pyenv/versions/3.8.18/lib/python3.8/idlelib/Icons/idle_48.png"
+    _ICON8 = "/root/.pyenv/versions/3.11.7/lib/python3.11/idlelib/Icons/idle_48.png"
+
+    def _read(self, p):
+        import os
+        if not os.path.exists(p):
+            pytest.skip(f"container file {p} not present")
+        return open(p, "rb").read()
+
+    def test_idle_icon_16bit_matches_8bit_sibling(self):
+        a16 = ic.png_decode(self._read(self._ICON16))
+        a8 = ic.png_decode(self._read(self._ICON8))
+        assert a16.shape == a8.shape == (48, 48, 3)
+        assert (a16 == a8).all()
+
+    def test_git_favicon_2bit_palette_known_colors(self):
+        out = ic.png_decode(
+            self._read("/usr/share/gitweb/static/git-favicon.png"))
+        assert out.shape == (16, 16, 3)
+        got = {tuple(c) for c in np.unique(out.reshape(-1, 3), axis=0)}
+        assert got == {(0, 128, 0), (192, 0, 0), (255, 255, 255)}
+
+    def test_gnupg_diagram_4bit_palette(self):
+        out = ic.png_decode(
+            self._read("/usr/share/info/gnupg-card-architecture.png"))
+        assert out.shape == (508, 914, 3)
+        # a white-background line diagram: white must dominate
+        white = (out == 255).all(axis=2).mean()
+        assert white > 0.5
+        assert int(out.sum()) == 286911366  # determinism pin
+
+    def test_libpng_pngtest_interlaced_rgba(self):
+        # libpng's own canonical test image: Adam7-interlaced RGBA8,
+        # written by the reference encoder itself
+        out = ic.png_decode(
+            self._read("/usr/share/doc/libpng-dev/examples/pngtest.png"))
+        assert out.shape == (69, 91, 3)
+        assert int(out.sum()) == 687369  # determinism pin
