@@ -276,6 +276,11 @@ def decode_image(data: bytes) -> np.ndarray:
             from olake_spark.functions.jpegcodec import jpeg_decode
 
             return jpeg_decode(data)
+        if bytes(data[:4]) == b"GIF8":
+            # real GIF87a/89a bytes: first composed frame (gifcodec.py)
+            from olake_spark.functions.gifcodec import gif_decode
+
+            return gif_decode(data)
         return png_decode(bytes(data))
     except (struct.error, zlib.error, IndexError) as exc:
         raise ValueError(

@@ -119,4 +119,11 @@ def decode_video(data: bytes) -> tuple["np.ndarray", int, int]:
         from olake_spark.functions.avicodec import decode_mjpeg_avi
 
         return decode_mjpeg_avi(data, luma_only=True)
-    raise ValueError("unrecognized video container (want Y4M or MJPEG AVI)")
+    if head[:4] == b"GIF8":
+        # animated GIF: composed frames -> BT.601 luma (functions/gifcodec.py)
+        from olake_spark.functions.gifcodec import gif_decode_video
+
+        return gif_decode_video(data)
+    raise ValueError(
+        "unrecognized video container (want Y4M, MJPEG AVI, or GIF)"
+    )
