@@ -281,6 +281,11 @@ def decode_image(data: bytes) -> np.ndarray:
             from olake_spark.functions.gifcodec import gif_decode
 
             return gif_decode(data)
+        if bytes(data[:2]) == b"BM":
+            # Windows DIB (bmpcodec.py): uncompressed 1/4/8/24/32 bpp
+            from olake_spark.functions.bmpcodec import bmp_decode
+
+            return bmp_decode(data)
         return png_decode(bytes(data))
     except (struct.error, zlib.error, IndexError) as exc:
         raise ValueError(
