@@ -286,6 +286,11 @@ def decode_image(data: bytes) -> np.ndarray:
             from olake_spark.functions.bmpcodec import bmp_decode
 
             return bmp_decode(data)
+        if bytes(data[:4]) in (b"II*\x00", b"MM\x00*"):
+            # baseline TIFF (tiffcodec.py): strips, none/LZW/PackBits
+            from olake_spark.functions.tiffcodec import tiff_decode
+
+            return tiff_decode(data)
         return png_decode(bytes(data))
     except (struct.error, zlib.error, IndexError) as exc:
         raise ValueError(
