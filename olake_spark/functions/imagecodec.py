@@ -291,6 +291,11 @@ def decode_image(data: bytes) -> np.ndarray:
             from olake_spark.functions.tiffcodec import tiff_decode
 
             return tiff_decode(data)
+        if len(data) >= 2 and data[0] == 0x50 and data[1] in b"123456":
+            # Netpbm P1-P6 (netpbmcodec.py)
+            from olake_spark.functions.netpbmcodec import netpbm_decode
+
+            return netpbm_decode(data)
         return png_decode(bytes(data))
     except (struct.error, zlib.error, IndexError) as exc:
         raise ValueError(
