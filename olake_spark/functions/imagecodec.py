@@ -291,6 +291,11 @@ def decode_image(data: bytes) -> np.ndarray:
             from olake_spark.functions.tiffcodec import tiff_decode
 
             return tiff_decode(data)
+        if bytes(data[:4]) == b"RIFF" and bytes(data[8:12]) == b"WEBP":
+            # WebP (webpcodec.py): full VP8L lossless; lossy VP8 raises
+            from olake_spark.functions.webpcodec import webp_decode
+
+            return webp_decode(bytes(data))
         if len(data) >= 2 and data[0] == 0x50 and data[1] in b"123456":
             # Netpbm P1-P6 (netpbmcodec.py)
             from olake_spark.functions.netpbmcodec import netpbm_decode
