@@ -292,7 +292,9 @@ def decode_image(data: bytes) -> np.ndarray:
 
             return tiff_decode(data)
         if bytes(data[:4]) == b"RIFF" and bytes(data[8:12]) == b"WEBP":
-            # WebP (webpcodec.py): full VP8L lossless; lossy VP8 raises
+            # WebP (webpcodec.py): full VP8L lossless pure-python; lossy
+            # VP8 via the gated system-libwebp fallback (syscodec.py),
+            # raising the documented seam ValueError when absent
             from olake_spark.functions.webpcodec import webp_decode
 
             return webp_decode(bytes(data))

@@ -679,19 +679,36 @@ def _vp8x_dims(payload: bytes) -> tuple[int, int]:
 
 
 _LOSSY_SEAM_MSG = (
-    "lossy WebP (VP8 color payload) is not supported: VP8 is a full intra "
-    "video codec — documented dispatch seam, same decision as mp4/webm"
+    "lossy WebP (VP8 color payload) is not supported without system "
+    "libwebp: VP8 is a full intra video codec — documented dispatch seam, "
+    "same decision as mp4/webm (install libwebp to enable the gated "
+    "syscodec fallback)"
 )
 
 
+def _lossy_vp8_argb(data: bytes) -> np.ndarray:
+    """Lossy-VP8 path: gated system-libwebp fallback (syscodec.py). The
+    pure decoders own every other format; VP8 is the one deliberate
+    delegation — see syscodec's module docstring for the rationale. Raises
+    the documented seam ValueError when libwebp is absent."""
+    from olake_spark.functions.syscodec import webp_decode_rgba_sys
+
+    rgba = webp_decode_rgba_sys(data)  # whole file: libwebp applies ALPH too
+    if rgba is None:
+        raise ValueError(_LOSSY_SEAM_MSG)
+    r, g, b, a = (rgba[..., i].astype(np.uint32) for i in range(4))
+    return (a << 24) | (r << 16) | (g << 8) | b
+
+
 def webp_decode_argb(data: bytes) -> np.ndarray:
-    """Decode a (lossless) WebP file to an (h, w) uint32 ARGB array."""
+    """Decode a WebP file to an (h, w) uint32 ARGB array — pure-python
+    VP8L for lossless, gated libwebp for lossy VP8."""
     data = bytes(data)
     for tag, payload in _walk_chunks(data):
         if tag == b"VP8L":
             return vp8l_decode(payload)
         if tag == b"VP8 ":
-            raise ValueError(_LOSSY_SEAM_MSG)
+            return _lossy_vp8_argb(data)
         if tag == b"VP8X":
             continue  # descriptor only; keep walking to the image chunk
     raise ValueError("no image data chunk in WebP file")
