@@ -194,6 +194,7 @@ def png_decode(data: bytes) -> np.ndarray:
     idat = b""
     plte = None
     interlace = 0
+    exif_o = 1
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
@@ -216,6 +217,11 @@ def png_decode(data: bytes) -> np.ndarray:
             idat += body
         elif ctype == b"IEND":
             break
+        elif ctype == b"eXIf":
+            # PNG 3rd-edition EXIF chunk: payload is a raw TIFF stream
+            from olake_spark.functions.exif import orientation_from_exif
+
+            exif_o = orientation_from_exif(body)
     if w is None:
         raise ValueError("PNG missing IHDR chunk")
     ch = _PNG_CHANNELS[color]
@@ -227,18 +233,24 @@ def png_decode(data: bytes) -> np.ndarray:
     else:
         px = _pass_pixels(raw, h, w, ch, depth)
     if color == 2:
-        return px
-    if color == 6:
-        return px[:, :, :3].copy()
-    if color == 0:
+        rgb = px
+    elif color == 6:
+        rgb = px[:, :, :3].copy()
+    elif color == 0:
         if depth < 8:  # bit replication to full scale (exact integer)
             px = px * np.uint8(255 // ((1 << depth) - 1))
-        return np.repeat(px, 3, axis=2)
-    if color == 4:
-        return np.repeat(px[:, :, :1], 3, axis=2)
-    if plte is None:
+        rgb = np.repeat(px, 3, axis=2)
+    elif color == 4:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    elif plte is None:
         raise ValueError("palette PNG without PLTE chunk")
-    return plte[px[:, :, 0]]
+    else:
+        rgb = plte[px[:, :, 0]]
+    if exif_o == 1:  # the common path: zero-cost identity
+        return rgb
+    from olake_spark.functions.exif import apply_orientation
+
+    return apply_orientation(rgb, exif_o)
 
 
 def _encode_lossy(arr: np.ndarray) -> bytes:
@@ -272,10 +284,17 @@ def decode_image(data: bytes) -> np.ndarray:
             # real JPEG bytes (SOI magic): full T.81 decoder (baseline +
             # progressive) — every
             # decode-bearing operator (multimodal stats/resize, PSNR verify)
-            # accepts real-world payloads, not just fixture containers
+            # accepts real-world payloads, not just fixture containers.
+            # Camera files carry EXIF Orientation in APP1: return display
+            # orientation (exif.py), the exif_transpose/autorotate
+            # convention — sideways pixels would split phash dedup buckets
+            from olake_spark.functions.exif import (
+                apply_orientation,
+                jpeg_orientation,
+            )
             from olake_spark.functions.jpegcodec import jpeg_decode
 
-            return jpeg_decode(data)
+            return apply_orientation(jpeg_decode(data), jpeg_orientation(data))
         if bytes(data[:4]) == b"GIF8":
             # real GIF87a/89a bytes: first composed frame (gifcodec.py)
             from olake_spark.functions.gifcodec import gif_decode

