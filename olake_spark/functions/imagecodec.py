@@ -322,6 +322,13 @@ def decode_image(data: bytes) -> np.ndarray:
             from olake_spark.functions.netpbmcodec import netpbm_decode
 
             return netpbm_decode(data)
+        if bytes(data[:2]) == b"\x00\x00":
+            # possible ICO/CUR (weak magic — is_ico validates the
+            # directory before committing): favicons in web crawls
+            from olake_spark.functions.icocodec import ico_decode, is_ico
+
+            if is_ico(bytes(data)):
+                return ico_decode(bytes(data))
         return png_decode(bytes(data))
     except (struct.error, zlib.error, IndexError) as exc:
         raise ValueError(
