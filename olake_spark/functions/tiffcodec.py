@@ -1,16 +1,24 @@
-"""Pure-numpy baseline TIFF 6.0 decoder (strip-organized files).
+"""Pure-numpy baseline TIFF 6.0 decoder.
 
 TIFFs dominate scanned-document and scientific corpora; this extends the
 ingest set (PNG/JPEG/GIF/BMP) with the last classic still container.
 ``decode_image`` routes ``II*\\0`` / ``MM\\0*`` magic here.
 
-Coverage (TIFF 6.0 spec, baseline + the two ubiquitous extensions):
+Coverage (TIFF 6.0 spec, baseline + the ubiquitous extensions):
 
 - Both byte orders (II little / MM big), first IFD, inline and offset
   tag values.
-- Compression 1 (none), 32773 (PackBits RLE) and 5 (LZW — the TIFF
+- BOTH raster organizations: strips (273/279, multi-strip with a
+  partial final strip) and tiles (322-325 — the aerial/scientific-TIFF
+  shape: fixed tw x th grid, edge tiles padded to full size, assembled
+  then cropped; predictor differencing restarts per tile row, so pixel
+  conversion happens per tile before assembly).
+- BOTH planar configurations: 1 (chunky) and 2 (separate planes —
+  chunks grouped per component, spec order: all of plane 0, then 1, …),
+  for strips and tiles alike (8/16-bit samples).
+- Compression 1 (none), 32773 (PackBits RLE), 5 (LZW — the TIFF
   variant: MSB-first packing, 9→12-bit codes with libtiff's early-change
-  width bump, CLEAR=256/EOI=257).
+  width bump, CLEAR=256/EOI=257), and 8/32946 (Adobe/old Deflate, zlib).
 - Predictor 2 (horizontal differencing) at 8 and 16 bits.
 - Photometric 0/1 (bilevel+gray, WhiteIsZero inverted), 2 (RGB),
   3 (palette via the 16-bit ColorMap, high byte taken).
@@ -18,10 +26,10 @@ Coverage (TIFF 6.0 spec, baseline + the two ubiquitous extensions):
   samples strip to the high byte in the file's byte order (same ingest
   convention as png_decode).
 - Gray+alpha and RGBA (ExtraSamples): alpha dropped.
-- Multi-strip files with a partial final strip.
+- Orientation tag 274: display-oriented output (exif.py), matching
+  libtiff's RGBA interface for 1-4 and the EXIF spec transforms for
+  5-8 (where libtiff drops the transpose — pinned test divergence).
 
-Tiled organization (tags 322-325) and planar configuration 2 raise a
-clear ValueError — rare shapes where a loud error beats silent garbage.
 Like the JPEG/GIF entropy coders this is a scalar per-image kernel off
 the bench path; Spark parallelism is across images in Arrow-batched UDFs.
 """
@@ -148,8 +156,70 @@ def _read_ifd(data: bytes, bo: str) -> dict[int, list[int]]:
     return tags
 
 
+def _decompress(raw: bytes, expect: int, compression: int, i: int) -> bytes:
+    """One strip/tile → exactly `expect` raster bytes."""
+    if compression == 1:
+        if len(raw) < expect:
+            raise ValueError(f"TIFF chunk {i}: {len(raw)} bytes, need {expect}")
+        return raw[:expect]
+    if compression == 32773:
+        return _packbits_decode(raw, expect)
+    if compression == 5:
+        return _lzw_decode_tiff(raw, expect)
+    if compression in (8, 32946):  # Adobe deflate / old deflate — both zlib
+        import zlib
+
+        try:
+            out = zlib.decompress(raw)
+        except zlib.error as exc:
+            raise ValueError(f"TIFF deflate chunk {i}: {exc}") from None
+        if len(out) < expect:
+            raise ValueError(
+                f"TIFF deflate chunk {i} under-decoded: "
+                f"{len(out)} of {expect} bytes"
+            )
+        return out[:expect]
+    raise ValueError(
+        f"unsupported TIFF compression {compression} "
+        "(want none/LZW/PackBits/Deflate)"
+    )
+
+
+def _bytes_to_px(buf: bytes, h: int, w: int, samples: int, bits: int,
+                 bo: str, predictor: int) -> np.ndarray:
+    """Raster bytes of one strip-assembly / tile / plane → (h, w, samples)
+    uint8 samples: byte-order-aware 16→8 high-byte strip, sub-byte
+    unpacking (MSB-first, rows padded to byte boundaries), predictor-2
+    horizontal differencing undone per row."""
+    stride = (w * samples * bits + 7) // 8
+    rows = np.frombuffer(buf, dtype=np.uint8).reshape(h, stride)
+    if bits == 8:
+        px = rows[:, : w * samples].reshape(h, w, samples)
+        if predictor == 2:
+            px = np.cumsum(px, axis=1, dtype=np.uint32).astype(np.uint8)
+        return px
+    if bits == 16:
+        wide = rows[:, : w * samples * 2].reshape(h, w * samples, 2)
+        hi, lo = (0, 1) if bo == ">" else (1, 0)
+        vals = (wide[:, :, hi].astype(np.uint16) << 8) | wide[:, :, lo]
+        vals = vals.reshape(h, w, samples)
+        if predictor == 2:
+            vals = np.cumsum(vals, axis=1, dtype=np.uint32).astype(np.uint16)
+        return (vals >> 8).astype(np.uint8)
+    if predictor == 2:
+        raise ValueError("TIFF predictor 2 needs 8- or 16-bit samples")
+    bits_arr = np.unpackbits(rows, axis=1)
+    weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint8)
+    return (bits_arr.reshape(h, -1, bits) * weights).sum(
+        axis=2, dtype=np.uint8
+    )[:, :w].reshape(h, w, 1)
+
+
 def tiff_decode(data: bytes) -> np.ndarray:
-    """Decode a strip-organized baseline TIFF to (h, w, 3) uint8 RGB."""
+    """Decode a baseline TIFF 6.0 file to (h, w, 3) uint8 RGB — strip or
+    tile organized, chunky or planar, compressions
+    none/LZW/PackBits/Deflate; see the module docstring for the full
+    coverage matrix."""
     data = bytes(data)
     if data[:4] == b"II*\x00":
         bo = "<"
@@ -167,8 +237,6 @@ def tiff_decode(data: bytes) -> np.ndarray:
             return default
         return v[0]
 
-    if 322 in tags or 323 in tags:
-        raise ValueError("tiled TIFF not supported (strip organization only)")
     w = one(256)
     h = one(257)
     photometric = one(262)
@@ -179,8 +247,11 @@ def tiff_decode(data: bytes) -> np.ndarray:
     bits = bits_list[0]
     compression = one(259, 1)
     predictor = one(317, 1)
-    if one(284, 1) != 1:
-        raise ValueError("planar TIFF (PlanarConfiguration=2) not supported")
+    planar = one(284, 1)
+    if planar not in (1, 2):
+        raise ValueError(f"bad TIFF PlanarConfiguration {planar}")
+    if planar == 2 and bits < 8:
+        raise ValueError("planar TIFF with sub-byte samples not supported")
     if w <= 0 or h <= 0:
         raise ValueError(f"bad TIFF dimensions {w}x{h}")
     if bits not in (1, 2, 4, 8, 16):
@@ -194,60 +265,71 @@ def tiff_decode(data: bytes) -> np.ndarray:
     if photometric == 3 and (samples != 1 or 320 not in tags):
         raise ValueError("palette TIFF needs 1 sample and a ColorMap")
 
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF missing strip offsets/byte counts")
-    rows_per_strip = one(278, h)
+    tiled = 322 in tags or 323 in tags
+    nplanes = samples if planar == 2 else 1
+    ns = 1 if planar == 2 else samples  # samples interleaved per chunk row
 
-    stride = (w * samples * bits + 7) // 8  # rows pad to byte boundaries
-    chunks = []
-    for i, (soff, scnt) in enumerate(zip(offsets, counts)):
-        rows = min(rows_per_strip, h - i * rows_per_strip)
-        if rows <= 0:
-            raise ValueError("more TIFF strips than image rows")
-        expect = rows * stride
-        raw = data[soff : soff + scnt]
-        if len(raw) < scnt:
-            raise ValueError("truncated TIFF strip data")
-        if compression == 1:
-            if len(raw) < expect:
-                raise ValueError(
-                    f"TIFF strip {i}: {len(raw)} bytes, need {expect}"
-                )
-            chunks.append(raw[:expect])
-        elif compression == 32773:
-            chunks.append(_packbits_decode(raw, expect))
-        elif compression == 5:
-            chunks.append(_lzw_decode_tiff(raw, expect))
-        else:
+    if tiled:
+        tw, th = one(322), one(323)
+        if tw <= 0 or th <= 0 or tw % 16 or th % 16:
+            raise ValueError(f"bad TIFF tile dimensions {tw}x{th}")
+        offsets, counts = tags.get(324), tags.get(325)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing tile offsets/byte counts")
+        tiles_x = -(-w // tw)
+        tiles_y = -(-h // th)
+        per_plane = tiles_x * tiles_y
+        if len(offsets) != per_plane * nplanes:
             raise ValueError(
-                f"unsupported TIFF compression {compression} "
-                "(want none/LZW/PackBits)"
+                f"TIFF tile count {len(offsets)} != grid "
+                f"{tiles_x}x{tiles_y}x{nplanes}"
             )
-    rows = np.frombuffer(b"".join(chunks), dtype=np.uint8).reshape(h, stride)
-
-    # samples as (h, w, samples) uint8
-    if bits == 8:
-        px = rows[:, : w * samples].reshape(h, w, samples)
-        if predictor == 2:
-            px = np.cumsum(px, axis=1, dtype=np.uint32).astype(np.uint8)
-    elif bits == 16:
-        wide = rows[:, : w * samples * 2].reshape(h, w * samples, 2)
-        hi, lo = (0, 1) if bo == ">" else (1, 0)
-        vals = (wide[:, :, hi].astype(np.uint16) << 8) | wide[:, :, lo]
-        vals = vals.reshape(h, w, samples)
-        if predictor == 2:
-            vals = np.cumsum(vals, axis=1, dtype=np.uint32).astype(np.uint16)
-        px = (vals >> 8).astype(np.uint8)
+        tile_stride = (tw * ns * bits + 7) // 8
+        planes = []
+        for p in range(nplanes):
+            canvas = np.zeros((tiles_y * th, tiles_x * tw, ns), np.uint8)
+            for t in range(per_plane):
+                i = p * per_plane + t
+                raw = data[offsets[i] : offsets[i] + counts[i]]
+                if len(raw) < counts[i]:
+                    raise ValueError("truncated TIFF tile data")
+                buf = _decompress(raw, th * tile_stride, compression, i)
+                # predictor differencing restarts per TILE row, so pixel
+                # conversion must happen per tile, before assembly
+                px_t = _bytes_to_px(buf, th, tw, ns, bits, bo, predictor)
+                y, x = (t // tiles_x) * th, (t % tiles_x) * tw
+                canvas[y : y + th, x : x + tw] = px_t
+            planes.append(canvas[:h, :w])
+        px = planes[0] if nplanes == 1 else np.concatenate(planes, axis=2)
     else:
-        if predictor == 2:
-            raise ValueError("TIFF predictor 2 needs 8- or 16-bit samples")
-        bits_arr = np.unpackbits(rows, axis=1)
-        weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint8)
-        px = (bits_arr.reshape(h, -1, bits) * weights).sum(
-            axis=2, dtype=np.uint8
-        )[:, :w].reshape(h, w, 1)
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing strip offsets/byte counts")
+        rows_per_strip = one(278, h)
+        strips_per_plane = -(-h // rows_per_strip) if rows_per_strip else 0
+        if nplanes > 1 and len(offsets) != strips_per_plane * nplanes:
+            raise ValueError(
+                f"planar TIFF strip count {len(offsets)} != "
+                f"{strips_per_plane}x{nplanes}"
+            )
+        stride = (w * ns * bits + 7) // 8  # rows pad to byte boundaries
+        planes = []
+        for p in range(nplanes):
+            chunks = []
+            for s in range(len(offsets) // nplanes):
+                i = p * (len(offsets) // nplanes) + s
+                rows = min(rows_per_strip, h - s * rows_per_strip)
+                if rows <= 0:
+                    raise ValueError("more TIFF strips than image rows")
+                raw = data[offsets[i] : offsets[i] + counts[i]]
+                if len(raw) < counts[i]:
+                    raise ValueError("truncated TIFF strip data")
+                chunks.append(_decompress(raw, rows * stride, compression, i))
+            planes.append(
+                _bytes_to_px(b"".join(chunks), h, w, ns, bits, bo, predictor)
+            )
+        px = planes[0] if nplanes == 1 else np.concatenate(planes, axis=2)
 
     if photometric == 3:
         cmap = tags[320]

@@ -338,6 +338,71 @@ class TestTiffLibtiffOracle:
             )
         )
 
+    def test_tiled_rgb_with_edge_padding(self):
+        import test_tiffcodec as tt
+
+        rng = np.random.default_rng(31)
+        img = rng.integers(0, 256, (20, 37, 3), dtype=np.uint8)
+        tiles = tt._tile_split(img, 16, 16)
+        self._check(
+            tt._mux_tiff("<", 37, 20, 2, tiles, bits=(8, 8, 8), samples=3,
+                         tiles=(16, 16))
+        )
+
+    def test_tiled_lzw_predictor(self):
+        import test_tiffcodec as tt
+
+        rng = np.random.default_rng(32)
+        img = rng.integers(0, 256, (18, 30, 3), dtype=np.uint8)
+        tiles = []
+        for t in tt._tile_split(img, 16, 16):
+            a = np.frombuffer(t, np.uint8).reshape(16, 16, 3).astype(np.int16)
+            d = a.copy()
+            d[:, 1:] -= a[:, :-1]
+            tiles.append(
+                tt._lzw_encode_tiff((d & 0xFF).astype(np.uint8).tobytes())
+            )
+        self._check(
+            tt._mux_tiff("<", 30, 18, 2, tiles, bits=(8, 8, 8), samples=3,
+                         compression=5, predictor=2, tiles=(16, 16))
+        )
+
+    def test_planar_strips_and_planar_tiled(self):
+        import test_tiffcodec as tt
+
+        rng = np.random.default_rng(33)
+        img = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+        strips = []
+        for p in range(3):
+            plane = img[:, :, p]
+            strips += [plane[i : i + 2].tobytes() for i in range(0, 5, 2)]
+        self._check(
+            tt._mux_tiff("<", 4, 5, 2, strips, bits=(8, 8, 8), samples=3,
+                         rows_per_strip=2, planar=2)
+        )
+        img2 = rng.integers(0, 256, (16, 18, 3), dtype=np.uint8)
+        tiles = []
+        for p in range(3):
+            tiles += tt._tile_split(img2[:, :, p], 16, 16)
+        self._check(
+            tt._mux_tiff("<", 18, 16, 2, tiles, bits=(8, 8, 8), samples=3,
+                         planar=2, tiles=(16, 16))
+        )
+
+    def test_deflate_strips(self):
+        import test_tiffcodec as tt
+        import zlib
+
+        rng = np.random.default_rng(34)
+        img = rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)
+        strips = [
+            zlib.compress(img[i : i + 2].tobytes()) for i in range(0, 6, 2)
+        ]
+        self._check(
+            tt._mux_tiff("<", 7, 6, 2, strips, bits=(8, 8, 8), samples=3,
+                         compression=8, rows_per_strip=2)
+        )
+
     def test_real_python_tiff_premultiply_relation(self):
         # python.tiff carries unassociated alpha: the pure decoder returns
         # the unmultiplied RGB planes; libtiff premultiplies with the exact

@@ -96,9 +96,10 @@ def _lzw_encode_tiff(raw: bytes, clear_at: int = 4000) -> bytes:
 
 def _mux_tiff(bo, w, h, photometric, strips, bits=(8,), samples=1,
               compression=1, rows_per_strip=None, predictor=None,
-              colormap=None, extra=None):
+              colormap=None, extra=None, tiles=None, planar=None):
     """Hand-mux a single-IFD TIFF. `strips`: list of (already compressed)
-    strip payloads."""
+    strip payloads — or tile payloads when `tiles=(tw, th)` is given, in
+    which case the chunk tags are 322-325 instead of 273/278/279."""
     entries = []
 
     def entry(tag, typ, values):
@@ -110,7 +111,13 @@ def _mux_tiff(bo, w, h, photometric, strips, bits=(8,), samples=1,
     entry(259, 3, [compression])
     entry(262, 3, [photometric])
     entry(277, 3, [samples])
-    entry(278, 3, [rows_per_strip if rows_per_strip else h])
+    if tiles:
+        entry(322, 3, [tiles[0]])
+        entry(323, 3, [tiles[1]])
+    else:
+        entry(278, 3, [rows_per_strip if rows_per_strip else h])
+    if planar:
+        entry(284, 3, [planar])
     if predictor:
         entry(317, 3, [predictor])
     if colormap is not None:
@@ -125,8 +132,8 @@ def _mux_tiff(bo, w, h, photometric, strips, bits=(8,), samples=1,
     for s in strips:
         strip_offs.append(pos)
         pos += len(s)
-    entry(273, 4, strip_offs)
-    entry(279, 4, [len(s) for s in strips])
+    entry(324 if tiles else 273, 4, strip_offs)
+    entry(325 if tiles else 279, 4, [len(s) for s in strips])
     entries.sort()
     ifd_off = pos
     n = len(entries)
@@ -275,16 +282,31 @@ class TestTiffErrors:
         with pytest.raises(ValueError, match="not a TIFF"):
             tiff_decode(b"PK\x03\x04" + b"\x00" * 20)
 
-    def test_tiled_and_planar_raise(self):
-        g = np.zeros((2, 2), dtype=np.uint8)
-        tiled = _mux_tiff("<", 2, 2, 1, [g.tobytes()],
-                          extra=[(322, 4, [16]), (323, 4, [16])])
-        with pytest.raises(ValueError, match="tiled"):
-            tiff_decode(tiled)
-        planar = _mux_tiff("<", 2, 2, 1, [g.tobytes()],
-                           extra=[(284, 3, [2])])
-        with pytest.raises(ValueError, match="Planar"):
+    def test_bad_tile_dims_and_count(self):
+        g = np.zeros((16, 16), dtype=np.uint8)
+        with pytest.raises(ValueError, match="tile dimensions"):
+            tiff_decode(_mux_tiff("<", 16, 16, 1, [g.tobytes()],
+                                  tiles=(12, 16)))
+        with pytest.raises(ValueError, match="tile count"):
+            tiff_decode(_mux_tiff("<", 32, 16, 1, [g.tobytes()],
+                                  tiles=(16, 16)))  # grid needs 2 tiles
+
+    def test_planar_sub_byte_raises(self):
+        g = np.zeros((2, 1), dtype=np.uint8)
+        planar = _mux_tiff("<", 2, 2, 1, [g.tobytes()], bits=(4,), planar=2)
+        with pytest.raises(ValueError, match="planar.*sub-byte"):
             tiff_decode(planar)
+
+    def test_planar_strip_count_mismatch(self):
+        img = np.zeros((2, 2, 3), dtype=np.uint8)
+        bad = _mux_tiff("<", 2, 2, 2, [img.tobytes()], samples=3, planar=2)
+        with pytest.raises(ValueError, match="planar TIFF strip count"):
+            tiff_decode(bad)
+
+    def test_deflate_garbage_raises(self):
+        bad = _mux_tiff("<", 2, 2, 1, [b"\xde\xad\xbe\xef"], compression=8)
+        with pytest.raises(ValueError, match="deflate"):
+            tiff_decode(bad)
 
     def test_unsupported_compression(self):
         d = _mux_tiff("<", 2, 2, 1,
@@ -318,3 +340,145 @@ class TestTiffRealFile:
                              dtype=np.uint8).reshape(16, 16, 4)[:, :, :3]
         out = ic.decode_image(data)
         assert (out == want).all()
+
+
+# ---------------------------------------------------------------------------
+# tiles, planar configuration 2, Deflate
+# ---------------------------------------------------------------------------
+
+
+def _tile_split(img, tw, th):
+    """Pad to the tile grid and return row-major tile payload bytes —
+    derived here independently of the decoder's assembly."""
+    h, w = img.shape[:2]
+    ty, tx = -(-h // th), -(-w // tw)
+    pad = np.zeros((ty * th, tx * tw) + img.shape[2:], img.dtype)
+    pad[:h, :w] = img
+    return [
+        pad[y * th : (y + 1) * th, x * tw : (x + 1) * tw].tobytes()
+        for y in range(ty)
+        for x in range(tx)
+    ]
+
+
+class TestTiffTiled:
+    def test_rgb8_tiled_with_edge_padding(self):
+        rng = np.random.default_rng(21)
+        img = rng.integers(0, 256, (20, 37, 3), dtype=np.uint8)
+        tiles = _tile_split(img, 16, 16)  # 2x3 grid, padded edges
+        data = _mux_tiff("<", 37, 20, 2, tiles, samples=3, tiles=(16, 16))
+        assert (tiff_decode(data) == img).all()
+
+    @pytest.mark.parametrize("bo", ["<", ">"])
+    def test_gray16_tiled_both_byte_orders(self, bo):
+        rng = np.random.default_rng(22)
+        img = rng.integers(0, 65536, (16, 16), dtype=np.uint16)
+        raw = img.astype(">u2" if bo == ">" else "<u2").tobytes()
+        data = _mux_tiff(bo, 16, 16, 1, [raw], bits=(16,), tiles=(16, 16))
+        assert (tiff_decode(data) == np.repeat(
+            (img >> 8).astype(np.uint8)[:, :, None], 3, axis=2)).all()
+
+    def test_tiled_lzw_predictor2_restarts_per_tile_row(self):
+        # the per-tile differencing property: encoding each tile's rows
+        # independently must decode exactly
+        rng = np.random.default_rng(23)
+        img = rng.integers(0, 256, (18, 30, 3), dtype=np.uint8)
+        tiles = []
+        for t in _tile_split(img, 16, 16):
+            a = np.frombuffer(t, np.uint8).reshape(16, 16, 3).astype(np.int16)
+            d = a.copy()
+            d[:, 1:] -= a[:, :-1]
+            tiles.append(_lzw_encode_tiff((d & 0xFF).astype(np.uint8).tobytes()))
+        data = _mux_tiff("<", 30, 18, 2, tiles, samples=3,
+                         compression=5, predictor=2, tiles=(16, 16))
+        assert (tiff_decode(data) == img).all()
+
+    def test_tiled_deflate(self):
+        import zlib
+
+        rng = np.random.default_rng(24)
+        img = rng.integers(0, 256, (16, 20, 3), dtype=np.uint8)
+        tiles = [zlib.compress(t) for t in _tile_split(img, 16, 16)]
+        data = _mux_tiff("<", 20, 16, 2, tiles, samples=3,
+                         compression=8, tiles=(16, 16))
+        assert (tiff_decode(data) == img).all()
+
+    def test_tiled_palette_4bit(self):
+        # sub-byte tiled: 4-bit palette indices pack two per byte per tile row
+        idx = (np.arange(16 * 16, dtype=np.uint8) % 13).reshape(16, 16)
+        packed = ((idx[:, ::2] << 4) | idx[:, 1::2]).tobytes()
+        cmap = list(range(0, 16 * 256, 256)) * 3  # 3 planes x 16 entries
+        data = _mux_tiff("<", 16, 16, 3, [packed], bits=(4,),
+                         colormap=cmap, tiles=(16, 16))
+        pal = (np.array(cmap, dtype=np.uint16).reshape(3, 16).T >> 8
+               ).astype(np.uint8)
+        assert (tiff_decode(data) == pal[idx]).all()
+
+
+class TestTiffPlanar:
+    def test_rgb8_planar_multi_strip(self):
+        rng = np.random.default_rng(25)
+        img = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+        strips = []
+        for p in range(3):  # spec order: all strips of plane 0, then 1, 2
+            plane = img[:, :, p]
+            strips += [plane[i : i + 2].tobytes() for i in range(0, 5, 2)]
+        data = _mux_tiff("<", 4, 5, 2, strips, samples=3,
+                         rows_per_strip=2, planar=2)
+        assert (tiff_decode(data) == img).all()
+
+    def test_rgb16_planar_predictor2_big_endian(self):
+        rng = np.random.default_rng(26)
+        img = rng.integers(0, 65536, (4, 6, 3), dtype=np.uint16)
+        strips = []
+        for p in range(3):
+            a = img[:, :, p].astype(np.int32)
+            d = a.copy()
+            d[:, 1:] -= a[:, :-1]
+            strips.append((d & 0xFFFF).astype(">u2").tobytes())
+        data = _mux_tiff(">", 6, 4, 2, strips, bits=(16,), samples=3,
+                         predictor=2, planar=2)
+        assert (tiff_decode(data) == (img >> 8).astype(np.uint8)).all()
+
+    def test_rgb8_planar_tiled(self):
+        rng = np.random.default_rng(27)
+        img = rng.integers(0, 256, (16, 18, 3), dtype=np.uint8)
+        tiles = []
+        for p in range(3):  # all tiles of plane 0, then plane 1, ...
+            tiles += _tile_split(img[:, :, p], 16, 16)
+        data = _mux_tiff("<", 18, 16, 2, tiles, samples=3,
+                         planar=2, tiles=(16, 16))
+        assert (tiff_decode(data) == img).all()
+
+    def test_planar_rgba_extrasamples_dropped(self):
+        rng = np.random.default_rng(28)
+        img = rng.integers(0, 256, (3, 3, 4), dtype=np.uint8)
+        strips = [img[:, :, p].tobytes() for p in range(4)]
+        data = _mux_tiff("<", 3, 3, 2, strips, samples=4, planar=2)
+        assert (tiff_decode(data) == img[:, :, :3]).all()
+
+
+class TestTiffDeflate:
+    @pytest.mark.parametrize("code", [8, 32946])
+    def test_deflate_strips_both_codes(self, code):
+        import zlib
+
+        rng = np.random.default_rng(29)
+        img = rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)
+        strips = [zlib.compress(img[i : i + 2].tobytes()) for i in range(0, 6, 2)]
+        data = _mux_tiff("<", 7, 6, 2, strips, samples=3,
+                         compression=code, rows_per_strip=2)
+        assert (tiff_decode(data) == img).all()
+
+    def test_deflate_with_predictor2(self):
+        import zlib
+
+        rng = np.random.default_rng(30)
+        img = rng.integers(0, 256, (5, 8, 3), dtype=np.uint8)
+        a = img.astype(np.int16)
+        d = a.copy()
+        d[:, 1:] -= a[:, :-1]
+        payload = zlib.compress((d & 0xFF).astype(np.uint8).tobytes())
+        data = _mux_tiff("<", 8, 5, 2, [payload], samples=3,
+                         compression=8, predictor=2)
+        assert (tiff_decode(data) == img).all()
