@@ -971,6 +971,27 @@ def _q_pack_sequences(spark, sf):
     )
 
 
+DECON_N = 3          # trigrams: discriminating on the ~30-word fixture vocab
+DECON_MAX_PPM = 100_000
+DECON_BENCH_MOD = 10  # every 10th doc (by content hash) IS the benchmark
+
+
+def _q_curate_decontaminate(spark, sf):
+    # benchmark decontamination (GPT-3 appendix-C shape): the corpus is
+    # audited for n-gram overlap against a broadcast benchmark shingle
+    # set; the benchmark here is a deterministic hash-slice of the
+    # documents table standing in for a held-out eval suite
+    from olake_spark.operators import decontaminate as DC
+
+    d = _tbl(spark, sf, "documents")
+    split = curate.hash_mod_col("doc_id", DECON_BENCH_MOD)
+    bench = DC.benchmark_grams(d.filter(split == 0), "text", DECON_N)
+    return DC.decontaminate(
+        d.filter(split != 0), bench, "doc_id", "text",
+        n=DECON_N, max_contam_ppm=DECON_MAX_PPM,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "maintenance_compact_cluster": _q_maintenance_compact_cluster,
@@ -1048,10 +1069,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_stratified_cap": _q_curate_stratified_cap,
         "text_scrub_pii": _q_text_scrub_pii,
         "dedup_keep_best": _q_dedup_keep_best,
+        "curate_decontaminate": _q_curate_decontaminate,
     }
 
 
 # ------------------------------------------------------------ oracle SQL
+
+
+def _decontaminate_oracle() -> str:
+    from olake_spark.operators.decontaminate import decontaminate_oracle_sql
+
+    split = curate.hash_mod_sql("doc_id", DECON_BENCH_MOD)
+    return decontaminate_oracle_sql(
+        f"SELECT * FROM documents WHERE {split} != 0",
+        f"SELECT * FROM documents WHERE {split} = 0",
+        n=DECON_N, max_contam_ppm=DECON_MAX_PPM,
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1237,6 +1270,7 @@ WHERE {cos('a.embedding', 'b.embedding')} >= {COSINE_PPM}
             ),
             "documents", "doc_id", T.quality_score_ppm_sql("d.text"),
         ),
+        "curate_decontaminate": _decontaminate_oracle(),
         "text_quality": f"""
 SELECT doc_id,
        {T.token_count_sql('text')} AS n_tokens,
