@@ -99,6 +99,9 @@ def bmp_decode(data: bytes) -> np.ndarray:
     clr_used = struct.unpack("<I", data[46:50])[0]
     if w <= 0 or h_signed == 0:
         raise ValueError(f"bad BMP dimensions {w}x{h_signed}")
+    from olake_spark.functions.imagecodec import check_dims
+
+    check_dims(w, abs(h_signed), "BMP")
     if planes != 1:
         raise ValueError(f"bad BMP plane count {planes}")
     if compression not in (0, 1, 2):  # BI_RGB / BI_RLE8 / BI_RLE4

@@ -141,6 +141,9 @@ def gif_decode_frames(data: bytes) -> tuple[np.ndarray, list[int]]:
     if len(data) < 13:
         raise ValueError("truncated GIF header")
     w, h, packed, bg_idx, _ar = struct.unpack("<HHBBB", data[6:13])
+    from olake_spark.functions.imagecodec import check_dims
+
+    check_dims(w, h, "GIF")
     pos = 13
     gct = None
     if packed & 0x80:

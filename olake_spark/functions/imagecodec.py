@@ -26,12 +26,37 @@ BASELINE.json input_hint).
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 
 import numpy as np
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# Decompression-bomb guard (Pillow's MAX_IMAGE_PIXELS analog). A 1 MB
+# payload can legally declare dimensions that expand to many GB of raster
+# (measured here: a 1.17 MB PNG of compressed zeros → 1.2 GB array, 116 s
+# of CPU) — at 100 TB ingest a handful of such files OOMs executors or
+# stalls tasks. Every pure decoder calls check_dims() the moment its
+# container header yields (w, h), BEFORE any canvas/inflate allocation, so
+# oversized files fail fast through the normal per-row ValueError seam
+# (multimodal UDFs record decode_ok=false; the batch is never poisoned).
+# Default 2^27 px ≈ 402 MB of RGB — far above any training image, far
+# below executor memory. Override with OLAKE_MAX_IMAGE_PIXELS (0 disables)
+# for pipelines that legitimately carry gigapixel imagery.
+MAX_IMAGE_PIXELS = int(os.environ.get("OLAKE_MAX_IMAGE_PIXELS", str(1 << 27)))
+
+
+def check_dims(w: int, h: int, container: str = "image") -> None:
+    """Raise ValueError when a declared raster exceeds MAX_IMAGE_PIXELS.
+    Reads the module global at call time so tests (and callers) can lower
+    or disable the limit without re-importing the codecs."""
+    if MAX_IMAGE_PIXELS and w * h > MAX_IMAGE_PIXELS:
+        raise ValueError(
+            f"{container} dimensions {w}x{h} exceed the decompression-bomb "
+            f"guard ({w * h} > OLAKE_MAX_IMAGE_PIXELS={MAX_IMAGE_PIXELS})"
+        )
 _LOSSY_MAGIC = b"\x89LSY1"  # our deterministic lossy stand-in container
 _LOSSY_Q = 4  # quantization step → PSNR ≈ 46.9 dB
 
@@ -211,6 +236,7 @@ def png_decode(data: bytes) -> np.ndarray:
                 )
             if interlace not in (0, 1):
                 raise ValueError(f"unknown PNG interlace method {interlace}")
+            check_dims(w, h, "PNG")
         elif ctype == b"PLTE":
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":

@@ -559,6 +559,9 @@ def _decode_impl(data: bytes, luma_only: bool) -> np.ndarray:
             if seg[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             h, w = struct.unpack(">HH", seg[1:5])
+            from olake_spark.functions.imagecodec import check_dims
+
+            check_dims(w, h, "JPEG")
             nc = seg[5]
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]

@@ -57,6 +57,9 @@ def netpbm_decode(data: bytes) -> np.ndarray:
     maxval = 1 if bilevel else head[2]
     if w <= 0 or h <= 0:
         raise ValueError(f"bad Netpbm dimensions {w}x{h}")
+    from olake_spark.functions.imagecodec import check_dims
+
+    check_dims(w, h, "Netpbm")
     if not 1 <= maxval <= 65535:
         raise ValueError(f"bad Netpbm maxval {maxval}")
 

@@ -254,6 +254,9 @@ def tiff_decode(data: bytes) -> np.ndarray:
         raise ValueError("planar TIFF with sub-byte samples not supported")
     if w <= 0 or h <= 0:
         raise ValueError(f"bad TIFF dimensions {w}x{h}")
+    from olake_spark.functions.imagecodec import check_dims
+
+    check_dims(w, h, "TIFF")
     if bits not in (1, 2, 4, 8, 16):
         raise ValueError(f"unsupported TIFF bit depth {bits}")
     if bits < 8 and samples != 1:

@@ -598,6 +598,9 @@ def vp8l_decode(payload: bytes, dims: tuple[int, int] | None = None) -> np.ndarr
         w, h = dims
     if w <= 0 or h <= 0:
         raise ValueError("bad VP8L dimensions")
+    from olake_spark.functions.imagecodec import check_dims
+
+    check_dims(w, h, "VP8L")
     return _decode_image_stream(br, w, h, True)
 
 
