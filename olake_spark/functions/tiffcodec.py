@@ -281,6 +281,11 @@ def tiff_decode(data: bytes) -> np.ndarray:
             raise ValueError("TIFF missing tile offsets/byte counts")
         tiles_x = -(-w // tw)
         tiles_y = -(-h // th)
+        # the assembly canvas is the edge-padded tile grid, which a
+        # crafted file can make arbitrarily larger than the (already
+        # guarded) w x h — e.g. a 1000x1000 image declaring 32768x32768
+        # tiles pads to a 1-GB canvas. Guard the padded extent too.
+        check_dims(tiles_x * tw, tiles_y * th, "TIFF tile grid")
         per_plane = tiles_x * tiles_y
         if len(offsets) != per_plane * nplanes:
             raise ValueError(

@@ -90,6 +90,20 @@ class TestBombGuard:
         with pytest.raises(ValueError, match="decompression-bomb"):
             decode_image(tif)
 
+    def test_tiff_tile_grid_guarded(self, tiny_limit):
+        # w x h passes the guard, but the declared tile size pads the
+        # assembly canvas beyond it: 30x30 image, 1024x1024 tiles
+        def entry(tag, typ, val):
+            return struct.pack("<HHII", tag, typ, 1, val)
+        entries = (entry(256, 3, 30) + entry(257, 3, 30)
+                   + entry(262, 3, 1)
+                   + entry(322, 3, 1024) + entry(323, 3, 1024)
+                   + entry(324, 4, 8) + entry(325, 4, 4))
+        ifd = struct.pack("<H", 7) + entries + struct.pack("<I", 0)
+        tif = b"II*\x00" + struct.pack("<I", 8) + ifd
+        with pytest.raises(ValueError, match="decompression-bomb"):
+            decode_image(tif)
+
     def test_netpbm_guarded(self, tiny_limit):
         with pytest.raises(ValueError, match="decompression-bomb"):
             decode_image(b"P5\n50000 50000\n255\n" + b"\x00" * 64)
