@@ -192,6 +192,22 @@ def main() -> None:
         step("curate2", kept=rules.filter("keep = 1").count(),
              sequences=packed.select("bucket", "seq").distinct().count())
 
+        # -- 7b2. benchmark decontamination: audit the corpus for n-gram
+        # overlap against a (broadcast) eval set — here a hash-slice of
+        # the docs stands in for the benchmark suite
+        from olake_spark.operators.decontaminate import (
+            benchmark_grams, decontaminate,
+        )
+
+        split = curate.hash_mod_col("doc_id", 10)
+        audit = decontaminate(
+            docs.filter(split != 0),
+            benchmark_grams(docs.filter(split == 0), "text", n=3),
+            n=3, max_contam_ppm=100_000,
+        )
+        step("decontaminate", audited=audit.count(),
+             clean=audit.filter("keep = 1").count())
+
         # -- 7c. retrieval + sessionization --------------------------------
         from olake_spark.operators.retrieval import bm25_topk
         from olake_spark.operators.sessionize import sessionize
@@ -266,10 +282,31 @@ def main() -> None:
             "video_id string, bytes binary",
         )
         vframes = sample_frames(vids, every_n=4).collect()
+        # a decompression bomb in the same batch: tiny bytes, huge declared
+        # dims — rejected per-row (decode_ok=false), batch unharmed
+        import struct as _st
+        import zlib as _zl
+
+        def _chunk(tag, body):
+            return (_st.pack(">I", len(body)) + tag + body
+                    + _st.pack(">I", _zl.crc32(tag + body)))
+
+        bomb = (b"\x89PNG\r\n\x1a\n"
+                + _chunk(b"IHDR", _st.pack(">IIBBBBB", 40_000, 40_000,
+                                           8, 2, 0, 0, 0))
+                + _chunk(b"IDAT", _zl.compress(b"\x00" * 64))
+                + _chunk(b"IEND", b""))
+        poisoned = jpgs.union(spark.createDataFrame(
+            [("bomb-0", bytearray(bomb), 40_000, 40_000, "png",
+              "decompression bomb", 0)], jpgs.schema))
+        pstats = {r["image_id"]: r["decode_ok"]
+                  for r in decode_stats(poisoned).collect()}
         step("real_media",
              jpeg_decoded=sum(r["decode_ok"] for r in jstats),
              mjpeg_frames_sampled=len(vframes),
-             frame_indexes=[r["frame_idx"] for r in vframes])
+             frame_indexes=[r["frame_idx"] for r in vframes],
+             bomb_rejected=not pstats["bomb-0"],
+             batch_survived=sum(pstats.values()))
 
         step("done", warehouse=wd)
     finally:

@@ -80,6 +80,51 @@ class TestDecontaminate:
         r1 = {r["doc_id"]: r["n_hits"] for r in out.collect()}
         assert r1[1] == 4 and r1[2] == 2
 
+    def test_randomized_vs_bruteforce(self, spark):
+        # seeded random corpora vs a from-scratch python oracle: same
+        # shingling, counting and integer-ppm arithmetic, independently
+        # reimplemented (catches drift in either the Catalyst expressions
+        # or the operator's join/agg wiring)
+        import numpy as np
+
+        rng = np.random.default_rng(77)
+        vocab = [f"w{i}" for i in range(12)]  # tiny vocab → real overlap
+        n = 3
+        limit = 150_000
+
+        def rand_text():
+            k = int(rng.integers(1, 15))
+            return " ".join(vocab[int(rng.integers(0, len(vocab)))]
+                            for _ in range(k))
+
+        docs = [(i, rand_text()) for i in range(120)]
+        bench = [(1000 + i, rand_text()) for i in range(15)]
+
+        def grams_of(text):
+            t = text.split(" ")
+            return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+        bench_set = set().union(*(grams_of(t) for _, t in bench))
+        expect = {}
+        for i, t in docs:
+            g = grams_of(t)
+            hits = len(g & bench_set)
+            contam = (1_000_000 * hits) // len(g) if g else 0
+            expect[i] = (len(g), hits, contam, 1 if contam <= limit else 0)
+
+        ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+        bdf = spark.createDataFrame(bench, ["doc_id", "text"])
+        out = decontaminate(ddf, benchmark_grams(bdf, "text", n),
+                            n=n, max_contam_ppm=limit)
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_hits"], r["contam_ppm"], r["keep"])
+            for r in out.collect()
+        }
+        assert got == expect
+        # sanity that the fixture discriminates (not all-keep / all-drop)
+        keeps = {v[3] for v in expect.values()}
+        assert keeps == {0, 1}
+
     def test_plan_broadcasts_benchmark_single_shuffle(self, spark, corpus):
         docs, bench_docs = corpus
         bench = benchmark_grams(bench_docs, "text", n=3)
