@@ -992,6 +992,24 @@ def _q_curate_decontaminate(spark, sf):
     )
 
 
+def _q_dedup_semantic(spark, sf):
+    # SemDeDup (Abbas et al. 2023): cluster embeddings, drop members too
+    # cosine-similar to a higher-priority member of their cell. The by-id
+    # codebook makes the whole index a pure function of the table so the
+    # oracle rebuilds it; the k-means trainer is the production codebook
+    # and is covered by pytest. exact_assign pins fold-exact cell ranks
+    # (the ann_ivf_topk convention); the PAIR kernel is the production
+    # chunked-BLAS path — candidates are re-scored fold-exactly, so the
+    # gate exercises the real kernel while staying bit-deterministic.
+    from olake_spark.operators import semdedup as SD
+
+    emb = _tbl(spark, sf, "embeddings")
+    cents = ann.ivf_centroids_by_id(emb, "vec_id", "embedding", 16)
+    return SD.semantic_dedup(
+        emb, "vec_id", "embedding", cents, COSINE_PPM, exact_assign=True
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "maintenance_compact_cluster": _q_maintenance_compact_cluster,
@@ -1070,10 +1088,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub_pii": _q_text_scrub_pii,
         "dedup_keep_best": _q_dedup_keep_best,
         "curate_decontaminate": _q_curate_decontaminate,
+        "dedup_semantic": _q_dedup_semantic,
     }
 
 
 # ------------------------------------------------------------ oracle SQL
+
+
+def _semdedup_oracle() -> str:
+    from olake_spark.operators.semdedup import semantic_dedup_sql
+
+    return semantic_dedup_sql("embeddings", "vec_id", COSINE_PPM, 16)
 
 
 def _decontaminate_oracle() -> str:
@@ -1271,6 +1296,7 @@ WHERE {cos('a.embedding', 'b.embedding')} >= {COSINE_PPM}
             "documents", "doc_id", T.quality_score_ppm_sql("d.text"),
         ),
         "curate_decontaminate": _decontaminate_oracle(),
+        "dedup_semantic": _semdedup_oracle(),
         "text_quality": f"""
 SELECT doc_id,
        {T.token_count_sql('text')} AS n_tokens,
