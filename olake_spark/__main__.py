@@ -101,7 +101,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="filesystem catalog warehouse")
     p.add_argument("--ops", required=True,
                    help="comma list: compact,cluster,manifests,"
-                        "rewrite-deletes,analyze,expire")
+                        "rewrite-deletes,analyze,expire — or the single "
+                        "word 'auto' to let the autopilot inspect health "
+                        "and decide (policy via autopilot.* table props)")
+    p.add_argument("--dry-run", action="store_true",
+                   help="with --ops auto: print the plan, run nothing")
     p.add_argument("--job-id", required=True)
     p.add_argument("--log", default=None)
     p.add_argument("--curve", default="hilbert")
@@ -436,6 +440,17 @@ def main(argv: list[str] | None = None) -> int:
     else:
         ap.error("maintain needs --table, or --name with --uri/--warehouse")
     log = MaintenanceLog(spark, args.log) if args.log else None
+    if args.ops.strip() == "auto":
+        # autopilot: inspect health, decide which ops this table needs,
+        # run them in dependency order (--dry-run prints the plan only)
+        from olake_spark.operators.autopilot import report_json, run_autopilot
+
+        report = run_autopilot(
+            table, args.job_id, log=log, execute=not args.dry_run,
+            verify=args.verify,
+        )
+        print(report_json(report))
+        return 0
     results: dict = {}
     for op in args.ops.split(","):
         op = op.strip()
