@@ -1010,6 +1010,10 @@ def _q_dedup_semantic(spark, sf):
     )
 
 
+def _q_maintenance_autopilot(spark, sf):
+    return pipeline.autopilot_roundtrip(spark, sf)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "maintenance_compact_cluster": _q_maintenance_compact_cluster,
@@ -1089,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "curate_decontaminate": _q_curate_decontaminate,
         "dedup_semantic": _q_dedup_semantic,
+        "maintenance_autopilot": _q_maintenance_autopilot,
     }
 
 
@@ -1297,6 +1302,7 @@ WHERE {cos('a.embedding', 'b.embedding')} >= {COSINE_PPM}
         ),
         "curate_decontaminate": _decontaminate_oracle(),
         "dedup_semantic": _semdedup_oracle(),
+        "maintenance_autopilot": pipeline.autopilot_oracle_sql(),
         "text_quality": f"""
 SELECT doc_id,
        {T.token_count_sql('text')} AS n_tokens,

@@ -282,6 +282,58 @@ def delete_where_oracle_sql() -> str:
     )
 
 
+def autopilot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autopilot roundtrip: fragmented ingest + a predicate delete leave a
+    table with small-file debt, delete debt, clustering drift (opt-in via
+    the `autopilot.cluster.curve` table property) and a snapshot backlog;
+    ONE `run_autopilot` pass must then DECIDE every needed op itself and
+    run them in dependency order. In-gate assertions pin the planned op
+    list and that post-run health is back under every trigger; the
+    returned scan must equal the derivation minus the delete predicate —
+    policy-driven maintenance never changes data."""
+    from olake_spark.operators.autopilot import run_autopilot
+
+    tmp = tempfile.mkdtemp(prefix="olake-autopilot-")
+    try:
+        t = Table.create(
+            spark,
+            os.path.join(tmp, "images"),
+            datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("image_id", "bucket", 4),)),
+            identifier_fields=("image_id",),
+            properties={
+                "write.target-file-size-bytes": str(4 * 1024 * 1024),
+                "autopilot.cluster.curve": "hilbert",
+            },
+        )
+        imgs = images_from_documents(spark, sf_dir)
+        n = imgs.count()
+        t.append(imgs, max_records_per_file=max(1, n // 40))
+        t.delete_where(DELETE_PREDS[0])
+        report = run_autopilot(
+            t, "auto-rt",
+            policy={"expire.max-snapshots": 1, "expire.grace-seconds": 0.0},
+        )
+        ops = [a["op"] for a in report["actions"]]
+        assert ops == ["rewrite-deletes", "compact", "cluster", "expire"], (
+            f"autopilot planned {ops}"
+        )
+        h = report["health_after"]
+        assert h["pos_delete_files"] == 0, "delete debt not folded+purged"
+        assert h["small_files"] < 5, "small-file debt not compacted"
+        assert h["unclustered_ppm"] == 0, "cluster rewrite missing"
+        return _materialize(t.scan(columns=SCAN_COLS))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def autopilot_oracle_sql() -> str:
+    return (
+        f"SELECT * FROM ({derive_images_sql()}) "
+        f"WHERE NOT ({DELETE_PREDS[0]})"
+    )
+
+
 WAP_SPLIT_PRED = "phash % 2 = 0"  # first append; complement staged
 
 
