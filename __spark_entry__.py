@@ -1014,6 +1014,22 @@ def _q_maintenance_autopilot(spark, sf):
     return pipeline.autopilot_roundtrip(spark, sf)
 
 
+def _q_curate_image_rules(spark, sf):
+    # LAION/DataComp-shape image curation: real decode measures the
+    # raster (dims never trusted from metadata), Catalyst applies the
+    # rules. Gate projection = the SQL-expressible subset — every
+    # derived image decodes, dims/aspect/keep re-derive from w,h; the
+    # flatness signal (luma_stddev_ppm) stays in the operator (pytest
+    # covers it with constructed solid/noise/corrupt images). min_side
+    # 24 discriminates on the fixture's 16/24/32-px dims.
+    from olake_spark.operators.multimodal import image_quality
+
+    return image_quality(
+        pipeline.images_from_documents(spark, sf),
+        min_side=24, max_aspect_ppm=3_000_000,
+    ).drop("luma_stddev_ppm")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "maintenance_compact_cluster": _q_maintenance_compact_cluster,
@@ -1094,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_decontaminate": _q_curate_decontaminate,
         "dedup_semantic": _q_dedup_semantic,
         "maintenance_autopilot": _q_maintenance_autopilot,
+        "curate_image_rules": _q_curate_image_rules,
     }
 
 
@@ -1303,6 +1320,18 @@ WHERE {cos('a.embedding', 'b.embedding')} >= {COSINE_PPM}
         "curate_decontaminate": _decontaminate_oracle(),
         "dedup_semantic": _semdedup_oracle(),
         "maintenance_autopilot": pipeline.autopilot_oracle_sql(),
+        "curate_image_rules": f"""
+SELECT image_id, TRUE AS decode_ok, w, h, CAST(w * h AS BIGINT) AS n_pixels,
+       least(w, h) AS min_side_px,
+       CAST(greatest(w, h) AS BIGINT) * 1000000 // least(w, h) AS aspect_ppm,
+       least(w, h) < 24 AS too_small,
+       CAST(greatest(w, h) AS BIGINT) * 1000000 // least(w, h) > 3000000
+         AS bad_aspect,
+       (least(w, h) >= 24 AND
+        CAST(greatest(w, h) AS BIGINT) * 1000000 // least(w, h) <= 3000000)
+         AS keep
+FROM ({pipeline.derive_images_sql()})
+""",
         "text_quality": f"""
 SELECT doc_id,
        {T.token_count_sql('text')} AS n_tokens,

@@ -19,6 +19,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (BinaryType, BooleanType, DoubleType,
                                IntegerType, LongType, StringType, StructField,
                                StructType)
@@ -239,3 +240,100 @@ def sample_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return videos.select("video_id", "bytes").mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+IMAGE_QUALITY_STATS_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("decode_ok", BooleanType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("luma_stddev_ppm", LongType()),
+    ]
+)
+
+
+def image_quality_stats(images: DataFrame) -> DataFrame:
+    """Per-image quality measurements off a real decode: dimensions from
+    the decoded raster (never trusted from metadata columns) and the
+    population standard deviation of BT.601 luma as ppm of the 0-255
+    range — the flat/solid-color signal. Corrupt payloads come back as
+    decode_ok=false rows (the per-row ValueError seam), never a poisoned
+    batch. One Arrow batch of encoded payloads per Python roundtrip."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, raw in zip(b["image_id"], b["bytes"]):
+                try:
+                    arr = decode_image(bytes(raw)).astype(np.float64)
+                    h, w = arr.shape[0], arr.shape[1]
+                    luma = (0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1]
+                            + 0.114 * arr[:, :, 2])
+                    std = float(luma.std())  # population std
+                    rows.append({
+                        "image_id": iid, "decode_ok": True,
+                        "w": int(w), "h": int(h), "n_pixels": int(w * h),
+                        "luma_stddev_ppm": int(std / 255.0 * 1_000_000),
+                    })
+                except ValueError:
+                    rows.append({
+                        "image_id": iid, "decode_ok": False,
+                        "w": None, "h": None, "n_pixels": None,
+                        "luma_stddev_ppm": None,
+                    })
+            yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, IMAGE_QUALITY_STATS_SCHEMA
+    )
+
+
+def image_quality_rules(
+    stats: DataFrame,
+    min_side: int = 64,
+    max_aspect_ppm: int = 3_000_000,
+    min_luma_stddev_ppm: int = 0,
+) -> DataFrame:
+    """LAION/DataComp-shape image curation rules as pure Catalyst
+    expressions over :func:`image_quality_stats` output (the image-side
+    sibling of the Gopher text rules): drop images smaller than
+    ``min_side`` on their short edge, with long/short aspect above
+    ``max_aspect_ppm`` (LAION-5B filtered at ratio > 3), or — when
+    ``min_luma_stddev_ppm`` > 0 — flatter than the solid-color line.
+    Corrupt images (decode_ok=false) are always dropped; their per-rule
+    flags stay NULL (dimensions unknown ≠ dimensions bad). All integer
+    arithmetic (`div`), so an oracle re-derives every flag exactly."""
+    aspect = F.expr(
+        "CAST(greatest(w, h) AS BIGINT) * 1000000 div least(w, h)"
+    )
+    too_small = F.least("w", "h") < F.lit(min_side)
+    bad_aspect = aspect > F.lit(max_aspect_ppm)
+    rules = ~too_small & ~bad_aspect
+    if min_luma_stddev_ppm > 0:
+        rules = rules & (F.col("luma_stddev_ppm") >= F.lit(min_luma_stddev_ppm))
+    return stats.select(
+        "*",
+        F.least("w", "h").alias("min_side_px"),
+        aspect.alias("aspect_ppm"),
+        too_small.alias("too_small"),
+        bad_aspect.alias("bad_aspect"),
+        (F.col("decode_ok") & F.coalesce(rules, F.lit(False))).alias("keep"),
+    )
+
+
+def image_quality(
+    images: DataFrame,
+    min_side: int = 64,
+    max_aspect_ppm: int = 3_000_000,
+    min_luma_stddev_ppm: int = 0,
+) -> DataFrame:
+    """decode-measure (kernel) → rule flags (Catalyst): one row per image
+    with dimensions, flatness, per-rule flags and the final ``keep``."""
+    return image_quality_rules(
+        image_quality_stats(images),
+        min_side=min_side,
+        max_aspect_ppm=max_aspect_ppm,
+        min_luma_stddev_ppm=min_luma_stddev_ppm,
+    )
