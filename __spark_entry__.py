@@ -1014,6 +1014,21 @@ def _q_maintenance_autopilot(spark, sf):
     return pipeline.autopilot_roundtrip(spark, sf)
 
 
+MIX_WEIGHTS = {"src0": 500_000, "src1": 300_000, "src2": 150_000,
+               "src3": 50_000}
+MIX_TOTAL = 200  # vs 25 rows/source: src0 upsamples 4 whole epochs,
+                 # src1/src2/src3 take epoch+hash-tail or tail-only paths
+
+
+def _q_curate_mix_domains(spark, sf):
+    # Pile/LLaMA-shape deterministic domain mixing: re-weight the
+    # documents corpus by source, whole-epoch upsampling + hash-tail
+    # downsampling, all integer arithmetic shared with the oracle
+    d = _tbl(spark, sf, "documents")
+    return curate.mix_domains(d, "source", "doc_id", MIX_WEIGHTS,
+                              total_rows=MIX_TOTAL)
+
+
 def _q_curate_image_rules(spark, sf):
     # LAION/DataComp-shape image curation: real decode measures the
     # raster (dims never trusted from metadata), Catalyst applies the
@@ -1111,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _q_dedup_semantic,
         "maintenance_autopilot": _q_maintenance_autopilot,
         "curate_image_rules": _q_curate_image_rules,
+        "curate_mix_domains": _q_curate_mix_domains,
     }
 
 
@@ -1320,6 +1336,10 @@ WHERE {cos('a.embedding', 'b.embedding')} >= {COSINE_PPM}
         "curate_decontaminate": _decontaminate_oracle(),
         "dedup_semantic": _semdedup_oracle(),
         "maintenance_autopilot": pipeline.autopilot_oracle_sql(),
+        "curate_mix_domains": curate.mix_domains_sql(
+            "documents", "source", "doc_id", MIX_WEIGHTS,
+            total_rows=MIX_TOTAL,
+        ),
         "curate_image_rules": f"""
 SELECT image_id, TRUE AS decode_ok, w, h, CAST(w * h AS BIGINT) AS n_pixels,
        least(w, h) AS min_side_px,

@@ -157,3 +157,117 @@ def split_by_hash_sql(
     return (
         f"SELECT *, CASE {' '.join(cases)} END AS split FROM {table}"
     )
+
+
+def mix_domains(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    target_ppm: dict[str, int],
+    total_rows: int | None = None,
+) -> DataFrame:
+    """Deterministic domain-mixture sampling (the Pile / LLaMA recipe
+    shape): re-weight a multi-source corpus to the declared per-domain
+    proportions, upsampling by whole epochs where a domain is too small
+    (LLaMA trains Wikipedia for ~2.45 epochs) and hash-downsampling where
+    it is too large.
+
+    ``target_ppm`` maps domain → proportion (must sum to exactly 1e6);
+    ``total_rows`` is the target corpus size (default: the listed
+    domains' combined count, i.e. re-mix at the same size). For each
+    domain with count c and requirement r = total·w/1e6: every row is
+    emitted ``r // c`` times (epochs 0..), and the fractional tail keeps
+    a row iff its hash bucket < ``((r % c)·1e6) // c`` — all integer
+    arithmetic, so the DuckDB twin re-derives the identical plan and the
+    output multiset is a pure function of the keys (resumable,
+    partitioning-independent). Domains not in ``target_ppm`` are
+    dropped; a listed domain with zero rows raises.
+
+    Output = input columns + ``epoch`` (BIGINT, which copy this is).
+    Scale shape: ONE count aggregate (map-side combined, #domains rows
+    to the driver), then a broadcast join + a generator + a narrow
+    filter — the corpus itself is never shuffled. Exact-count variants
+    need a per-domain rank (a full sort of each domain); at 10^9+ rows
+    the hash tail's binomial deviation is negligible and this stays
+    shuffle-free."""
+    if sum(target_ppm.values()) != PPM:
+        raise ValueError(
+            f"target_ppm must sum to {PPM}, got {sum(target_ppm.values())}"
+        )
+    counts = {
+        r["d"]: r["c"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count("*").alias("c")).collect()
+        if r["d"] in target_ppm
+    }
+    missing = sorted(d for d in target_ppm if counts.get(d, 0) == 0)
+    if missing:
+        raise ValueError(f"target domains with no rows: {missing}")
+    total = int(total_rows) if total_rows is not None else sum(counts.values())
+    plan_rows = []
+    for d, w in target_ppm.items():
+        c = counts[d]
+        required = total * int(w) // PPM
+        plan_rows.append((d, required // c, (required % c) * PPM // c))
+    rates = df.sparkSession.createDataFrame(
+        plan_rows, "_mix_domain string, _full_epochs bigint, _tail_ppm bigint"
+    )
+    return (
+        df.join(F.broadcast(rates),
+                F.col(domain_col) == F.col("_mix_domain"))
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(0).cast("bigint"),
+                                 F.col("_full_epochs"))),
+        )
+        .filter(
+            (F.col("epoch") < F.col("_full_epochs"))
+            | (hash_bucket_col(key_col) < F.col("_tail_ppm"))
+        )
+        .drop("_mix_domain", "_full_epochs", "_tail_ppm")
+    )
+
+
+def mix_domains_sql(
+    table: str,
+    domain_col: str,
+    key_col: str,
+    target_ppm: dict[str, int],
+    total_rows: int | None = None,
+) -> str:
+    """DuckDB oracle twin of :func:`mix_domains`: re-derives the counts,
+    the integer epoch/tail plan, and the hash tail from the same table."""
+    doms = ", ".join(f"'{d}'" for d in target_ppm)
+    case_w = (
+        "CASE d "
+        + " ".join(f"WHEN '{d}' THEN {int(w)}" for d, w in target_ppm.items())
+        + " END"
+    )
+    total = (
+        str(int(total_rows)) if total_rows is not None
+        else "(SELECT SUM(c) FROM counts)"
+    )
+    return f"""
+WITH counts AS (
+  SELECT {domain_col} AS d, COUNT(*) AS c FROM {table}
+  WHERE {domain_col} IN ({doms}) GROUP BY 1
+),
+plan AS (
+  SELECT d, c, ({total} * {case_w}) // 1000000 AS required FROM counts
+),
+rates AS (
+  SELECT d, required // c AS full_epochs,
+         ((required % c) * 1000000) // c AS tail_ppm
+  FROM plan
+),
+epochs AS (
+  SELECT unnest(range(CAST(
+    (SELECT MAX(full_epochs) FROM rates) + 1 AS BIGINT))) AS epoch
+)
+SELECT t.*, e.epoch
+FROM {table} t
+JOIN rates r ON t.{domain_col} = r.d
+JOIN epochs e ON e.epoch <= r.full_epochs
+WHERE e.epoch < r.full_epochs
+   OR {hash_bucket_sql(f"t.{key_col}")} < r.tail_ppm
+"""
