@@ -1020,6 +1020,21 @@ MIX_TOTAL = 200  # vs 25 rows/source: src0 upsamples 4 whole epochs,
                  # src1/src2/src3 take epoch+hash-tail or tail-only paths
 
 
+def _q_curate_pair_rules(spark, sf):
+    # DataComp/LAION-shape joint pair curation over the engine's own
+    # image+caption data model: real image decode + caption token bounds
+    # in ONE map-side pass (caption rides the kernel's Arrow batch).
+    # min_side 24 drops the 16-px third; token bounds 12..80 split the
+    # fixture's 10-99 token captions both ways.
+    from olake_spark.operators.multimodal import pair_quality
+
+    return pair_quality(
+        pipeline.images_from_documents(spark, sf),
+        min_side=24, max_aspect_ppm=3_000_000,
+        min_caption_tokens=12, max_caption_tokens=80,
+    ).drop("luma_stddev_ppm", "caption")
+
+
 def _q_curate_mix_domains(spark, sf):
     # Pile/LLaMA-shape deterministic domain mixing: re-weight the
     # documents corpus by source, whole-epoch upsampling + hash-tail
@@ -1127,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintenance_autopilot": _q_maintenance_autopilot,
         "curate_image_rules": _q_curate_image_rules,
         "curate_mix_domains": _q_curate_mix_domains,
+        "curate_pair_rules": _q_curate_pair_rules,
     }
 
 
@@ -1336,6 +1352,23 @@ WHERE {cos('a.embedding', 'b.embedding')} >= {COSINE_PPM}
         "curate_decontaminate": _decontaminate_oracle(),
         "dedup_semantic": _semdedup_oracle(),
         "maintenance_autopilot": pipeline.autopilot_oracle_sql(),
+        "curate_pair_rules": f"""
+SELECT image_id, TRUE AS decode_ok, w, h, CAST(w * h AS BIGINT) AS n_pixels,
+       least(w, h) AS min_side_px,
+       CAST(greatest(w, h) AS BIGINT) * 1000000 // least(w, h) AS aspect_ppm,
+       least(w, h) < 24 AS too_small,
+       CAST(greatest(w, h) AS BIGINT) * 1000000 // least(w, h) > 3000000
+         AS bad_aspect,
+       (least(w, h) >= 24 AND
+        CAST(greatest(w, h) AS BIGINT) * 1000000 // least(w, h) <= 3000000)
+         AS image_ok,
+       {T.token_count_sql('caption')} AS caption_tokens,
+       ({T.token_count_sql('caption')} BETWEEN 12 AND 80) AS caption_ok,
+       (least(w, h) >= 24 AND
+        CAST(greatest(w, h) AS BIGINT) * 1000000 // least(w, h) <= 3000000
+        AND {T.token_count_sql('caption')} BETWEEN 12 AND 80) AS keep
+FROM ({pipeline.derive_images_sql()})
+""",
         "curate_mix_domains": curate.mix_domains_sql(
             "documents", "source", "doc_id", MIX_WEIGHTS,
             total_rows=MIX_TOTAL,

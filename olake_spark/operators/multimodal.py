@@ -25,6 +25,7 @@ from pyspark.sql.types import (BinaryType, BooleanType, DoubleType,
                                StructType)
 
 from olake_spark.functions.imagecodec import decode_image, encode_image
+from olake_spark.functions.text import token_count_col
 
 DECODE_STATS_SCHEMA = StructType(
     [
@@ -254,18 +255,30 @@ IMAGE_QUALITY_STATS_SCHEMA = StructType(
 )
 
 
-def image_quality_stats(images: DataFrame) -> DataFrame:
+def image_quality_stats(
+    images: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-image quality measurements off a real decode: dimensions from
     the decoded raster (never trusted from metadata columns) and the
     population standard deviation of BT.601 luma as ppm of the 0-255
     range — the flat/solid-color signal. Corrupt payloads come back as
     decode_ok=false rows (the per-row ValueError seam), never a poisoned
-    batch. One Arrow batch of encoded payloads per Python roundtrip."""
+    batch. One Arrow batch of encoded payloads per Python roundtrip.
+
+    ``passthrough`` columns ride the same Arrow batch into the output
+    unchanged (the pair-curation path carries the caption this way —
+    cheap next to the payload bytes already crossing, and it saves the
+    join back on image_id that a detached stats frame would need)."""
+    schema = StructType(
+        IMAGE_QUALITY_STATS_SCHEMA.fields
+        + [images.schema[c] for c in passthrough]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
-            for iid, raw in zip(b["image_id"], b["bytes"]):
+            for i, (iid, raw) in enumerate(zip(b["image_id"], b["bytes"])):
+                extra = {c: b[c].iloc[i] for c in passthrough}
                 try:
                     arr = decode_image(bytes(raw)).astype(np.float64)
                     h, w = arr.shape[0], arr.shape[1]
@@ -276,17 +289,18 @@ def image_quality_stats(images: DataFrame) -> DataFrame:
                         "image_id": iid, "decode_ok": True,
                         "w": int(w), "h": int(h), "n_pixels": int(w * h),
                         "luma_stddev_ppm": int(std / 255.0 * 1_000_000),
+                        **extra,
                     })
                 except ValueError:
                     rows.append({
                         "image_id": iid, "decode_ok": False,
                         "w": None, "h": None, "n_pixels": None,
-                        "luma_stddev_ppm": None,
+                        "luma_stddev_ppm": None, **extra,
                     })
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return images.select("image_id", "bytes").mapInPandas(
-        run, IMAGE_QUALITY_STATS_SCHEMA
+    return images.select("image_id", "bytes", *passthrough).mapInPandas(
+        run, schema
     )
 
 
@@ -336,4 +350,44 @@ def image_quality(
         min_side=min_side,
         max_aspect_ppm=max_aspect_ppm,
         min_luma_stddev_ppm=min_luma_stddev_ppm,
+    )
+
+
+def pair_quality(
+    images: DataFrame,
+    caption_col: str = "caption",
+    min_side: int = 64,
+    max_aspect_ppm: int = 3_000_000,
+    min_luma_stddev_ppm: int = 0,
+    min_caption_tokens: int = 1,
+    max_caption_tokens: int = 128,
+) -> DataFrame:
+    """Joint image+caption curation for (image, caption) training pairs —
+    the DataComp/LAION pipeline shape over this engine's own data model:
+    the image side is :func:`image_quality` (real decode, measured dims,
+    flatness), the caption side bounds the whitespace token count (empty
+    and runaway captions are the two classic web-scrape failure modes),
+    and a pair survives only if BOTH sides do. The caption rides the
+    decode kernel's Arrow batch as a passthrough column, so the whole
+    operator is one map-side pass — no join, no shuffle. Output renames
+    the image-side verdict to ``image_ok`` and emits the pair-level
+    ``keep``."""
+    flagged = image_quality_rules(
+        image_quality_stats(images, passthrough=(caption_col,)),
+        min_side=min_side,
+        max_aspect_ppm=max_aspect_ppm,
+        min_luma_stddev_ppm=min_luma_stddev_ppm,
+    ).withColumnRenamed("keep", "image_ok")
+    ntok = token_count_col(caption_col)
+    caption_ok = (
+        F.col(caption_col).isNotNull()
+        & (ntok >= F.lit(min_caption_tokens))
+        & (ntok <= F.lit(max_caption_tokens))
+    )
+    return flagged.select(
+        "*",
+        F.when(F.col(caption_col).isNotNull(), ntok)
+        .alias("caption_tokens"),
+        caption_ok.alias("caption_ok"),
+        (F.col("image_ok") & caption_ok).alias("keep"),
     )

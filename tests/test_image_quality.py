@@ -87,3 +87,42 @@ class TestImageQuality:
         )
         plan = plan_of(image_quality_rules(stats, min_side=32))
         assert "EvalPython" not in plan  # flags never re-enter Python
+
+
+class TestPairQuality:
+    def test_both_sides_gate_the_pair(self, spark):
+        from olake_spark.operators.multimodal import pair_quality
+
+        rows = [
+            ("good", _img(64, 64), "a clear photo of a cat"),
+            ("imgbad", _img(8, 8), "a perfectly fine caption"),
+            ("capshort", _img(64, 64), "x"),
+            ("caplong", _img(64, 64), " ".join(["w"] * 40)),
+            ("capnull", _img(64, 64), None),
+            ("corrupt", b"\x89PNG\r\n\x1a\nnope", "caption is fine"),
+        ]
+        df = spark.createDataFrame(rows, ["image_id", "bytes", "caption"])
+        out = {r["image_id"]: r for r in
+               pair_quality(df, min_side=32, min_caption_tokens=2,
+                            max_caption_tokens=16).collect()}
+        assert out["good"]["keep"]
+        assert out["good"]["caption_tokens"] == 6
+        assert not out["imgbad"]["keep"] and out["imgbad"]["caption_ok"]
+        assert out["capshort"]["image_ok"] and not out["capshort"]["keep"]
+        assert out["caplong"]["caption_tokens"] == 40
+        assert not out["caplong"]["caption_ok"]
+        assert out["capnull"]["caption_tokens"] is None
+        assert not out["capnull"]["keep"]
+        assert not out["corrupt"]["keep"] and out["corrupt"]["caption_ok"]
+        # the caption rode the kernel batch through unchanged
+        assert out["good"]["caption"] == "a clear photo of a cat"
+
+    def test_single_pass_no_join_no_shuffle(self, spark):
+        from olake_spark.operators.multimodal import pair_quality
+
+        df = spark.createDataFrame(
+            [("a", _img(64, 64), "cap")], ["image_id", "bytes", "caption"]
+        )
+        plan = plan_of(pair_quality(df))
+        assert "Join" not in plan
+        assert "Exchange" not in plan  # one map-side pass end-to-end
