@@ -159,6 +159,30 @@ def main() -> None:
         orphans = t.remove_orphan_files(grace_seconds=0)
         step("expire_reap", orphans=len(orphans), rows=t.scan().count())
 
+        # -- 6b. maintenance autopilot: a fresh messy table, ONE call
+        # decides (from metadata only) and runs what it needs
+        from olake_spark.operators.autopilot import run_autopilot
+
+        mt = Table.create(
+            spark, os.path.join(wd, "messy"), datagen.IMAGES_SCHEMA,
+            PartitionSpec((PartitionField("image_id", "bucket", 2),)),
+            identifier_fields=("image_id",),
+            properties={"write.target-file-size-bytes": str(4 << 20),
+                        "autopilot.cluster.curve": "hilbert"},
+        )
+        mt.append(datagen.gen_images_df(spark, 100), max_records_per_file=10)
+        mt.delete_where("phash % 7 = 0")
+        rep = run_autopilot(mt, "tour-auto",
+                            policy={"expire.max-snapshots": 1,
+                                    "expire.grace-seconds": 0.0})
+        step("autopilot",
+             planned=[a["op"] for a in rep["actions"]],
+             files=f"{rep['health_before']['data_files']}->"
+                   f"{rep['health_after']['data_files']}",
+             delete_files=f"{rep['health_before']['pos_delete_files']}->"
+                          f"{rep['health_after']['pos_delete_files']}",
+             rows=mt.scan().count())
+
         # -- 7. training-data layer over documents ------------------------
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", 500_000, k=3)
@@ -207,6 +231,30 @@ def main() -> None:
         )
         step("decontaminate", audited=audit.count(),
              clean=audit.filter("keep = 1").count())
+
+        # -- 7b3. domain mixture + semantic dedup + pair curation ----------
+        from olake_spark.operators.multimodal import pair_quality
+        from olake_spark.operators.semdedup import semantic_dedup
+
+        mixed = curate.mix_domains(
+            docs, "source", "doc_id",
+            {"src0": 500_000, "src1": 300_000, "src2": 150_000,
+             "src3": 50_000},
+            total_rows=200,
+        )
+        cents = ann.train_ivf_centroids_kmeans(emb, "embedding", 16)
+        sem = semantic_dedup(emb, "vec_id", "embedding", cents, 990_000)
+        from olake_spark.pipeline import images_from_documents
+
+        pq = pair_quality(
+            images_from_documents(spark, "/root/testdata/sf0.001"),
+            min_side=24, min_caption_tokens=12, max_caption_tokens=80,
+        )
+        step("mix_semdedup_pairs",
+             mixed_rows=mixed.count(),
+             max_epoch=mixed.agg(F.max("epoch")).first()[0],
+             sem_kept=sem.filter("is_kept").count(), sem_total=sem.count(),
+             pairs_kept=pq.filter("keep").count(), pairs_total=pq.count())
 
         # -- 7c. retrieval + sessionization --------------------------------
         from olake_spark.operators.retrieval import bm25_topk
