@@ -1035,6 +1035,61 @@ def _q_curate_pair_rules(spark, sf):
     ).drop("luma_stddev_ppm", "caption")
 
 
+# varied-aspect (w, h) derived from documents for the bucketing gate:
+# identical SQL text on both engines except the integer-division token
+# (Spark `div`, DuckDB `//`); %97 plants NULL widths and %89 zero heights
+# so the unassignable-row contract is graded too (assign keeps them NULL,
+# pack drops them — on both engines).
+_ASPECT_W_SQL = (
+    "CAST(CASE WHEN doc_id % 97 = 0 THEN NULL "
+    "ELSE 32 * (1 + doc_id % 40) END AS INT)"
+)
+
+
+def _aspect_h_sql(div: str) -> str:
+    return (
+        f"CAST(CASE WHEN doc_id % 89 = 0 THEN 0 "
+        f"ELSE 32 * (1 + (doc_id {div} 7) % 40) END AS INT)"
+    )
+
+
+ASPECT_BATCH_SIZE = 16
+ASPECT_N_SHARDS = 4
+
+
+def _q_curate_aspect_batches(spark, sf):
+    # NovelAI/SDXL aspect-ratio bucketing + fixed-size shape-homogeneous
+    # batch packing: map-only literal-grid argmin assignment (no shuffle,
+    # no join), then ONE shuffle on (bucket, shard) for batch coordinates.
+    from olake_spark.operators import bucketing
+
+    dims = _tbl(spark, sf, "documents").selectExpr(
+        "doc_id",
+        f"{_ASPECT_W_SQL} AS w",
+        f"{_aspect_h_sql('div')} AS h",
+    )
+    grid = bucketing.aspect_bucket_grid()
+    return bucketing.pack_batches(
+        bucketing.assign_aspect_buckets(dims, grid),
+        "doc_id", ASPECT_BATCH_SIZE, n_shards=ASPECT_N_SHARDS,
+    )
+
+
+def _aspect_batches_oracle() -> str:
+    from olake_spark.operators import bucketing
+
+    dims = (
+        f"(SELECT doc_id, {_ASPECT_W_SQL} AS w, "
+        f"{_aspect_h_sql('//')} AS h FROM documents)"
+    )
+    grid = bucketing.aspect_bucket_grid()
+    return bucketing.pack_batches_sql(
+        "(" + bucketing.assign_aspect_buckets_sql(
+            dims, grid, id_col="doc_id") + ")",
+        "doc_id", ASPECT_BATCH_SIZE, n_shards=ASPECT_N_SHARDS,
+    )
+
+
 def _q_curate_mix_domains(spark, sf):
     # Pile/LLaMA-shape deterministic domain mixing: re-weight the
     # documents corpus by source, whole-epoch upsampling + hash-tail
@@ -1065,8 +1120,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintenance_compact_cluster": _q_maintenance_compact_cluster,
         "maintenance_merge_cdc": _q_maintenance_merge_cdc,
         "merge_keep_deletes": _q_merge_keep_deletes,
-        "s2_range_chunk_bounds": _q_s2_range_chunk_bounds,
-        "s4_timestamp_chunks": _q_s4_timestamp_chunks,
         "s10_snapshot_pinned_scan": _q_s10_snapshot_pinned_scan,
         "sync_backfill_chunked": _q_sync_backfill_chunked,
         "sync_backfill_composite": _q_sync_backfill_composite,
@@ -1082,22 +1135,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_evolution_scan": _q_partition_evolution_scan,
         "changelog_scan_feed": _q_changelog_scan_feed,
         "branch_fast_forward_scan": _q_branch_fast_forward_scan,
-        "a1_window_dedup": _q_a1_window_dedup,
         "a4_partition_stats": _q_a4_partition_stats,
-        "dedup_exact": _q_dedup_exact,
-        "stream_windowed_counts": _q_stream_windowed_counts,
         "multimodal_decode_stats": _q_multimodal_decode_stats,
         "ann_bruteforce_topk": _q_ann_bruteforce_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
-        "p3_type_coercion": _q_p3_type_coercion,
         "p5_cdc_envelope": _q_p5_cdc_envelope,
-        # --- rows 33-50: rotated INTO the driver's 50-row grading window in
-        # round 5 (never driver-graded before, or displaced after their r3
-        # grade). The 18 rows below the window were graded green in rounds 3
-        # AND 4 and their implementing modules are unchanged since; every row
+        # --- rows rotated INTO the driver's 50-row grading window in round 5
+        # (never driver-graded before, or displaced after their r3 grade);
+        # the final session added the six session-14/15 rows (decontaminate,
+        # semdedup, autopilot, image rules, mix domains, pair rules), which
+        # had never been driver-graded, displacing six rows graded green in
+        # rounds 3 AND 4 whose gate code and implementing modules are
+        # byte-unchanged since the round-4 close (s2/s4/p3/a1/dedup_exact/
+        # stream_windowed_counts — verified via git diff 061a8f2..HEAD).
+        # Every row below the window was graded green in rounds 3 AND 4 and
         # still runs in tests/test_entry.py (the full-board local replica of
         # the driver gate) at sf0.001 and sf0.01 regardless of position.
         "text_gopher_rules": _q_text_gopher_rules,
@@ -1118,7 +1172,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_stats": _q_video_frame_stats,
         "stream_changelog_feed": _q_stream_changelog_feed,
         "mirror_table_scan": _q_mirror_table_scan,
+        "curate_decontaminate": _q_curate_decontaminate,
+        "dedup_semantic": _q_dedup_semantic,
+        "maintenance_autopilot": _q_maintenance_autopilot,
+        "curate_image_rules": _q_curate_image_rules,
+        "curate_mix_domains": _q_curate_mix_domains,
+        "curate_pair_rules": _q_curate_pair_rules,
         # --- end of the 50-row window ---
+        "s2_range_chunk_bounds": _q_s2_range_chunk_bounds,
+        "s4_timestamp_chunks": _q_s4_timestamp_chunks,
+        "p3_type_coercion": _q_p3_type_coercion,
+        "a1_window_dedup": _q_a1_window_dedup,
+        "dedup_exact": _q_dedup_exact,
+        "stream_windowed_counts": _q_stream_windowed_counts,
         "s7_ordered_chunk_walk": _q_s7_ordered_chunk_walk,
         "a2_minmax_bounds": _q_a2_minmax_bounds,
         "a3_count_distinct": _q_a3_count_distinct,
@@ -1137,12 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_stratified_cap": _q_curate_stratified_cap,
         "text_scrub_pii": _q_text_scrub_pii,
         "dedup_keep_best": _q_dedup_keep_best,
-        "curate_decontaminate": _q_curate_decontaminate,
-        "dedup_semantic": _q_dedup_semantic,
-        "maintenance_autopilot": _q_maintenance_autopilot,
-        "curate_image_rules": _q_curate_image_rules,
-        "curate_mix_domains": _q_curate_mix_domains,
-        "curate_pair_rules": _q_curate_pair_rules,
+        "curate_aspect_batches": _q_curate_aspect_batches,
     }
 
 
@@ -1493,4 +1554,5 @@ LIMIT 20
             "documents", "doc_id", T.token_count_sql("text"),
             budget=PACK_BUDGET, n_buckets=PACK_BUCKETS,
         ),
+        "curate_aspect_batches": _aspect_batches_oracle(),
     }
