@@ -113,6 +113,87 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return images.select("image_id", "bytes").mapInPandas(run, RESIZE_SCHEMA)
 
 
+RESIZE_BUCKET_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("decode_ok", BooleanType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("src_w", IntegerType()),
+        StructField("src_h", IntegerType()),
+        StructField("crop_x", IntegerType()),
+        StructField("crop_y", IntegerType()),
+    ]
+)
+
+
+def resize_to_bucket(
+    images: DataFrame,
+    bucket_cols: tuple[str, str] = ("bucket_w", "bucket_h"),
+) -> DataFrame:
+    """Per-row variable-target resize to each image's aspect bucket — the
+    pixel half of the SDXL multi-aspect recipe (Podell et al. 2023 §2.3),
+    consuming :func:`olake_spark.operators.bucketing.assign_aspect_buckets`
+    output: aspect-preserving scale-to-COVER the bucket (the minimal
+    nearest-neighbor scale with both scaled sides >= the bucket's, ceil
+    integer math), then a deterministic center crop to exactly
+    (bucket_w, bucket_h). ``crop_x``/``crop_y`` are the crop offsets in
+    the SCALED frame — SDXL conditions the model on them, so they ride
+    the output; ``src_w``/``src_h`` are the DECODED dimensions (never
+    trusted from metadata columns, same convention as the quality
+    kernels). Corrupt payloads come back decode_ok=false with NULL
+    pixels (the per-row ValueError seam — a bomb never poisons the
+    batch); rows with a NULL bucket (unassignable dims) are excluded,
+    matching ``pack_batches``. Same mapInPandas shape as every other
+    media kernel: one Arrow batch of encoded payloads per roundtrip."""
+    bw_col, bh_col = bucket_cols
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, raw, bw, bh in zip(
+                b["image_id"], b["bytes"], b[bw_col], b[bh_col]
+            ):
+                bw, bh = int(bw), int(bh)
+                try:
+                    arr = decode_image(bytes(raw))
+                except ValueError:
+                    rows.append({
+                        "image_id": iid, "decode_ok": False, "bytes": None,
+                        "w": bw, "h": bh, "fmt": None, "src_w": None,
+                        "src_h": None, "crop_x": None, "crop_y": None,
+                    })
+                    continue
+                h, w = arr.shape[:2]
+                # minimal scale covering the bucket: ceil keeps both
+                # scaled sides >= the bucket side (never a short edge)
+                if w * bh >= h * bw:  # wider than the bucket: height binds
+                    ph, pw = bh, max(bw, -(-w * bh // h))
+                else:
+                    pw, ph = bw, max(bh, -(-h * bw // w))
+                x0, y0 = (pw - bw) // 2, (ph - bh) // 2
+                yi = ((y0 + np.arange(bh)) * h // ph).clip(0, h - 1)
+                xi = ((x0 + np.arange(bw)) * w // pw).clip(0, w - 1)
+                rows.append({
+                    "image_id": iid, "decode_ok": True,
+                    "bytes": encode_image(arr[yi][:, xi], "png"),
+                    "w": bw, "h": bh, "fmt": "png",
+                    "src_w": int(w), "src_h": int(h),
+                    "crop_x": int(x0), "crop_y": int(y0),
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_BUCKET_SCHEMA.fields]
+            )
+
+    return (
+        images.filter(F.col(bw_col).isNotNull())
+        .select("image_id", "bytes", bw_col, bh_col)
+        .mapInPandas(run, RESIZE_BUCKET_SCHEMA)
+    )
+
+
 AUDIO_FEATURES_SCHEMA = StructType(
     [
         StructField("clip_id", StringType()),
