@@ -1,0 +1,129 @@
+"""WebDataset tar shard sink (operators/shards.py): roundtrip through
+stdlib tarfile (an independent reader of the writer's output), sample
+order and adjacency, missing-payload handling, byte-level determinism
+across runs, manifest accounting, and the no-tmp-left atomicity check."""
+
+import os
+import shutil
+import tarfile
+import tempfile
+
+import pytest
+
+from olake_spark.operators.bucketing import (aspect_bucket_grid,
+                                             assign_aspect_buckets,
+                                             pack_batches)
+from olake_spark.operators.shards import write_webdataset_shards
+
+
+@pytest.fixture(scope="module")
+def packed(spark):
+    rows = [
+        (f"img-{i:04d}", bytes([i % 256]) * (10 + i % 7),
+         None if i % 11 == 0 else f"caption number {i}",
+         64 * (1 + i % 9), 64 * (1 + (i // 3) % 9))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, caption string, w int, h int"
+    )
+    return pack_batches(
+        assign_aspect_buckets(df, aspect_bucket_grid()),
+        "image_id", 8, n_shards=2,
+    )
+
+
+@pytest.fixture()
+def out_dir():
+    d = tempfile.mkdtemp(prefix="wds-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write(packed, out_dir):
+    return write_webdataset_shards(packed, out_dir).toPandas() \
+        .sort_values("path").reset_index(drop=True)
+
+
+def test_roundtrip_and_manifest(packed, out_dir):
+    man = _write(packed, out_dir)
+    want = packed.toPandas()
+    assert man["n_samples"].sum() == len(want)
+    # one shard per (bucket, shard, batch) group
+    assert len(man) == len(
+        want.groupby(["bucket_w", "bucket_h", "shard", "batch_idx"])
+    )
+    by_id = want.set_index("image_id")
+    seen = set()
+    for _, m in man.iterrows():
+        assert os.path.getsize(m["path"]) == m["n_bytes"]
+        with tarfile.open(m["path"]) as tar:
+            names = tar.getnames()
+            # png before txt per sample, samples adjacent, ascending order
+            pngs = [n for n in names if n.endswith(".png")]
+            assert pngs == sorted(pngs)
+            for n in pngs:
+                iid = n[:-4]
+                seen.add(iid)
+                row = by_id.loc[iid]
+                data = tar.extractfile(n).read()
+                assert data == bytes(row["bytes"])
+                if row["caption"] is not None:
+                    assert tar.extractfile(f"{iid}.txt").read() \
+                        == row["caption"].encode()
+                else:
+                    assert f"{iid}.txt" not in names
+        assert m["n_members"] + m["n_missing"] == 2 * m["n_samples"]
+    assert seen == set(want["image_id"])
+
+
+def test_member_order_is_batch_coordinates(packed, out_dir):
+    man = _write(packed, out_dir)
+    want = packed.toPandas()
+    m = man.loc[man["n_samples"].idxmax()]
+    g = want[
+        (want.bucket_w == m.bucket_w) & (want.bucket_h == m.bucket_h)
+        & (want.shard == m.shard) & (want.batch_idx == m.batch_idx)
+    ].sort_values(["batch_idx", "slot", "image_id"])
+    with tarfile.open(m["path"]) as tar:
+        pngs = [n[:-4] for n in tar.getnames() if n.endswith(".png")]
+    assert pngs == g["image_id"].to_list()
+
+
+def test_determinism_across_runs(packed, out_dir):
+    a = _write(packed, out_dir)
+    b = _write(packed, out_dir)
+    assert a["sha256"].to_list() == b["sha256"].to_list()
+    assert a["n_bytes"].to_list() == b["n_bytes"].to_list()
+
+
+def test_no_tmp_files_left(packed, out_dir):
+    _write(packed, out_dir)
+    assert not [f for f in os.listdir(out_dir) if f.endswith(".tmp")]
+    assert all(f.startswith("shard-") and f.endswith(".tar")
+               for f in os.listdir(out_dir))
+
+
+def test_missing_columns_raise(packed, out_dir):
+    with pytest.raises(ValueError, match="missing columns"):
+        write_webdataset_shards(
+            packed.drop("caption"), out_dir
+        )
+
+
+def test_plain_grouping_without_packer_columns(spark, out_dir):
+    """group_cols/order_cols are caller-definable: shard by a plain
+    column with id-ordered members."""
+    df = spark.createDataFrame(
+        [("a", b"\x01", "x", 0), ("b", b"\x02", "y", 0),
+         ("c", b"\x03", None, 1)],
+        "image_id string, bytes binary, caption string, part int",
+    )
+    man = write_webdataset_shards(
+        df, out_dir, group_cols=("part",),
+    ).toPandas().sort_values("part").reset_index(drop=True)
+    assert man["n_samples"].to_list() == [2, 1]
+    with tarfile.open(man.loc[0, "path"]) as tar:
+        assert tar.getnames() == ["a.png", "a.txt", "b.png", "b.txt"]
+    with tarfile.open(man.loc[1, "path"]) as tar:
+        assert tar.getnames() == ["c.png"]
