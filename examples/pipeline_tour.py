@@ -256,6 +256,42 @@ def main() -> None:
              sem_kept=sem.filter("is_kept").count(), sem_total=sem.count(),
              pairs_kept=pq.filter("keep").count(), pairs_total=pq.count())
 
+        # -- 7b4. aspect bucketing -> batch packing -> resize -> tar shards
+        #    (the SDXL multi-aspect recipe ending in WebDataset shards,
+        #    the trainer-facing terminal stage)
+        import numpy as np
+
+        from olake_spark.functions.imagecodec import encode_image
+        from olake_spark.operators.bucketing import (aspect_bucket_grid,
+                                                     assign_aspect_buckets,
+                                                     pack_batches)
+        from olake_spark.operators.multimodal import resize_to_bucket
+        from olake_spark.operators.shards import write_webdataset_shards
+
+        rng = np.random.default_rng(7)
+        varied = spark.createDataFrame(
+            [(f"v-{i:03d}",
+              encode_image(rng.integers(0, 256, (hh, ww, 3), dtype=np.uint8),
+                           "png"),
+              f"a varied-aspect sample number {i}", ww, hh)
+             for i, (ww, hh) in enumerate(
+                 [(200, 50), (50, 200), (64, 64), (512, 512), (120, 80),
+                  (80, 120), (300, 100), (100, 300)])],
+            "image_id string, bytes binary, caption string, w int, h int",
+        )
+        assigned = assign_aspect_buckets(varied, aspect_bucket_grid())
+        packed = pack_batches(assigned, "image_id", 4, n_shards=1)
+        fitted = resize_to_bucket(assigned)
+        shard_dir = os.path.join(wd, "wds")
+        man = write_webdataset_shards(packed, shard_dir).toPandas()
+        step("aspect_shards",
+             buckets=assigned.select("bucket_w", "bucket_h")
+             .distinct().count(),
+             resized_ok=fitted.filter("decode_ok").count(),
+             shards=len(man),
+             samples=int(man["n_samples"].sum()),
+             bytes=int(man["n_bytes"].sum()))
+
         # -- 7c. retrieval + sessionization --------------------------------
         from olake_spark.operators.retrieval import bm25_topk
         from olake_spark.operators.sessionize import sessionize
