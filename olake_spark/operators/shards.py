@@ -74,6 +74,7 @@ def write_webdataset_shards(
     group_cols: tuple[str, ...] = ("bucket_w", "bucket_h", "shard",
                                    "batch_idx"),
     order_cols: tuple[str, ...] | None = None,
+    index: bool = False,
 ) -> DataFrame:
     """Write one deterministic tar shard per ``group_cols`` group and
     return the manifest (group key columns + path, n_samples, n_members,
@@ -86,7 +87,13 @@ def write_webdataset_shards(
     inside each shard (default ``("batch_idx", "slot")`` when the packer
     columns are present, else the id column); ties always break on the
     id, making the member order total. String payloads are UTF-8
-    encoded; binary payloads pass through."""
+    encoded; binary payloads pass through.
+
+    ``index=True`` also writes a ``<shard>.tar.idx`` sidecar — one
+    ``<member-name> <payload-offset> <size>`` line per member (the
+    NVIDIA-DALI/wids random-access shape: seek to the offset and read
+    ``size`` bytes without walking tar headers). Offsets point at the
+    payload, i.e. 512 bytes past the member's USTAR header."""
     files = files or {"png": "bytes", "txt": "caption"}
     cols = set(df.columns)
     missing = [c for c in (*group_cols, id_col, *files.values())
@@ -119,6 +126,7 @@ def write_webdataset_shards(
         ).reset_index(drop=True)
         buf = io.BytesIO()
         n_members = n_missing = 0
+        idx_lines = []
         ids = pdf[id_col].to_numpy()
         payloads = {ext: pdf[col].to_numpy() for ext, col in exts}
         with tarfile.open(fileobj=buf, mode="w",
@@ -133,7 +141,13 @@ def write_webdataset_shards(
                         continue
                     data = (val.encode("utf-8") if isinstance(val, str)
                             else bytes(val))
-                    ti = tarfile.TarInfo(name=f"{base}.{ext}")
+                    name = f"{base}.{ext}"
+                    # header is written at the current offset; payload
+                    # starts one 512-byte USTAR header block later
+                    idx_lines.append(
+                        f"{name} {tar.offset + 512} {len(data)}"
+                    )
+                    ti = tarfile.TarInfo(name=name)
                     ti.size = len(data)
                     ti.mtime = 0
                     ti.uid = ti.gid = 0
@@ -142,7 +156,11 @@ def write_webdataset_shards(
                     tar.addfile(ti, io.BytesIO(data))
                     n_members += 1
         data = buf.getvalue()
-        path = _emit(out_dir, _shard_name(group_cols, key), data)
+        name = _shard_name(group_cols, key)
+        path = _emit(out_dir, name, data)
+        if index:
+            _emit(out_dir, f"{name}.idx",
+                  ("\n".join(idx_lines) + "\n").encode())
         return pd.DataFrame([{
             **{c: k for c, k in zip(group_cols, key)},
             "path": path,

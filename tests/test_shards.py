@@ -111,6 +111,21 @@ def test_missing_columns_raise(packed, out_dir):
         )
 
 
+def test_index_sidecar_random_access(packed, out_dir):
+    """The .idx sidecar must let a reader seek straight to payloads
+    WITHOUT tar parsing — verified by raw file.seek against tarfile."""
+    man = write_webdataset_shards(packed, out_dir, index=True).toPandas()
+    m = man.loc[man["n_samples"].idxmax()]
+    idx_path = m["path"] + ".idx"
+    assert os.path.exists(idx_path)
+    lines = [ln.split() for ln in open(idx_path).read().splitlines()]
+    assert len(lines) == m["n_members"]
+    with tarfile.open(m["path"]) as tar, open(m["path"], "rb") as raw:
+        for name, off, size in lines:
+            raw.seek(int(off))
+            assert raw.read(int(size)) == tar.extractfile(name).read()
+
+
 def test_plain_grouping_without_packer_columns(spark, out_dir):
     """group_cols/order_cols are caller-definable: shard by a plain
     column with id-ordered members."""
