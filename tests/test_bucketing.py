@@ -178,6 +178,31 @@ def test_pack_batches_validation(spark, dims):
                      "doc_id", 0)
 
 
+def test_hot_bucket_splits_across_shards(spark):
+    """The web-corpus reality: ~80% of images land in one near-square
+    bucket. The md5 shard must split that hot bucket into n_shards
+    independent window partitions of ~equal size — no task sorts the
+    whole bucket."""
+    n, hot = 4000, 0.8
+    rows = [(i, 512, 512) if i < n * hot else (i, 1024, 256)
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, w int, h int")
+    packed = pack_batches(
+        assign_aspect_buckets(df, aspect_bucket_grid()), "id", 16,
+        n_shards=8,
+    ).toPandas()
+    hot_g = packed[packed.bucket_w == 512]
+    assert len(hot_g) == n * hot
+    sizes = hot_g.groupby("shard").size()
+    assert len(sizes) == 8
+    # md5 spreads uniformly: every shard within 25% of the mean
+    mean = len(hot_g) / 8
+    assert (sizes > mean * 0.75).all() and (sizes < mean * 1.25).all()
+    # batches are full inside every shard except one tail each
+    short = hot_g.groupby(["shard", "batch_idx"]).size()
+    assert (short == 16).sum() >= len(short) - 8
+
+
 # ------------------------------------------------------------- plan pins
 
 
