@@ -437,6 +437,16 @@ def _q_ann_bruteforce_topk(spark, sf):
     )
 
 
+def _q_ann_sq8_topk(spark, sf):
+    # FAISS-SQ8-shape scalar quantization: 1 byte/dim corpus codes +
+    # per-vector scale, asymmetric fp32-query search — codes, scales
+    # and ranks all bit-identical to the DuckDB re-derivation
+    emb = _tbl(spark, sf, "embeddings")
+    return ann.knn_sq8(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+
+
 def _q_text_quality(spark, sf):
     d = _tbl(spark, sf, "documents")
     return d.select(
@@ -1204,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub_pii": _q_text_scrub_pii,
         "dedup_keep_best": _q_dedup_keep_best,
         "curate_aspect_batches": _q_curate_aspect_batches,
+        "ann_sq8_topk": _q_ann_sq8_topk,
     }
 
 
@@ -1555,4 +1566,7 @@ LIMIT 20
             budget=PACK_BUDGET, n_buckets=PACK_BUCKETS,
         ),
         "curate_aspect_batches": _aspect_batches_oracle(),
+        "ann_sq8_topk": ann.knn_sq8_sql(
+            "embeddings", "vec_id < 10", "vec_id", k=5
+        ),
     }

@@ -1131,3 +1131,139 @@ scored AS (
 ),
 {_adist_rank_sql(k)}
 """
+
+
+# --------------------------------------------------------------- SQ8
+# Scalar quantization (FAISS ScalarQuantizer QT_8bit shape): the rung of
+# the vector-memory ladder between fp32 and PQ — 768-dim float32 costs
+# 3 KB/vector; SQ8 stores 768 one-byte codes + one float64 scale (~4x),
+# loses far less recall than PQ, and needs no trained codebook. Search
+# is asymmetric (FAISS convention): the query stays fp32 and corpus
+# vectors are dequantized per candidate, so quantization error enters
+# each distance once, not twice.
+#
+# Exactness contract (what lets the DuckDB oracle reproduce every code
+# and every rank): amax is a greatest() fold (order-insensitive, exact),
+# scale = amax/127 in float64, each code is
+# least(127, greatest(-127, floor(v/scale + 0.5))) — floor(x + 0.5) is
+# the ONE rounding both engines spell identically (SQL round() is
+# half-away in Spark but banker's in some engines; floor is floor
+# everywhere) — and ranking runs the same sequential-fold cosine as
+# every other exact twin in this module.
+
+
+def sq8_encode(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, codes array<tinyint>, scale double): symmetric per-vector
+    8-bit scalar quantization. A zero vector encodes as all-zero codes
+    with scale 0 (dequantizes to itself)."""
+    amax = (
+        f"aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+    )
+    codes = (
+        f"transform({vec_col}, x -> CAST(CASE WHEN _scale = 0.0 THEN 0.0 "
+        f"ELSE least(CAST(127.0 AS DOUBLE), greatest(CAST(-127.0 AS DOUBLE), "
+        f"floor(CAST(x AS DOUBLE) / _scale + 0.5))) END AS TINYINT))"
+    )
+    return (
+        df.withColumn("_scale", F.expr(f"{amax} / 127.0"))
+        .select(
+            F.col(id_col).alias("id"),
+            F.expr(codes).alias("codes"),
+            F.col("_scale").alias("scale"),
+        )
+    )
+
+
+def sq8_encode_sql(corpus: str, id_col: str, vec_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`sq8_encode` (a relation, for CTE reuse)."""
+    amax = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"[abs(CAST({vec_col}[i] AS DOUBLE)) "
+        f"FOR i IN range(1, len({vec_col}) + 1)]), "
+        f"(acc, v) -> greatest(acc, v))"
+    )
+    return f"""
+SELECT id, CASE WHEN scale = 0.0
+            THEN [CAST(0 AS TINYINT) FOR _x IN v]
+            ELSE [CAST(least(CAST(127.0 AS DOUBLE),
+                             greatest(CAST(-127.0 AS DOUBLE),
+                                      floor(CAST(_x AS DOUBLE) / scale + 0.5)))
+                       AS TINYINT) FOR _x IN v]
+       END AS codes, scale
+FROM (SELECT {id_col} AS id, {vec_col} AS v, {amax} / 127.0 AS scale
+      FROM {corpus})"""
+
+
+def knn_sq8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric top-k over the SQ8-compressed corpus: fp32 queries
+    against dequantized (codes × scale) corpus vectors, same output
+    shape and determinism as :func:`knn_bruteforce` (rank 1..k, ties on
+    neighbor id). The scan reads 1 byte/dim instead of 4 — on a
+    bandwidth-bound brute scan that IS the speedup — and the whole plan
+    is JVM codegen (folds over the dequantized array), broadcast query
+    side, one window keyed by query."""
+    enc = sq8_encode(corpus, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"),
+        F.expr(
+            "transform(codes, c -> CAST(c AS DOUBLE) * scale)"
+        ).alias("rv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = (
+        enc.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_ppm", cosine_ppm_expr("qv", "rv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long"),
+                "cos_ppm")
+    )
+
+
+def knn_sq8_sql(
+    corpus: str,
+    queries_pred: str,
+    id_col: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> str:
+    """DuckDB oracle twin of :func:`knn_sq8` — re-encodes the corpus
+    with the identical quantizer and ranks by the identical fold."""
+    from olake_spark.operators.dedup import cosine_ppm_sql
+
+    return f"""
+WITH enc AS ({sq8_encode_sql(corpus, id_col, vec_col)}),
+recon AS (
+  SELECT id AS neighbor_id,
+         [CAST(c AS DOUBLE) * scale FOR c IN codes] AS rv
+  FROM enc
+),
+q AS (SELECT {id_col} AS query_id, {vec_col} AS qv FROM {corpus}
+      WHERE {queries_pred}),
+scored AS (
+  SELECT query_id, neighbor_id, {cosine_ppm_sql('qv', 'rv')} AS cos_ppm
+  FROM recon JOIN q ON query_id <> neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_ppm,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_ppm DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_ppm
+FROM ranked WHERE rank <= {k}
+"""
