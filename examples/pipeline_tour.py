@@ -198,7 +198,16 @@ def main() -> None:
         bf = ann.knn_bruteforce(emb, q, "vec_id", "embedding", k=3)
         ivf = ann.knn_ivf(emb, q, "vec_id", "embedding", k=3, n_cells=16,
                           nprobe=4)
-        step("ann", bruteforce_rows=bf.count(), ivf_rows=ivf.count())
+        sq8 = ann.knn_sq8(emb, q, "vec_id", "embedding", k=3)
+        sq8_top1_agree = (
+            sq8.filter("rank = 1").join(
+                bf.filter("rank = 1").withColumnRenamed(
+                    "neighbor_id", "bf_neighbor"),
+                "query_id")
+            .filter("neighbor_id = bf_neighbor").count()
+        )
+        step("ann", bruteforce_rows=bf.count(), ivf_rows=ivf.count(),
+             sq8_rows=sq8.count(), sq8_top1_agree=sq8_top1_agree)
 
         sampled = curate.hash_sample(docs, "doc_id", 500_000)
         capped = curate.stratified_cap(sampled, ["lang"], "doc_id", 50)
