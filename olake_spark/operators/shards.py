@@ -51,8 +51,15 @@ __all__ = ["write_webdataset_shards"]
 
 
 def _shard_name(group_cols: tuple[str, ...], key: tuple) -> str:
+    # group values become path components: keep them filesystem-safe
+    # (a string key like 'image/png' must not create directories)
+    def safe(v) -> str:
+        return "".join(
+            ch if (ch.isalnum() or ch in "._-") else "_" for ch in str(v)
+        )
+
     return "shard-" + "-".join(
-        f"{c}={v}" for c, v in zip(group_cols, key)
+        f"{c}={safe(v)}" for c, v in zip(group_cols, key)
     ) + ".tar"
 
 

@@ -126,6 +126,24 @@ def test_index_sidecar_random_access(packed, out_dir):
             assert raw.read(int(size)) == tar.extractfile(name).read()
 
 
+def test_unsafe_group_values_stay_in_out_dir(spark, out_dir):
+    """A group value with path separators must not escape out_dir or
+    create subdirectories."""
+    df = spark.createDataFrame(
+        [("a", b"\x01", "x", "image/png"), ("b", b"\x02", "y", "../evil")],
+        "image_id string, bytes binary, caption string, fmt string",
+    )
+    man = write_webdataset_shards(df, out_dir, group_cols=("fmt",)) \
+        .toPandas()
+    assert len(man) == 2
+    for p in man["path"]:
+        assert os.path.dirname(p) == out_dir
+        assert os.path.exists(p)
+    assert sorted(os.listdir(out_dir)) == [
+        "shard-fmt=.._evil.tar", "shard-fmt=image_png.tar"
+    ]
+
+
 def test_plain_grouping_without_packer_columns(spark, out_dir):
     """group_cols/order_cols are caller-definable: shard by a plain
     column with id-ordered members."""
