@@ -1125,6 +1125,48 @@ def _q_curate_image_rules(spark, sf):
     ).drop("luma_stddev_ppm")
 
 
+# multi-paragraph corpus derived from the single-line documents fixture
+# for the paragraph-dedup gate: tokens chunked into 10-word paragraphs
+# joined by newlines. The tiny fixture vocabulary makes ~5% of chunks
+# exact cross-document duplicates, so the owner election is exercised
+# for real. Identical arithmetic on both engines (Spark DIV / slice vs
+# DuckDB // / list_slice over the same 1-based clamped-slice semantics).
+_PARA_CHUNK = 10
+
+
+def _q_dedup_paragraphs(spark, sf):
+    # CCNet-shape cross-document paragraph dedup (Wenzek et al. 2020
+    # §3.1): owner election on md5(paragraph) — ONE map-side-partial
+    # min-struct shuffle, no join, no window — then per-doc reassembly.
+    from olake_spark.operators import paragraphs as PG
+
+    c = _PARA_CHUNK
+    derived = _tbl(spark, sf, "documents").selectExpr(
+        "doc_id",
+        "concat_ws('\\n', transform("
+        f"sequence(0, CAST((size(split(text, ' ')) + {c - 1}) DIV {c} "
+        "AS INT) - 1), "
+        f"g -> concat_ws(' ', slice(split(text, ' '), g * {c} + 1, {c})))"
+        ") AS text",
+    )
+    return PG.dedup_paragraphs(derived)
+
+
+def _dedup_paragraphs_oracle() -> str:
+    from olake_spark.operators.paragraphs import dedup_paragraphs_sql
+
+    c = _PARA_CHUNK
+    derived = (
+        "SELECT doc_id, array_to_string(list_transform("
+        f"range(CAST((len(string_split(text, ' ')) + {c - 1}) // {c} "
+        "AS BIGINT)), "
+        f"g -> array_to_string(list_slice(string_split(text, ' '), "
+        f"g * {c} + 1, g * {c} + {c}), ' ')), chr(10)) AS text "
+        "FROM documents"
+    )
+    return dedup_paragraphs_sql(derived)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "maintenance_compact_cluster": _q_maintenance_compact_cluster,
@@ -1215,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "curate_aspect_batches": _q_curate_aspect_batches,
         "ann_sq8_topk": _q_ann_sq8_topk,
+        "dedup_paragraphs": _q_dedup_paragraphs,
     }
 
 
@@ -1569,4 +1612,5 @@ LIMIT 20
         "ann_sq8_topk": ann.knn_sq8_sql(
             "embeddings", "vec_id < 10", "vec_id", k=5
         ),
+        "dedup_paragraphs": _dedup_paragraphs_oracle(),
     }
