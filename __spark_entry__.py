@@ -1167,6 +1167,105 @@ def _dedup_paragraphs_oracle() -> str:
     return dedup_paragraphs_sql(derived)
 
 
+# -- Gopher repetition-rule gate -------------------------------------------
+# Derived corpus for the 13 Table-A1 repetition signals: 3-word lines in
+# 3-line paragraphs, with deterministic doc_id-keyed planted repetition so
+# every metric family is exercised — doc_id%4 appends a copy of the first
+# line (duplicate line + chars), doc_id%5 appends the first 10-word span
+# TWICE (adjacent copies → duplicate 5..10-grams), doc_id%7 appends a copy
+# of the first paragraph (duplicate paragraph + chars). Identical integer
+# arithmetic on both engines (Spark DIV/slice(start,len) vs DuckDB
+# ///list_slice(start,end), both 1-based clamped).
+#
+# Thresholds are fixture-discriminating overrides (the published Gopher
+# defaults assume real-corpus document lengths): medians of the derived
+# distribution for the always-positive metrics, 0 for the planted-only
+# families so their flags select exactly the planted docs.
+_REP_THRESHOLDS = dict(
+    max_dup_line_ppm=200_000,
+    max_dup_para_ppm=0,
+    max_dup_line_char_ppm=40_000,
+    max_dup_para_char_ppm=0,
+    max_top2_ppm=53_000,
+    max_top3_ppm=75_000,
+    max_top4_ppm=106_000,
+    max_dup5_ppm=0,
+    max_dup6_ppm=0,
+    max_dup7_ppm=0,
+    max_dup8_ppm=0,
+    max_dup9_ppm=0,
+    max_dup10_ppm=0,
+)
+
+
+def _rep_spark_derivation() -> str:
+    w = "split(text, ' ')"
+    n = f"size({w})"
+    base = (
+        f"concat_ws('\\n\\n', transform(sequence(0, CAST(({n} + 8) DIV 9 AS INT) - 1), p -> "
+        f"concat_ws('\\n', transform(sequence(0, CAST((least(9, {n} - p*9) + 2) DIV 3 AS INT) - 1), l -> "
+        f"concat_ws(' ', slice({w}, p*9 + l*3 + 1, 3))))))"
+    )
+    line1 = f"concat_ws(' ', slice({w}, 1, 3))"
+    span10 = f"concat_ws(' ', slice({w}, 1, 10))"
+    para1 = (
+        f"concat_ws('\\n', transform(sequence(0, CAST((least(9, {n}) + 2) DIV 3 AS INT) - 1), l -> "
+        f"concat_ws(' ', slice({w}, l*3 + 1, 3))))"
+    )
+    return (
+        f"concat({base}, "
+        f"CASE WHEN doc_id % 4 = 0 THEN '\\n' || {line1} ELSE '' END, "
+        f"CASE WHEN doc_id % 5 = 0 THEN ' ' || {span10} || ' ' || {span10} ELSE '' END, "
+        f"CASE WHEN doc_id % 7 = 0 THEN '\\n\\n' || {para1} ELSE '' END) AS text"
+    )
+
+
+def _rep_duck_derivation() -> str:
+    w = "string_split(text, ' ')"
+    n = f"len({w})"
+    base = (
+        f"array_to_string(list_transform(range(({n} + 8) // 9), p -> "
+        f"array_to_string(list_transform(range((least(9, {n} - p*9) + 2) // 3), l -> "
+        f"array_to_string(list_slice({w}, p*9 + l*3 + 1, p*9 + l*3 + 3), ' ')), chr(10))), chr(10) || chr(10))"
+    )
+    line1 = f"array_to_string(list_slice({w}, 1, 3), ' ')"
+    span10 = f"array_to_string(list_slice({w}, 1, 10), ' ')"
+    para1 = (
+        f"array_to_string(list_transform(range((least(9, {n}) + 2) // 3), l -> "
+        f"array_to_string(list_slice({w}, l*3 + 1, l*3 + 3), ' ')), chr(10))"
+    )
+    return (
+        f"{base} || "
+        f"CASE WHEN doc_id % 4 = 0 THEN chr(10) || {line1} ELSE '' END || "
+        f"CASE WHEN doc_id % 5 = 0 THEN ' ' || {span10} || ' ' || {span10} ELSE '' END || "
+        f"CASE WHEN doc_id % 7 = 0 THEN chr(10) || chr(10) || {para1} ELSE '' END AS text"
+    )
+
+
+def _q_text_repetition_rules(spark, sf):
+    # Gopher repetition removal (Rae et al. 2021 appendix A1.1) — the
+    # second half of the Gopher filter, joining text_gopher_rules' quality
+    # half. Pure Catalyst, map-only (plan-pinned in tests/test_repetition).
+    from olake_spark.functions import repetition as REP
+
+    derived = _tbl(spark, sf, "documents").selectExpr(
+        "doc_id", _rep_spark_derivation()
+    )
+    return derived.select(
+        "doc_id", *REP.repetition_rules_cols("text", **_REP_THRESHOLDS)
+    )
+
+
+def _text_repetition_oracle() -> str:
+    from olake_spark.functions import repetition as REP
+
+    cols = ", ".join(REP.repetition_rules_sql("text", **_REP_THRESHOLDS))
+    return (
+        f"SELECT doc_id, {cols} FROM "
+        f"(SELECT doc_id, {_rep_duck_derivation()} FROM documents)"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "maintenance_compact_cluster": _q_maintenance_compact_cluster,
@@ -1258,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_aspect_batches": _q_curate_aspect_batches,
         "ann_sq8_topk": _q_ann_sq8_topk,
         "dedup_paragraphs": _q_dedup_paragraphs,
+        "text_repetition_rules": _q_text_repetition_rules,
     }
 
 
@@ -1613,4 +1713,5 @@ LIMIT 20
             "embeddings", "vec_id < 10", "vec_id", k=5
         ),
         "dedup_paragraphs": _dedup_paragraphs_oracle(),
+        "text_repetition_rules": _text_repetition_oracle(),
     }
