@@ -1266,6 +1266,24 @@ def _text_repetition_oracle() -> str:
     )
 
 
+def _q_text_bpe_tokens(spark, sf):
+    # Real BPE (Sennrich et al. 2016): distributed word-count -> exact
+    # driver merge loop -> Arrow-batched encode. Rows-only gate (an
+    # iterative merge loop is not ANSI-SQL-expressible); correctness is
+    # pinned by the independent reimplementation in tests/test_bpe.py.
+    from olake_spark.operators import bpe
+
+    docs = _tbl(spark, sf, "documents")
+    merges = bpe.train_bpe(docs, num_merges=60)
+    out = bpe.bpe_encode(docs, merges)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.element_at("tokens", 1).alias("first_token"),
+        F.element_at("tokens", -1).alias("last_token"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "maintenance_compact_cluster": _q_maintenance_compact_cluster,
@@ -1358,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8_topk": _q_ann_sq8_topk,
         "dedup_paragraphs": _q_dedup_paragraphs,
         "text_repetition_rules": _q_text_repetition_rules,
+        "text_bpe_tokens": _q_text_bpe_tokens,  # rows-only (no SQL twin)
     }
 
 
