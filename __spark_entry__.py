@@ -1266,6 +1266,59 @@ def _text_repetition_oracle() -> str:
     )
 
 
+# -- CCNet LM-perplexity gate ----------------------------------------------
+# Fixed reference corpus (the CCNet shape: the LM is trained on a REFERENCE
+# corpus — Wikipedia in the paper — and scores the target corpus), written
+# over the fixture vocabulary plus connective words so fixture documents
+# exercise all three lookup tiers (in-model bigram, seen-context OOV,
+# unseen-context global). The fitted model is integer-quantized at fit time
+# (lm.qlog10), so the Spark plan and the DuckDB oracle share the exact same
+# literal table and the comparison is integer-exact. Threshold = the
+# derived nll median at sf0.001, splitting keep ~50/50.
+_LM_REF_CORPUS = [
+    "the fast query scan reads the table in sort order",
+    "a hash join beats a sort merge join on small data",
+    "the stream batch window holds the slow group agg",
+    "spark plans the filter before the scan for fast query speed",
+    "a big table needs a small key for the hash join",
+    "the customer row holds a value column and a key column",
+    "sort the data by key then merge the batch stream",
+    "a window agg over the customer line keeps the order",
+]
+_LM_MAX_NLL_PPM = 1_639_000
+
+
+def _lm_model() -> dict:
+    from olake_spark.operators import lm
+
+    bi, ctx = lm.count_bigrams_py(_LM_REF_CORPUS)
+    return lm.fit_lm(bi, ctx)
+
+
+def _q_curate_lm_perplexity(spark, sf):
+    # CCNet perplexity filter (Wenzek et al. 2020 §3.3): bigram LM over a
+    # fixed reference corpus, broadcast-joined against the target corpus's
+    # bigrams — map-side explode, two broadcast left joins, ONE doc-keyed
+    # counting shuffle (plan-pinned in tests/test_lm.py).
+    from olake_spark.operators import lm
+
+    return lm.score_lm(
+        _tbl(spark, sf, "documents"),
+        _lm_model(),
+        max_nll_ppm=_LM_MAX_NLL_PPM,
+    )
+
+
+def _curate_lm_perplexity_oracle() -> str:
+    from olake_spark.operators import lm
+
+    return lm.score_lm_sql(
+        "SELECT doc_id, text FROM documents",
+        _lm_model(),
+        max_nll_ppm=_LM_MAX_NLL_PPM,
+    )
+
+
 def _q_text_bpe_tokens(spark, sf):
     # Real BPE (Sennrich et al. 2016): distributed word-count -> exact
     # driver merge loop -> Arrow-batched encode. Rows-only gate (an
@@ -1377,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": _q_dedup_paragraphs,
         "text_repetition_rules": _q_text_repetition_rules,
         "text_bpe_tokens": _q_text_bpe_tokens,  # rows-only (no SQL twin)
+        "curate_lm_perplexity": _q_curate_lm_perplexity,
     }
 
 
@@ -1733,4 +1787,5 @@ LIMIT 20
         ),
         "dedup_paragraphs": _dedup_paragraphs_oracle(),
         "text_repetition_rules": _text_repetition_oracle(),
+        "curate_lm_perplexity": _curate_lm_perplexity_oracle(),
     }
