@@ -1266,6 +1266,53 @@ def _text_repetition_oracle() -> str:
     )
 
 
+# -- URL-dedup gate --------------------------------------------------------
+# Synthetic crawl URLs derived from doc_id: (doc_id % 40, doc_id % 3) keys
+# the page identity (~120 canonical pages over the fixture), doc_id % 6
+# picks the spelling — plain http, https+www, uppercase+explicit :80 +
+# trailing slash, :443 + tracking params, fragment + param order, and
+# schemeless. ONE expression string, valid in both dialects ('||', CASE,
+# upper, CAST AS STRING are shared), so the derivations cannot drift.
+_URL_DERIVATION = (
+    "CASE doc_id % 6 "
+    "WHEN 0 THEN 'http://' || h || '/p/' || g "
+    "WHEN 1 THEN 'https://www.' || h || '/p/' || g "
+    "WHEN 2 THEN 'HTTP://' || upper(h) || ':80/p/' || g || '/' "
+    "WHEN 3 THEN 'https://' || h || ':443/p/' || g || '?utm_source=feed&b=2&a=1' "
+    "WHEN 4 THEN 'http://' || h || '/p/' || g || '?a=1&b=2#frag' "
+    "ELSE h || '/p/' || g END AS url"
+)
+_URL_PARTS = (
+    "'site' || CAST(doc_id % 40 AS STRING) || '.com' AS h, "
+    "CAST(doc_id % 3 AS STRING) AS g"
+)
+
+
+def _q_dedup_url(spark, sf):
+    # Canonical-URL dedup (RefinedWeb §3.1): scheme/www/port/fragment/
+    # tracking-param/param-order-insensitive canonical key, min-id owner
+    # election in one window exchange (plan-pinned in tests/test_urlnorm).
+    from olake_spark.functions.urlnorm import dedup_by_url
+
+    derived = (
+        _tbl(spark, sf, "documents")
+        .selectExpr("doc_id", _URL_PARTS.split(", ")[0],
+                    _URL_PARTS.split(", ")[1])
+        .selectExpr("doc_id", _URL_DERIVATION)
+    )
+    return dedup_by_url(derived)
+
+
+def _dedup_url_oracle() -> str:
+    from olake_spark.functions.urlnorm import dedup_by_url_sql
+
+    derived = (
+        f"SELECT doc_id, {_URL_DERIVATION} FROM "
+        f"(SELECT doc_id, {_URL_PARTS} FROM documents)"
+    )
+    return dedup_by_url_sql(derived)
+
+
 # -- CCNet LM-perplexity gate ----------------------------------------------
 # Fixed reference corpus (the CCNet shape: the LM is trained on a REFERENCE
 # corpus — Wikipedia in the paper — and scores the target corpus), written
@@ -1431,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_rules": _q_text_repetition_rules,
         "text_bpe_tokens": _q_text_bpe_tokens,  # rows-only (no SQL twin)
         "curate_lm_perplexity": _q_curate_lm_perplexity,
+        "dedup_url": _q_dedup_url,
     }
 
 
@@ -1788,4 +1836,5 @@ LIMIT 20
         "dedup_paragraphs": _dedup_paragraphs_oracle(),
         "text_repetition_rules": _text_repetition_oracle(),
         "curate_lm_perplexity": _curate_lm_perplexity_oracle(),
+        "dedup_url": _dedup_url_oracle(),
     }

@@ -1,0 +1,126 @@
+"""URL canonicalization + URL dedup (functions/urlnorm.py): planted variant
+groups, the exact canonical strings, DuckDB twin equality, and the
+single-exchange plan shape."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from olake_spark.functions.urlnorm import (
+    canonical_url_col,
+    canonical_url_sql,
+    dedup_by_url,
+    dedup_by_url_sql,
+)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+VARIANTS = [
+    # one page, eight spellings → one canonical form
+    (0, "http://Example.com/a/b"),
+    (1, "https://example.com/a/b"),
+    (2, "HTTPS://www.example.com/a/b"),
+    (3, "http://example.com:80/a/b/"),
+    (4, "https://example.com:443/a/b"),
+    (5, "  http://example.com/a/b#section-2  "),
+    (6, "http://example.com/a/b?utm_source=x&utm_campaign=y"),
+    (7, "http://example.com/a/b?fbclid=123&gclid=9&ref=tw"),
+    # same page with real params in either order → one canonical form
+    (8, "http://example.com/a/b?b=2&a=1"),
+    (9, "https://www.example.com/a/b?a=1&utm_medium=z&b=2#x"),
+    # different pages
+    (10, "http://example.com/a/B"),       # path case matters
+    (11, "http://example.org/a/b"),
+    (12, "http://example.com:8080/a/b"),  # non-default port kept
+    (13, None),
+    (14, ""),
+]
+
+
+class TestCanonical:
+    def test_planted_variants(self, spark):
+        df = spark.createDataFrame(VARIANTS, "doc_id long, url string")
+        got = {
+            r["doc_id"]: r["c"]
+            for r in df.select(
+                "doc_id", canonical_url_col("url").alias("c")
+            ).collect()
+        }
+        for d in range(8):
+            assert got[d] == "example.com/a/b", (d, got[d])
+        assert got[8] == got[9] == "example.com/a/b?a=1&b=2"
+        assert got[10] == "example.com/a/B"
+        assert got[11] == "example.org/a/b"
+        assert got[12] == "example.com:8080/a/b"
+        assert got[13] is None
+        assert got[14] == ""
+
+    def test_matches_duckdb(self, spark):
+        df = spark.createDataFrame(VARIANTS, "doc_id long, url string")
+        got = {
+            r["doc_id"]: r["c"]
+            for r in df.select(
+                "doc_id", canonical_url_col("url").alias("c")
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.register(
+            "src", pd.DataFrame(VARIANTS, columns=["doc_id", "url"])
+        )
+        want = dict(
+            con.execute(
+                f"SELECT doc_id, {canonical_url_sql('url')} FROM src"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_map_only(self, spark):
+        df = spark.createDataFrame(VARIANTS, "doc_id long, url string")
+        out = df.select(canonical_url_col("url"))
+        plan = plan_of(out)
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+
+class TestDedup:
+    def test_owner_election(self, spark):
+        df = spark.createDataFrame(VARIANTS, "doc_id long, url string")
+        rows = {r["doc_id"]: r for r in dedup_by_url(df).collect()}
+        # the eight-spelling group keeps only doc 0
+        for d in range(8):
+            assert rows[d]["keep"] == (1 if d == 0 else 0), d
+        assert rows[8]["keep"] == 1 and rows[9]["keep"] == 0
+        # singletons and NULL/empty all kept
+        for d in (10, 11, 12, 13, 14):
+            assert rows[d]["keep"] == 1, d
+
+    def test_matches_duckdb(self, spark):
+        df = spark.createDataFrame(VARIANTS, "doc_id long, url string")
+        got = {tuple(r) for r in dedup_by_url(df).collect()}
+        con = duckdb.connect()
+        con.register(
+            "src", pd.DataFrame(VARIANTS, columns=["doc_id", "url"])
+        )
+        want = {
+            tuple(r)
+            for r in con.execute(
+                dedup_by_url_sql("SELECT doc_id, url FROM src")
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_single_exchange_window(self, spark):
+        df = spark.createDataFrame(VARIANTS, "doc_id long, url string")
+        out = dedup_by_url(df)
+        out.collect()
+        plan = plan_of(out)
+        assert "Join" not in plan, plan
+        import re
+
+        keys = set(
+            re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+        )
+        assert keys == {"canonical_url"}, plan
