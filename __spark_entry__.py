@@ -1266,6 +1266,42 @@ def _text_repetition_oracle() -> str:
     )
 
 
+# -- ExactSubstr gate ------------------------------------------------------
+# Planted boilerplate (the licence-header / quoted-repost shape ExactSubstr
+# exists to catch): doc_id % 4 prepends or appends a fixed 10-word span, so
+# owner election, interval merging, and pass-through docs are all live. ONE
+# expression string valid verbatim in both dialects.
+_XS_BOILER = (
+    "'this license header span is repeated verbatim across documents'"
+)
+_XS_DERIVATION = (
+    f"CASE doc_id % 4 "
+    f"WHEN 0 THEN {_XS_BOILER} || ' ' || text "
+    f"WHEN 1 THEN text || ' ' || {_XS_BOILER} "
+    f"ELSE text END AS text"
+)
+
+
+def _q_dedup_exact_substrings(spark, sf):
+    # ExactSubstr (Lee et al. 2021): corpus-wide duplicated-span removal,
+    # earliest (doc, pos) instance kept. md5-window election shuffle +
+    # 1-to-N hash join + per-doc equal-width interval union in pure array
+    # math — no window function anywhere (plan-pinned).
+    from olake_spark.operators.exactsubstr import dedup_exact_substrings
+
+    derived = _tbl(spark, sf, "documents").selectExpr(
+        "doc_id", _XS_DERIVATION
+    )
+    return dedup_exact_substrings(derived, width=6)
+
+
+def _dedup_exact_substrings_oracle() -> str:
+    from olake_spark.operators.exactsubstr import dedup_exact_substrings_sql
+
+    derived = f"SELECT doc_id, {_XS_DERIVATION} FROM documents"
+    return dedup_exact_substrings_sql(derived, width=6)
+
+
 # -- URL-dedup gate --------------------------------------------------------
 # Synthetic crawl URLs derived from doc_id: (doc_id % 40, doc_id % 3) keys
 # the page identity (~120 canonical pages over the fixture), doc_id % 6
@@ -1479,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": _q_text_bpe_tokens,  # rows-only (no SQL twin)
         "curate_lm_perplexity": _q_curate_lm_perplexity,
         "dedup_url": _q_dedup_url,
+        "dedup_exact_substrings": _q_dedup_exact_substrings,
     }
 
 
@@ -1837,4 +1874,5 @@ LIMIT 20
         "text_repetition_rules": _text_repetition_oracle(),
         "curate_lm_perplexity": _curate_lm_perplexity_oracle(),
         "dedup_url": _dedup_url_oracle(),
+        "dedup_exact_substrings": _dedup_exact_substrings_oracle(),
     }
