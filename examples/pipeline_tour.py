@@ -241,6 +241,60 @@ def main() -> None:
         step("decontaminate", audited=audit.count(),
              clean=audit.filter("keep = 1").count())
 
+        # -- 7b2b. the web-curation chain: URL dedup → paragraph dedup →
+        # repetition rules → LM perplexity → ExactSubstr → real BPE
+        from olake_spark.functions import repetition as REP
+        from olake_spark.functions.urlnorm import dedup_by_url
+        from olake_spark.operators import bpe, lm
+        from olake_spark.operators.exactsubstr import dedup_exact_substrings
+        from olake_spark.operators.paragraphs import dedup_paragraphs
+
+        urls = docs.selectExpr(
+            "doc_id",
+            "CASE doc_id % 3 WHEN 0 THEN 'http://ex' || CAST(doc_id % 9 AS STRING) || '.com/p' "
+            "WHEN 1 THEN 'https://www.ex' || CAST(doc_id % 9 AS STRING) || '.com/p/' "
+            "ELSE 'ex' || CAST(doc_id % 9 AS STRING) || '.com/p?utm_source=t' END AS url",
+        )
+        url_keep = dedup_by_url(urls).filter("keep = 1").count()
+        multi = docs.selectExpr(
+            "doc_id",
+            "concat_ws('\\n', transform(sequence(0, CAST((size(split(text, ' ')) + 9) DIV 10 AS INT) - 1), "
+            "g -> concat_ws(' ', slice(split(text, ' '), g * 10 + 1, 10)))) AS text",
+        )
+        paras = dedup_paragraphs(multi)
+        rep = multi.select(
+            "doc_id", *REP.repetition_rules_cols("text", max_top2_ppm=60_000)
+        )
+        ref_bi, ref_ctx = lm.count_bigrams_py(
+            [r["text"] for r in docs.limit(8).collect()]
+        )
+        ppl = lm.score_lm(docs, lm.fit_lm(ref_bi, ref_ctx),
+                          max_nll_ppm=1_500_000)
+        xs = dedup_exact_substrings(
+            docs.selectExpr(
+                "doc_id",
+                "CASE WHEN doc_id % 2 = 0 THEN 'shared header span one two "
+                "three four five' || ' ' || text ELSE text END AS text",
+            ),
+            width=6,
+        )
+        merges = bpe.train_bpe(docs, num_merges=40)
+        enc = bpe.bpe_encode(docs, merges)
+        step(
+            "web_curation_chain",
+            url_survivors=url_keep,
+            paras_removed=int(
+                paras.selectExpr("sum(n_paras - n_kept)").first()[0]
+            ),
+            repetition_kept=rep.filter("keep = 1").count(),
+            ppl_kept=ppl.filter("keep = 1").count(),
+            substr_tokens_removed=int(
+                xs.selectExpr("sum(n_removed)").first()[0]
+            ),
+            bpe_merges=len(merges),
+            bpe_tokens=int(enc.selectExpr("sum(n_tokens)").first()[0]),
+        )
+
         # -- 7b3. domain mixture + semantic dedup + pair curation ----------
         from olake_spark.operators.multimodal import pair_quality
         from olake_spark.operators.semdedup import semantic_dedup
