@@ -1424,16 +1424,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "maintenance_compact_cluster": _q_maintenance_compact_cluster,
         "maintenance_merge_cdc": _q_maintenance_merge_cdc,
-        "merge_keep_deletes": _q_merge_keep_deletes,
         "s10_snapshot_pinned_scan": _q_s10_snapshot_pinned_scan,
-        "sync_backfill_chunked": _q_sync_backfill_chunked,
-        "sync_backfill_composite": _q_sync_backfill_composite,
-        "cdc_stream_apply": _q_cdc_stream_apply,
         "delete_where_scan": _q_delete_where_scan,
         "overwrite_partitions_scan": _q_overwrite_partitions_scan,
         "add_files_scan": _q_add_files_scan,
         "analyze_table_stats": _q_analyze_table_stats,
-        "compact_filtered_scan": _q_compact_filtered_scan,
         "meta_inspect_partitions": _q_meta_inspect_partitions,
         "rewrite_pos_deletes_scan": _q_rewrite_pos_deletes_scan,
         "update_where_scan": _q_update_where_scan,
@@ -1483,7 +1478,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_image_rules": _q_curate_image_rules,
         "curate_mix_domains": _q_curate_mix_domains,
         "curate_pair_rules": _q_curate_pair_rules,
+        # --- session-18 rotation: the five new oracled rows enter the
+        # window, displacing five rows graded green in rounds 3 AND 4
+        # whose implementing modules are byte-unchanged since the round-4
+        # close 061a8f2 (merge_keep_deletes / sync_backfill_chunked /
+        # sync_backfill_composite / cdc_stream_apply / compact_filtered_scan
+        # — merge.py, sync.py, compact.py untouched; pipeline.py's only
+        # r5 change is the append-only autopilot_roundtrip hunk past line
+        # 282; the shared table.py substrate's single change is the
+        # version-parse fix, behavior-identical below 100k commits).
+        "dedup_paragraphs": _q_dedup_paragraphs,
+        "text_repetition_rules": _q_text_repetition_rules,
+        "curate_lm_perplexity": _q_curate_lm_perplexity,
+        "dedup_url": _q_dedup_url,
+        "dedup_exact_substrings": _q_dedup_exact_substrings,
         # --- end of the 50-row window ---
+        "merge_keep_deletes": _q_merge_keep_deletes,
+        "sync_backfill_chunked": _q_sync_backfill_chunked,
+        "sync_backfill_composite": _q_sync_backfill_composite,
+        "cdc_stream_apply": _q_cdc_stream_apply,
+        "compact_filtered_scan": _q_compact_filtered_scan,
         "s2_range_chunk_bounds": _q_s2_range_chunk_bounds,
         "s4_timestamp_chunks": _q_s4_timestamp_chunks,
         "p3_type_coercion": _q_p3_type_coercion,
@@ -1510,12 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "curate_aspect_batches": _q_curate_aspect_batches,
         "ann_sq8_topk": _q_ann_sq8_topk,
-        "dedup_paragraphs": _q_dedup_paragraphs,
-        "text_repetition_rules": _q_text_repetition_rules,
         "text_bpe_tokens": _q_text_bpe_tokens,  # rows-only (no SQL twin)
-        "curate_lm_perplexity": _q_curate_lm_perplexity,
-        "dedup_url": _q_dedup_url,
-        "dedup_exact_substrings": _q_dedup_exact_substrings,
     }
 
 
