@@ -1402,6 +1402,24 @@ def _curate_lm_perplexity_oracle() -> str:
     )
 
 
+def _q_curate_global_shuffle(spark, sf):
+    # Deterministic global shuffle: training-order positions as a pure
+    # function of (seed, id) — md5-prefix buckets decompose the global
+    # rank into offsets + bucketed window ranks, no single-partition
+    # window (plan-pinned in tests/test_shuffleorder.py). Oracle is the
+    # naive global row_number — the definition itself.
+    from olake_spark.operators.shuffleorder import global_shuffle
+
+    docs = _tbl(spark, sf, "documents").select("doc_id")
+    return global_shuffle(docs, seed=5)
+
+
+def _curate_global_shuffle_oracle() -> str:
+    from olake_spark.operators.shuffleorder import global_shuffle_sql
+
+    return global_shuffle_sql("SELECT doc_id FROM documents", seed=5)
+
+
 def _q_text_bpe_tokens(spark, sf):
     # Real BPE (Sennrich et al. 2016): distributed word-count -> exact
     # driver merge loop -> Arrow-batched encode. Rows-only gate (an
@@ -1524,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "curate_aspect_batches": _q_curate_aspect_batches,
         "ann_sq8_topk": _q_ann_sq8_topk,
+        "curate_global_shuffle": _q_curate_global_shuffle,
         "text_bpe_tokens": _q_text_bpe_tokens,  # rows-only (no SQL twin)
     }
 
@@ -1884,4 +1903,5 @@ LIMIT 20
         "curate_lm_perplexity": _curate_lm_perplexity_oracle(),
         "dedup_url": _dedup_url_oracle(),
         "dedup_exact_substrings": _dedup_exact_substrings_oracle(),
+        "curate_global_shuffle": _curate_global_shuffle_oracle(),
     }
