@@ -148,6 +148,30 @@ class TestOracle:
         assert a == b
 
 
+class TestHotKey:
+    def test_corpus_wide_boilerplate_single_owner(self, spark):
+        # the hot-key shape the no-window design exists for: EVERY doc
+        # carries the same 6-token span, so one md5 key owns n instances.
+        # The election must stay a partial-aggregated min + 1-to-N join
+        # (plan re-asserted here on the hot corpus), and exactly one doc —
+        # the smallest id — keeps the span.
+        n = 2000
+        boiler = "b1 b2 b3 b4 b5 b6"
+        data = [(i, f"u{i} v{i} " + boiler) for i in range(n)]
+        docs = spark.createDataFrame(data, "doc_id long, text string")
+        out = dedup_exact_substrings(docs, width=6)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert len(rows) == n
+        assert rows[0]["text"] == "u0 v0 " + boiler
+        assert rows[0]["n_removed"] == 0
+        removed = [d for d, r in rows.items() if r["n_removed"] == 6]
+        assert sorted(removed) == list(range(1, n))
+        assert rows[17]["text"] == "u17 v17"
+        plan = plan_of(out)
+        assert "Window" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+
 class TestPlan:
     def test_no_window_expected_exchanges(self, spark):
         docs = spark.createDataFrame(
