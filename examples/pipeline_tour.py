@@ -280,8 +280,17 @@ def main() -> None:
         )
         merges = bpe.train_bpe(docs, num_merges=40)
         enc = bpe.bpe_encode(docs, merges)
+        from olake_spark.operators.shuffleorder import global_shuffle
+
+        order = global_shuffle(docs.select("doc_id"), seed=11)
+        n_docs = docs.count()
+        assert (
+            order.agg(F.min("sample_idx"), F.max("sample_idx")).first()
+            == (0, n_docs - 1)
+        )
         step(
             "web_curation_chain",
+            shuffled=n_docs,
             url_survivors=url_keep,
             paras_removed=int(
                 paras.selectExpr("sum(n_paras - n_kept)").first()[0]
