@@ -1349,6 +1349,34 @@ def _dedup_url_oracle() -> str:
     return dedup_by_url_sql(derived)
 
 
+_BLOCKLIST = ["site3.com", "site17.com", "site29.com"]
+
+
+def _q_curate_blocked_hosts(spark, sf):
+    # UT1-style domain blocklist: ANY dot suffix of the host in the list
+    # blocks the URL (subdomains inherit) — map-only arrays_overlap over
+    # the per-row suffix set, blocklist riding the plan as a literal.
+    from olake_spark.functions.urlnorm import flag_blocked_hosts
+
+    derived = (
+        _tbl(spark, sf, "documents")
+        .selectExpr("doc_id", _URL_PARTS.split(", ")[0],
+                    _URL_PARTS.split(", ")[1])
+        .selectExpr("doc_id", _URL_DERIVATION)
+    )
+    return flag_blocked_hosts(derived, _BLOCKLIST)
+
+
+def _curate_blocked_hosts_oracle() -> str:
+    from olake_spark.functions.urlnorm import flag_blocked_hosts_sql
+
+    derived = (
+        f"SELECT doc_id, {_URL_DERIVATION} FROM "
+        f"(SELECT doc_id, {_URL_PARTS} FROM documents)"
+    )
+    return flag_blocked_hosts_sql(derived, _BLOCKLIST)
+
+
 # -- CCNet LM-perplexity gate ----------------------------------------------
 # Fixed reference corpus (the CCNet shape: the LM is trained on a REFERENCE
 # corpus — Wikipedia in the paper — and scores the target corpus), written
@@ -1543,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_aspect_batches": _q_curate_aspect_batches,
         "ann_sq8_topk": _q_ann_sq8_topk,
         "curate_global_shuffle": _q_curate_global_shuffle,
+        "curate_blocked_hosts": _q_curate_blocked_hosts,
         "text_bpe_tokens": _q_text_bpe_tokens,  # rows-only (no SQL twin)
     }
 
@@ -1904,4 +1933,5 @@ LIMIT 20
         "dedup_url": _dedup_url_oracle(),
         "dedup_exact_substrings": _dedup_exact_substrings_oracle(),
         "curate_global_shuffle": _curate_global_shuffle_oracle(),
+        "curate_blocked_hosts": _curate_blocked_hosts_oracle(),
     }

@@ -93,6 +93,94 @@ def canonical_url_sql(url: str) -> str:
     )
 
 
+def host_col(url: str) -> Column:
+    """Lowercased hostname with any explicit port stripped — the raw host
+    (``www.`` intact: blocklists match real hosts, and the suffix expansion
+    below makes ``www.evil.com`` hit a blocklisted ``evil.com`` anyway)."""
+    rest = (
+        f"regexp_replace(regexp_replace(trim({url}), '#.*$', ''), "
+        f"'{_SCHEME_RE}', '')"
+    )
+    return F.expr(
+        f"regexp_replace(lower(regexp_extract({rest}, '^[^/?]*', 0)), "
+        f"':[0-9]+$', '')"
+    )
+
+
+def host_sql(url: str) -> str:
+    rest = (
+        f"regexp_replace(regexp_replace(trim({url}), '#.*$', ''), "
+        f"'{_SCHEME_RE}', '')"
+    )
+    return (
+        f"regexp_replace(lower(regexp_extract({rest}, '^[^/?]*', 0)), "
+        f"':[0-9]+$', '')"
+    )
+
+
+def flag_blocked_hosts(
+    docs: DataFrame,
+    blocklist: list[str],
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """Domain blocklist filtering (the UT1-blocklist stage every crawl
+    pipeline runs before content filters): a URL is blocked iff ANY dot
+    suffix of its host — ``a.b.evil.com`` → {a.b.evil.com, b.evil.com,
+    evil.com, com} — appears in the blocklist, so blocking a registrable
+    domain blocks every subdomain. Map-only: the host's suffix set is
+    built per row and checked with ``arrays_overlap`` against the
+    blocklist riding the plan as a literal array (UT1-scale lists are
+    fine; beyond ~100k entries switch to an explode + broadcast-join
+    variant). Returns ``id_col``, ``host``, ``blocked`` (0/1; NULL URL →
+    host NULL, blocked 0)."""
+    items = ", ".join(
+        "'" + b.strip().lower().replace("'", "''") + "'"
+        for b in sorted(set(blocklist))
+    ) or "''"
+    host = host_col(url_col)
+    labels = "split(_host, '\\\\.')"
+    sufs = (
+        f"transform(sequence(0, size({labels}) - 1), "
+        f"i -> concat_ws('.', slice({labels}, i + 1, size({labels}) - i)))"
+    )
+    return docs.select(F.col(id_col), host.alias("_host")).select(
+        id_col,
+        F.col("_host").alias("host"),
+        F.expr(
+            f"CAST(CASE WHEN _host IS NULL THEN 0 "
+            f"WHEN arrays_overlap({sufs}, array({items})) THEN 1 "
+            f"ELSE 0 END AS BIGINT)"
+        ).alias("blocked"),
+    )
+
+
+def flag_blocked_hosts_sql(
+    docs_sql: str,
+    blocklist: list[str],
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> str:
+    items = ", ".join(
+        "'" + b.strip().lower().replace("'", "''") + "'"
+        for b in sorted(set(blocklist))
+    ) or "''"
+    host = host_sql(url_col)
+    labels = "string_split(h, '.')"
+    sufs = (
+        f"list_transform(range(1, len({labels}) + 1), "
+        f"i -> array_to_string(list_slice({labels}, i, len({labels})), '.'))"
+    )
+    return f"""
+WITH h AS (SELECT {id_col}, {host} AS h FROM ({docs_sql}))
+SELECT {id_col}, h AS host,
+       CAST(CASE WHEN h IS NULL THEN 0
+                 WHEN list_has_any({sufs}, [{items}]) THEN 1
+                 ELSE 0 END AS BIGINT) AS blocked
+FROM h
+"""
+
+
 def dedup_by_url(
     docs: DataFrame, id_col: str = "doc_id", url_col: str = "url"
 ) -> DataFrame:

@@ -124,3 +124,61 @@ class TestDedup:
             re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
         )
         assert keys == {"canonical_url"}, plan
+
+
+class TestBlocklist:
+    BLOCK = ["evil.com", "Tracker.NET"]
+
+    CASES = [
+        (1, "http://evil.com/a"),            # exact
+        (2, "https://www.evil.com/b"),       # subdomain via www
+        (3, "http://deep.sub.evil.com/c"),   # deep subdomain
+        (4, "http://notevil.com/d"),         # NOT a label suffix
+        (5, "http://evil.com.safe.org/e"),   # suffix labels differ
+        (6, "HTTP://TRACKER.net:8080/f"),    # case + port
+        (7, "http://fine.org/g"),
+        (8, None),
+    ]
+
+    def test_planted(self, spark):
+        from olake_spark.functions.urlnorm import flag_blocked_hosts
+
+        df = spark.createDataFrame(self.CASES, "doc_id long, url string")
+        rows = {
+            r["doc_id"]: r
+            for r in flag_blocked_hosts(df, self.BLOCK).collect()
+        }
+        assert [rows[d]["blocked"] for d in range(1, 9)] == [
+            1, 1, 1, 0, 0, 1, 0, 0,
+        ]
+        assert rows[3]["host"] == "deep.sub.evil.com"
+        assert rows[8]["host"] is None
+
+    def test_matches_duckdb(self, spark):
+        from olake_spark.functions.urlnorm import (
+            flag_blocked_hosts, flag_blocked_hosts_sql,
+        )
+
+        df = spark.createDataFrame(self.CASES, "doc_id long, url string")
+        got = {tuple(r) for r in flag_blocked_hosts(df, self.BLOCK).collect()}
+        con = duckdb.connect()
+        con.register(
+            "src", pd.DataFrame(self.CASES, columns=["doc_id", "url"])
+        )
+        want = {
+            tuple(r)
+            for r in con.execute(
+                flag_blocked_hosts_sql(
+                    "SELECT doc_id, url FROM src", self.BLOCK
+                )
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_map_only(self, spark):
+        from olake_spark.functions.urlnorm import flag_blocked_hosts
+
+        df = spark.createDataFrame(self.CASES, "doc_id long, url string")
+        plan = plan_of(flag_blocked_hosts(df, self.BLOCK))
+        assert "Exchange" not in plan, plan
+        assert "Join" not in plan, plan
