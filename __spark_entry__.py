@@ -1266,6 +1266,65 @@ def _text_repetition_oracle() -> str:
     )
 
 
+# -- relational analytics gate (TPC-H Q5 shape) ----------------------------
+# region ⨝ nation ⨝ customer ⨝ orders ⨝ lineitem with a region predicate
+# and an order-date window — the classic star-join path over the fixture's
+# relational tables (the dims broadcast, orders⨝lineitem shuffles on the
+# key, filters push to the scans). Revenue is integer-exact on both
+# engines: cents × (1e6 - discount_ppm) via floor(x + 0.5) — the one
+# rounding Spark and DuckDB spell identically — so the float sum-order
+# problem never exists.
+_Q5_REGIONS = "('ASIA', 'EUROPE')"
+_Q5_DATE_LO, _Q5_DATE_HI = "1996-01-01", "1998-01-01"
+_REV_INT = (
+    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+    "(1000000 - CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT))"
+)
+
+
+def _q_analytics_region_revenue(spark, sf):
+    region = _tbl(spark, sf, "region").filter(f"r_name IN {_Q5_REGIONS}")
+    nation = _tbl(spark, sf, "nation")
+    customer = _tbl(spark, sf, "customer")
+    orders = _tbl(spark, sf, "orders").filter(
+        f"o_orderdate >= TIMESTAMP '{_Q5_DATE_LO}' AND "
+        f"o_orderdate < TIMESTAMP '{_Q5_DATE_HI}'"
+    )
+    lineitem = _tbl(spark, sf, "lineitem")
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.expr(f"sum({_REV_INT})").alias("revenue_int"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.col("revenue_int").desc(), F.col("n_name"))
+    )
+
+
+def _analytics_region_revenue_oracle() -> str:
+    return f"""
+SELECT n_name,
+       CAST(sum({_REV_INT}) AS BIGINT) AS revenue_int,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN {_Q5_REGIONS}
+  AND o_orderdate >= TIMESTAMP '{_Q5_DATE_LO}'
+  AND o_orderdate < TIMESTAMP '{_Q5_DATE_HI}'
+GROUP BY n_name
+ORDER BY revenue_int DESC, n_name
+"""
+
+
 # -- ExactSubstr gate ------------------------------------------------------
 # Planted boilerplate (the licence-header / quoted-repost shape ExactSubstr
 # exists to catch): doc_id % 4 prepends or appends a fixed 10-word span, so
@@ -1572,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8_topk": _q_ann_sq8_topk,
         "curate_global_shuffle": _q_curate_global_shuffle,
         "curate_blocked_hosts": _q_curate_blocked_hosts,
+        "analytics_region_revenue": _q_analytics_region_revenue,
         "text_bpe_tokens": _q_text_bpe_tokens,  # rows-only (no SQL twin)
     }
 
@@ -1934,4 +1994,5 @@ LIMIT 20
         "dedup_exact_substrings": _dedup_exact_substrings_oracle(),
         "curate_global_shuffle": _curate_global_shuffle_oracle(),
         "curate_blocked_hosts": _curate_blocked_hosts_oracle(),
+        "analytics_region_revenue": _analytics_region_revenue_oracle(),
     }
