@@ -1325,6 +1325,39 @@ ORDER BY revenue_int DESC, n_name
 """
 
 
+def _q_analytics_brand_volume(spark, sf):
+    # Q14/Q9 shape over the remaining dims: lineitem ⨝ part ⨝ supplier —
+    # per-brand shipped quantity and integer-exact revenue, positive-
+    # balance suppliers only. part/supplier broadcast; one agg shuffle.
+    lineitem = _tbl(spark, sf, "lineitem")
+    part = _tbl(spark, sf, "part").filter("p_size >= 10")
+    supplier = _tbl(spark, sf, "supplier").filter("s_acctbal > 0")
+    joined = lineitem.join(
+        part, F.col("l_partkey") == F.col("p_partkey")
+    ).join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+    return joined.groupBy("p_brand").agg(
+        F.expr("CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)").alias(
+            "qty_sum"
+        ),
+        F.expr(f"sum({_REV_INT})").alias("revenue_int"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def _analytics_brand_volume_oracle() -> str:
+    return f"""
+SELECT p_brand,
+       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty_sum,
+       CAST(sum({_REV_INT}) AS BIGINT) AS revenue_int,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_size >= 10 AND s_acctbal > 0
+GROUP BY p_brand
+"""
+
+
 # -- ExactSubstr gate ------------------------------------------------------
 # Planted boilerplate (the licence-header / quoted-repost shape ExactSubstr
 # exists to catch): doc_id % 4 prepends or appends a fixed 10-word span, so
@@ -1632,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_global_shuffle": _q_curate_global_shuffle,
         "curate_blocked_hosts": _q_curate_blocked_hosts,
         "analytics_region_revenue": _q_analytics_region_revenue,
+        "analytics_brand_volume": _q_analytics_brand_volume,
         "text_bpe_tokens": _q_text_bpe_tokens,  # rows-only (no SQL twin)
     }
 
@@ -1995,4 +2029,5 @@ LIMIT 20
         "curate_global_shuffle": _curate_global_shuffle_oracle(),
         "curate_blocked_hosts": _curate_blocked_hosts_oracle(),
         "analytics_region_revenue": _analytics_region_revenue_oracle(),
+        "analytics_brand_volume": _analytics_brand_volume_oracle(),
     }
