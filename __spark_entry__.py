@@ -1550,11 +1550,13 @@ def _q_text_bpe_tokens(spark, sf):
     docs = _tbl(spark, sf, "documents")
     merges = bpe.train_bpe(docs, num_merges=60)
     out = bpe.bpe_encode(docs, merges)
-    return out.select(
+    # CASE-guarded: under ANSI (Spark 4 default) element_at on an empty
+    # array throws, and an empty/whitespace-only document encodes to []
+    return out.selectExpr(
         "doc_id",
         "n_tokens",
-        F.element_at("tokens", 1).alias("first_token"),
-        F.element_at("tokens", -1).alias("last_token"),
+        "CASE WHEN size(tokens) > 0 THEN element_at(tokens, 1) END AS first_token",
+        "CASE WHEN size(tokens) > 0 THEN element_at(tokens, -1) END AS last_token",
     )
 
 

@@ -36,7 +36,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-TRACKING_PARAM_RE = "(utm_[a-zA-Z0-9_]*|fbclid|gclid|ref)="
+# bare `ref` is deliberately NOT in the default set: unlike utm_*/
+# fbclid/gclid it frequently carries content (?ref=<git branch>, doc
+# anchors), and stripping it would silently merge distinct pages
+TRACKING_PARAM_RE = "(utm_[a-zA-Z0-9_]*|fbclid|gclid)="
 
 _SCHEME_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
 
@@ -134,10 +137,10 @@ def flag_blocked_hosts(
     fine; beyond ~100k entries switch to an explode + broadcast-join
     variant). Returns ``id_col``, ``host``, ``blocked`` (0/1; NULL URL →
     host NULL, blocked 0)."""
+    cleaned = sorted({b.strip().lower() for b in blocklist} - {""})
     items = ", ".join(
-        "'" + b.strip().lower().replace("'", "''") + "'"
-        for b in sorted(set(blocklist))
-    ) or "''"
+        "'" + b.replace("'", "''") + "'" for b in cleaned
+    )
     host = host_col(url_col)
     labels = "split(_host, '\\\\.')"
     sufs = (
@@ -148,9 +151,15 @@ def flag_blocked_hosts(
         id_col,
         F.col("_host").alias("host"),
         F.expr(
+            # an empty blocklist blocks nothing (a literal array('') would
+            # match the empty-host row's suffix set)
             f"CAST(CASE WHEN _host IS NULL THEN 0 "
-            f"WHEN arrays_overlap({sufs}, array({items})) THEN 1 "
-            f"ELSE 0 END AS BIGINT)"
+            + (
+                f"WHEN arrays_overlap({sufs}, array({items})) THEN 1 "
+                if cleaned
+                else ""
+            )
+            + "ELSE 0 END AS BIGINT)"
         ).alias("blocked"),
     )
 
@@ -161,21 +170,24 @@ def flag_blocked_hosts_sql(
     id_col: str = "doc_id",
     url_col: str = "url",
 ) -> str:
+    cleaned = sorted({b.strip().lower() for b in blocklist} - {""})
     items = ", ".join(
-        "'" + b.strip().lower().replace("'", "''") + "'"
-        for b in sorted(set(blocklist))
-    ) or "''"
+        "'" + b.replace("'", "''") + "'" for b in cleaned
+    )
     host = host_sql(url_col)
     labels = "string_split(h, '.')"
     sufs = (
         f"list_transform(range(1, len({labels}) + 1), "
         f"i -> array_to_string(list_slice({labels}, i, len({labels})), '.'))"
     )
+    block_arm = (
+        f"WHEN list_has_any({sufs}, [{items}]) THEN 1" if cleaned else ""
+    )
     return f"""
 WITH h AS (SELECT {id_col}, {host} AS h FROM ({docs_sql}))
 SELECT {id_col}, h AS host,
        CAST(CASE WHEN h IS NULL THEN 0
-                 WHEN list_has_any({sufs}, [{items}]) THEN 1
+                 {block_arm}
                  ELSE 0 END AS BIGINT) AS blocked
 FROM h
 """
@@ -190,16 +202,21 @@ def dedup_by_url(
     canonical key."""
     canon = canonical_url_col(url_col).alias("canonical_url")
     with_canon = docs.select(F.col(id_col), canon)
+    # NULL-URL rows are kept unconditionally — route them AROUND the
+    # window, or a corpus with a large missing-URL fraction funnels every
+    # NULL through one window partition (the hot-key serialization this
+    # module otherwise avoids)
+    nulls = with_canon.filter(F.col("canonical_url").isNull()).select(
+        id_col, "canonical_url", F.lit(1).cast("long").alias("keep")
+    )
     w = Window.partitionBy("canonical_url")
     owner = F.min(F.col(id_col)).over(w)
-    return with_canon.select(
+    elected = with_canon.filter(F.col("canonical_url").isNotNull()).select(
         id_col,
         "canonical_url",
-        F.when(F.col("canonical_url").isNull(), F.lit(1))
-        .otherwise((F.col(id_col) == owner).cast("int"))
-        .cast("long")
-        .alias("keep"),
+        (F.col(id_col) == owner).cast("long").alias("keep"),
     )
+    return elected.unionByName(nulls)
 
 
 def dedup_by_url_sql(

@@ -134,9 +134,13 @@ def fit_lm(
     if vocab_size is None:
         vocab = {c for c in contexts} | {w for (_, w) in bigrams}
         vocab_size = max(len(vocab), 1)
+    # a capped count collection can retain a bigram whose (independently
+    # capped) context row was dropped — such bigrams degrade to OOV
+    # instead of crashing the fit
     rows = [
         (c, w, qlog10((n + k) / (contexts[c] + k * vocab_size)))
         for (c, w), n in sorted(bigrams.items())
+        if c in contexts
     ]
     ctx_rows = [
         (c, qlog10(k / (cn + k * vocab_size)))

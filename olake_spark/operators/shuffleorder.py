@@ -91,11 +91,26 @@ def global_shuffle(
         off_df = off_df.limit(0)
 
     w = Window.partitionBy("_b").orderBy("_k", id_col)
+    # LEFT join + loud guard: the count pass and the rank pass re-evaluate
+    # the input lineage. For a deterministic source both passes see the
+    # same buckets; a non-deterministic one (rand()/sample() upstream, a
+    # concurrently-written table) could surface a bucket the count never
+    # saw — an inner join would DROP those rows silently and corrupt every
+    # offset, so instead the guard fails the job. Persist the input first
+    # if its lineage is not re-evaluation-stable.
+    guarded_off = F.when(
+        F.col("_off").isNull(),
+        F.expr(
+            "raise_error('global_shuffle: bucket appeared that the count "
+            "pass never saw — input lineage is not deterministic; persist "
+            "the input DataFrame first')"
+        ).cast("long"),
+    ).otherwise(F.col("_off"))
     return (
-        keyed.join(F.broadcast(off_df), "_b")
+        keyed.join(F.broadcast(off_df), "_b", "left")
         .withColumn(
             index_col,
-            (F.col("_off") + F.row_number().over(w) - 1).cast("long"),
+            (guarded_off + F.row_number().over(w) - 1).cast("long"),
         )
         .drop("_k", "_b", "_off")
     )

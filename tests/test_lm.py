@@ -179,3 +179,21 @@ class TestPlan:
 
         keys = set(re.findall(r"Exchange hashpartitioning\((_\w+)#", plan))
         assert keys <= {"_i"}, plan
+
+
+class TestCappedCounts:
+    def test_bigram_with_capped_out_context_degrades_to_oov(self, spark):
+        # regression: bi_rows and ctx_rows are capped independently by
+        # their own orders — a retained bigram's context can be missing.
+        # fit_lm must degrade it to OOV, not KeyError.
+        rows = []
+        for i in range(10):
+            rows.append((i, " ".join(f"c{i} w{j}" for j in range(3))))
+        rows.append((100, " ".join(["hot next"] * 20)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        m = lm.train_lm(docs, max_ngrams=8)
+        # every emitted row's context must exist in the ctx table
+        ctxs = {c for c, _ in m["ctx_rows"]}
+        assert all(c in ctxs for c, _, _ in m["rows"])
+        # and scoring with the capped model still runs end to end
+        assert lm.score_lm(docs, m).count() == 11

@@ -27,7 +27,7 @@ VARIANTS = [
     (4, "https://example.com:443/a/b"),
     (5, "  http://example.com/a/b#section-2  "),
     (6, "http://example.com/a/b?utm_source=x&utm_campaign=y"),
-    (7, "http://example.com/a/b?fbclid=123&gclid=9&ref=tw"),
+    (7, "http://example.com/a/b?fbclid=123&gclid=9"),
     # same page with real params in either order → one canonical form
     (8, "http://example.com/a/b?b=2&a=1"),
     (9, "https://www.example.com/a/b?a=1&utm_medium=z&b=2#x"),
@@ -37,6 +37,9 @@ VARIANTS = [
     (12, "http://example.com:8080/a/b"),  # non-default port kept
     (13, None),
     (14, ""),
+    # bare ref carries content (e.g. ?ref=<branch>) — NOT stripped
+    (15, "http://example.com/tree?ref=main"),
+    (16, "http://example.com/tree?ref=dev"),
 ]
 
 
@@ -57,6 +60,10 @@ class TestCanonical:
         assert got[12] == "example.com:8080/a/b"
         assert got[13] is None
         assert got[14] == ""
+        # ref is content, not tracking: distinct pages stay distinct
+        assert got[15] == "example.com/tree?ref=main"
+        assert got[16] == "example.com/tree?ref=dev"
+        assert got[15] != got[16]
 
     def test_matches_duckdb(self, spark):
         df = spark.createDataFrame(VARIANTS, "doc_id long, url string")
@@ -93,8 +100,8 @@ class TestDedup:
         for d in range(8):
             assert rows[d]["keep"] == (1 if d == 0 else 0), d
         assert rows[8]["keep"] == 1 and rows[9]["keep"] == 0
-        # singletons and NULL/empty all kept
-        for d in (10, 11, 12, 13, 14):
+        # singletons, NULL/empty, and ref-distinct pages all kept
+        for d in (10, 11, 12, 13, 14, 15, 16):
             assert rows[d]["keep"] == 1, d
 
     def test_matches_duckdb(self, spark):
@@ -182,3 +189,24 @@ class TestBlocklist:
         plan = plan_of(flag_blocked_hosts(df, self.BLOCK))
         assert "Exchange" not in plan, plan
         assert "Join" not in plan, plan
+
+    def test_empty_blocklist_blocks_nothing(self, spark):
+        # regression: the old literal-array placeholder matched the
+        # empty-host row's [''] suffix set
+        from olake_spark.functions.urlnorm import (
+            flag_blocked_hosts, flag_blocked_hosts_sql,
+        )
+
+        cases = self.CASES + [(9, ""), (10, "?q=1")]
+        df = spark.createDataFrame(cases, "doc_id long, url string")
+        for bl in ([], ["", "  "]):
+            out = flag_blocked_hosts(df, bl)
+            assert [r["blocked"] for r in out.collect()] == [0] * len(cases)
+            con = duckdb.connect()
+            con.register(
+                "src", pd.DataFrame(cases, columns=["doc_id", "url"])
+            )
+            rows = con.execute(
+                flag_blocked_hosts_sql("SELECT doc_id, url FROM src", bl)
+            ).fetchall()
+            assert [int(r[2]) for r in rows] == [0] * len(cases)
