@@ -1459,6 +1459,45 @@ def _q_curate_blocked_hosts(spark, sf):
     return flag_blocked_hosts(derived, _BLOCKLIST)
 
 
+def _q_bloom_point_lookup(spark, sf):
+    # Per-file Bloom point lookup (icelite/bloom.py) over the adversarial
+    # layout the index exists for: four round-robin slices by pmod(phash,4),
+    # so EVERY data file spans the whole image_id key space and manifest
+    # min/max pruning keeps everything — only the Bloom sidecars shrink the
+    # lookup to the owning files. Correctness never rests on the index: the
+    # scan re-applies the IN predicate, so the oracle is the plain
+    # derivation filtered to the probe ids.
+    import shutil as _sh
+
+    from olake_spark.icelite.bloom import build_bloom_index, point_lookup
+    from olake_spark.icelite.table import Table
+
+    tmp = tempfile.mkdtemp(prefix="olake-bloom-")
+    try:
+        t = Table.create(
+            spark,
+            os.path.join(tmp, "images"),
+            datagen.IMAGES_SCHEMA,
+            identifier_fields=("image_id",),
+        )
+        imgs = pipeline.images_from_documents(spark, sf)
+        for r in range(4):
+            t.append(imgs.filter(F.expr(f"pmod(phash, 4) = {r}")))
+        build_bloom_index(t, "image_id")
+        ids = [
+            r["image_id"]
+            for r in spark.sql(
+                "SELECT 'img-' || lpad(CAST(doc_id AS STRING), 12, '0') "
+                "AS image_id FROM documents WHERE doc_id % 11 = 3"
+            ).collect()
+        ]
+        return pipeline._materialize(
+            point_lookup(t, "image_id", ids, columns=pipeline.SCAN_COLS)
+        )
+    finally:
+        _sh.rmtree(tmp, ignore_errors=True)
+
+
 def _curate_blocked_hosts_oracle() -> str:
     from olake_spark.functions.urlnorm import flag_blocked_hosts_sql
 
@@ -1668,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_blocked_hosts": _q_curate_blocked_hosts,
         "analytics_region_revenue": _q_analytics_region_revenue,
         "analytics_brand_volume": _q_analytics_brand_volume,
+        "bloom_point_lookup": _q_bloom_point_lookup,
         "text_bpe_tokens": _q_text_bpe_tokens,  # rows-only (no SQL twin)
     }
 
@@ -2032,4 +2072,7 @@ LIMIT 20
         "curate_blocked_hosts": _curate_blocked_hosts_oracle(),
         "analytics_region_revenue": _analytics_region_revenue_oracle(),
         "analytics_brand_volume": _analytics_brand_volume_oracle(),
+        "bloom_point_lookup": pipeline.derive_images_sql(
+            where="WHERE doc_id % 11 = 3"
+        ),
     }

@@ -1,0 +1,359 @@
+"""Per-file Bloom-filter index — point-lookup file skipping after clustering.
+
+Why this exists: the table's sort order is PK-asc (`IcebergUtil.java:139-217`
+parity), but the maintenance engine's *clustered* layout orders files by the
+Hilbert/Z key over (phash, w, h) — after `run_cluster` every data file spans
+essentially the whole `image_id` key space, so the manifest min/max bounds
+that `Table.scan(predicates=...)` prunes with are powerless for point
+lookups: a single-id read degenerates to a full-table scan. Parquet solves
+this in-file with optional column Bloom filters; Iceberg's stats story puts
+auxiliary sketches in Puffin sidecars referenced from table metadata. This
+module is the icelite rendition of that idea: one Bloom bitmap per data file
+per indexed column, built in ONE distributed pass, stored as sidecar shards
+under `metadata/bloom/`, consulted driver-side to compute a `file_filter`
+for `Table.scan` — metadata-only pruning, correctness never depends on it
+(the scan still applies the real predicate; a Bloom can only over-include,
+never exclude a file that holds a match).
+
+Scale shape (the 10^12-row story):
+
+- **Build** is one scan of the indexed column only (column-pruned parquet
+  read; the heavy `bytes` column is never touched), with both hash values
+  computed JVM-side (`xxhash64`, whole-stage codegen). The Python kernel
+  sees (file, h1, h2) triples and reduces them to per-file partial bitmaps
+  *within each task* (numpy bit-ops over Arrow batches), so the only
+  shuffle moves partial bitmaps — O(tasks × bitmap), never O(rows) — and
+  the final per-file OR-reduce is a groupBy over #files rows.
+- **Bitmaps are bounded**: m is sized from the manifest's per-file row
+  count at the requested false-positive rate and capped (default 1 MiB per
+  file ≈ the budget parquet's own bloom pages run at). Sidecar shards hold
+  many files each; the driver streams the reduced bitmaps shard-by-shard
+  (`toLocalIterator`), so driver memory is O(shard), not O(table).
+- **Lookup** is driver-only metadata work: hash the probe values (same
+  JVM expressions, one tiny local job), stream the shards, test k bits per
+  (file, value). Returns the candidate file set for `scan(file_filter=...)`.
+  Files the index does not cover (appended after the build, or a stale
+  snapshot mismatch) are always kept — no false negatives by construction.
+
+Storage piggybacks the FileIO text surface (bitmaps base64-inside JSON
+shards) so every FileIO backend — local, objectstore-semantics — works
+unchanged; at deployment scale the shards would be binary Puffin blobs, a
+serialization swap that changes nothing structural. Sidecars live under
+`metadata/bloom/`, which `remove_orphan_files` never walks (it reaps data/,
+deletes/ and metadata/manifests/ only), and a rebuild atomically replaces
+the per-column index pointer before best-effort removing the superseded
+shards — the same replace discipline as `Table.set_statistics`.
+
+Reference provenance: the reference engine carries no secondary indexes —
+its point reads are source-DB queries (`pkg/jdbc/jdbc.go:66-73`) — but its
+Iceberg writer's per-file stats (`IcebergUtil.java:234-253`) are exactly the
+min/max half of this file-skipping story; the Bloom half is the standard
+lakehouse completion of it (Parquet bloom pages, Puffin sketches).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import math
+import os
+import time
+import uuid
+from typing import Any, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from olake_spark.icelite.table import DATA, Table
+
+_ALGO = "xxhash64-km-v1"  # Kirsch-Mitzenmacher double hashing over xxhash64
+_H2_TAG = "olake-bloom-h2"  # second hash = xxhash64(tag, col): independent seed chain
+_BLOOM_DIR = os.path.join("metadata", "bloom")
+_DEFAULT_FPP = 0.01
+_DEFAULT_MAX_BITS = 1 << 23  # 1 MiB bitmap cap per file
+_SHARD_FILES = 256  # files per sidecar shard
+_KERNEL_FLUSH_BYTES = 64 << 20  # partial-bitmap budget per task before a flush
+
+
+def _size_bloom(n_rows: int, fpp: float, max_bits: int) -> tuple[int, int]:
+    """(m_bits, k) for n rows at target fpp; m byte-aligned and capped."""
+    n = max(1, n_rows)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = min(max_bits, max(64, (m + 7) & ~7))
+    k = min(16, max(1, round(m / n * math.log(2))))
+    return m, k
+
+
+def _hash_cols(column: str) -> list:
+    # both hashes JVM-side; h2 chains an independent seed via a literal tag
+    return [
+        F.xxhash64(F.col(column)).alias("h1"),
+        F.xxhash64(F.lit(_H2_TAG), F.col(column)).alias("h2"),
+    ]
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, m: int, k: int) -> np.ndarray:
+    """k bit positions per row (Kirsch-Mitzenmacher), flattened uint64."""
+    a = h1.astype(np.uint64, copy=False)
+    b = h2.astype(np.uint64, copy=False) | np.uint64(1)  # odd stride
+    i = np.arange(k, dtype=np.uint64)
+    return ((a[:, None] + i[None, :] * b[:, None]) % np.uint64(m)).ravel()
+
+
+def _set_bits(bm: np.ndarray, pos: np.ndarray) -> None:
+    np.bitwise_or.at(
+        bm, (pos >> np.uint64(3)).astype(np.int64),
+        (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8),
+    )
+
+
+def _test_bits(bm: np.ndarray, pos: np.ndarray) -> bool:
+    byte = bm[(pos >> np.uint64(3)).astype(np.int64)]
+    bit = (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8)
+    return bool(np.all(byte & bit))
+
+
+def _index_path(root: str, column: str) -> str:
+    return os.path.join(root, _BLOOM_DIR, f"index-{column}.json")
+
+
+def build_bloom_index(
+    table: Table,
+    column: str,
+    snapshot_id: int | None = None,
+    fpp: float = _DEFAULT_FPP,
+    max_bits: int = _DEFAULT_MAX_BITS,
+) -> dict:
+    """Build + register the per-file Bloom index for `column` at a snapshot
+    (current by default). Replaces any prior index for the column. Returns
+    the index descriptor (shard paths, per-file sizing, timings)."""
+    table.refresh()
+    if snapshot_id is None:
+        snapshot_id = table.current_snapshot_id
+    if snapshot_id is None:
+        raise ValueError("build_bloom_index: table has no snapshot")
+    if column not in {f.name for f in table.schema.fields}:
+        raise ValueError(f"build_bloom_index: no such column {column!r}")
+
+    entries = [e for e in table.entries(snapshot_id) if e.content == DATA]
+    # abs path (what input_file_name yields) → (m, k, manifest key)
+    params: dict[str, tuple[int, int, str]] = {}
+    for e in entries:
+        m, k = _size_bloom(e.record_count, fpp, max_bits)
+        params[os.path.abspath(table._abs(e.file_path))] = (m, k, e.file_path)
+
+    out: dict[str, Any] = {
+        "column": column,
+        "snapshot_id": snapshot_id,
+        "fpp": fpp,
+        "algo": _ALGO,
+        "created_ms": int(time.time() * 1000),
+        "n_files": len(params),
+        "shards": [],
+    }
+    io = table.io
+    io.makedirs(os.path.join(table.root, _BLOOM_DIR))
+    prior = _load_index(table, column)
+
+    if params:
+        hashed = (
+            table.scan(
+                snapshot_id=snapshot_id, columns=[column], with_input_file=True
+            )
+            .filter(F.col(column).isNotNull())
+            .select(
+                F.regexp_replace("_input_file", "^file:/+", "/").alias("f"),
+                *_hash_cols(column),
+            )
+        )
+        bparams = table.spark.sparkContext.broadcast(params)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            p = bparams.value
+            acc: dict[str, np.ndarray] = {}
+            held = 0
+
+            def drain():
+                nonlocal acc, held
+                if acc:
+                    yield pd.DataFrame(
+                        {
+                            "file": list(acc),
+                            "bits": [bm.tobytes() for bm in acc.values()],
+                        }
+                    )
+                acc, held = {}, 0
+
+            for b in batches:
+                for absf, g in b.groupby("f", sort=False):
+                    m, k, key = p[os.path.abspath(absf)]
+                    bm = acc.get(key)
+                    if bm is None:
+                        bm = acc[key] = np.zeros(m >> 3, dtype=np.uint8)
+                        held += m >> 3
+                    _set_bits(
+                        bm,
+                        _positions(
+                            g["h1"].to_numpy(np.int64),
+                            g["h2"].to_numpy(np.int64),
+                            m,
+                            k,
+                        ),
+                    )
+                if held > _KERNEL_FLUSH_BYTES:
+                    yield from drain()
+            yield from drain()
+
+        def or_reduce(pdf: pd.DataFrame) -> pd.DataFrame:
+            arrs = [np.frombuffer(x, dtype=np.uint8) for x in pdf["bits"]]
+            merged = arrs[0].copy()
+            for a in arrs[1:]:
+                merged |= a
+            return pd.DataFrame(
+                {"file": [pdf["file"].iloc[0]], "bits": [merged.tobytes()]}
+            )
+
+        schema = "file string, bits binary"
+        reduced = (
+            hashed.mapInPandas(partials, schema)
+            .groupBy("file")
+            .applyInPandas(or_reduce, schema)
+        )
+
+        sizing = {key: (m, k) for (m, k, key) in params.values()}
+        shard_files: dict[str, dict] = {}
+        empty = set(sizing)  # files whose rows are all-NULL never reach us
+        for row in reduced.toLocalIterator():
+            m, k = sizing[row["file"]]
+            empty.discard(row["file"])
+            shard_files[row["file"]] = {
+                "m": m,
+                "k": k,
+                "bits": base64.b64encode(bytes(row["bits"])).decode("ascii"),
+            }
+            if len(shard_files) >= _SHARD_FILES:
+                out["shards"].append(_write_shard(table, column, shard_files))
+                shard_files = {}
+        for key in sorted(empty):  # all-NULL file: bitmap of zeros, prunes all
+            m, k = sizing[key]
+            shard_files[key] = {
+                "m": m,
+                "k": k,
+                "bits": base64.b64encode(bytes(m >> 3)).decode("ascii"),
+            }
+            if len(shard_files) >= _SHARD_FILES:
+                out["shards"].append(_write_shard(table, column, shard_files))
+                shard_files = {}
+        if shard_files:
+            out["shards"].append(_write_shard(table, column, shard_files))
+
+    io.write_text_atomic(_index_path(table.root, column), json.dumps(out, sort_keys=True))
+    if prior:  # superseded shards: best-effort removal, like set_statistics
+        stale = [
+            os.path.join(table.root, p)
+            for p in prior.get("shards", [])
+            if p not in set(out["shards"])
+        ]
+        if stale:
+            try:
+                io.remove_many(stale)
+            except OSError:
+                pass
+    return out
+
+
+def _write_shard(table: Table, column: str, files: dict[str, dict]) -> str:
+    rel = os.path.join(_BLOOM_DIR, f"bloom-{column}-{uuid.uuid4().hex}.json")
+    table.io.write_text_atomic(
+        os.path.join(table.root, rel), json.dumps({"files": files}, sort_keys=True)
+    )
+    return rel
+
+
+def _load_index(table: Table, column: str) -> dict | None:
+    try:
+        return json.loads(table.io.read_text(_index_path(table.root, column)))
+    except (OSError, ValueError):
+        return None
+
+
+def _probe_hashes(table: Table, column: str, values: Sequence[Any]) -> np.ndarray:
+    """(len(values), 2) int64 [h1, h2] — the SAME JVM expressions the build
+    used, evaluated over a literal local relation (one tiny job, no files)."""
+    dtype = next(f.dataType for f in table.schema.fields if f.name == column)
+    from pyspark.sql.types import StructField, StructType
+
+    df = table.spark.createDataFrame(
+        [(v,) for v in values], StructType([StructField(column, dtype)])
+    )
+    rows = df.select(*_hash_cols(column)).collect()
+    return np.array([[r["h1"], r["h2"]] for r in rows], dtype=np.int64)
+
+
+def bloom_file_filter(
+    table: Table,
+    column: str,
+    values: Sequence[Any],
+    snapshot_id: int | None = None,
+) -> set[str] | None:
+    """Candidate data-file set for an equality/IN lookup, or None when no
+    index exists for the column (callers then scan unpruned). Files the
+    index does not cover are always included; a covered file survives iff
+    its bitmap admits at least one probe value."""
+    table.refresh()
+    if snapshot_id is None:
+        snapshot_id = table.current_snapshot_id
+    idx = _load_index(table, column)
+    if idx is None:
+        return None
+    vals = [v for v in values if v is not None]
+    if not vals:
+        return set()  # NULL never equals anything; no file can match
+    hashes = _probe_hashes(table, column, vals)
+
+    covered: dict[str, dict] = {}
+    for rel in idx.get("shards", []):
+        try:
+            shard = json.loads(table.io.read_text(os.path.join(table.root, rel)))
+        except (OSError, ValueError):
+            return None  # damaged sidecar: fail open, scan everything
+        covered.update(shard["files"])
+
+    keep: set[str] = set()
+    for e in table.entries(snapshot_id):
+        if e.content != DATA:
+            continue
+        meta = covered.get(e.file_path)
+        if meta is None:
+            keep.add(e.file_path)  # not covered (e.g. post-build append)
+            continue
+        bm = np.frombuffer(base64.b64decode(meta["bits"]), dtype=np.uint8)
+        for h1, h2 in hashes:
+            if _test_bits(
+                bm,
+                _positions(
+                    np.array([h1], np.int64), np.array([h2], np.int64),
+                    meta["m"], meta["k"],
+                ),
+            ):
+                keep.add(e.file_path)
+                break
+    return keep
+
+
+def point_lookup(
+    table: Table,
+    column: str,
+    values: Sequence[Any],
+    snapshot_id: int | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Equality/IN read through the Bloom index: scan only candidate files,
+    re-apply the real predicate (correctness never rests on the index)."""
+    ff = bloom_file_filter(table, column, values, snapshot_id=snapshot_id)
+    df = table.scan(
+        snapshot_id=snapshot_id, columns=columns, file_filter=ff
+    )
+    vals = [v for v in values if v is not None]
+    return df.filter(F.col(column).isin(vals) if vals else F.lit(False))

@@ -1,0 +1,197 @@
+"""Per-file Bloom index: build, prune, correctness (icelite/bloom.py).
+
+The layout under test is the adversarial one the module exists for: every
+data file spans the whole image_id key space (round-robin slices, the shape
+a Hilbert-clustered table has), so manifest min/max pruning keeps every
+file and only the Bloom index can shrink a point lookup.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from olake_spark.icelite.bloom import (
+    bloom_file_filter,
+    build_bloom_index,
+    point_lookup,
+)
+from olake_spark.icelite.table import DATA, Table
+
+SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("w", IntegerType(), True),
+        StructField("phash", LongType(), True),
+        StructField("caption", StringType(), True),
+    ]
+)
+
+N = 600
+SLICES = 6
+
+
+def _rows(spark):
+    return spark.range(N).select(
+        F.format_string("img-%06d", F.col("id")).alias("image_id"),
+        (F.col("id") % 64).cast("int").alias("w"),
+        (F.col("id") * 7919).alias("phash"),
+        F.concat(F.lit("caption "), F.col("id")).alias("caption"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_table_dir):
+    t = Table.create(
+        spark,
+        os.path.join(tmp_table_dir, "imgs"),
+        SCHEMA,
+        identifier_fields=("image_id",),
+    )
+    rows = _rows(spark)
+    # each slice covers the full id range -> per-file min/max ~ whole space
+    for r in range(SLICES):
+        t.append(rows.filter(F.col("phash") % SLICES == r).coalesce(1))
+    return t
+
+
+def _data_files(t):
+    return {e.file_path for e in t.entries() if e.content == DATA}
+
+
+def test_build_registers_and_prunes(table):
+    idx = build_bloom_index(table, "image_id")
+    files = _data_files(table)
+    assert idx["n_files"] == len(files) == SLICES
+    # min/max pruning really is powerless on this layout
+    unpruned = table.scan(predicates=[("image_id", "==", "img-000123")])
+    assert unpruned.count() == 1
+    # bloom pruning: one present key -> its one owning file (± rare fp)
+    ff = bloom_file_filter(table, "image_id", ["img-000123"])
+    assert ff is not None and ff <= files
+    assert len(ff) <= 2  # fpp=1%, 6 files: >1 extra file is a regression
+
+
+def test_no_false_negatives_over_every_key(table, spark):
+    build_bloom_index(table, "image_id")
+    # owner file of each key, from the ground truth scan
+    truth = {
+        r["image_id"]: r["_input_file"]
+        for r in table.scan(columns=["image_id"], with_input_file=True).collect()
+    }
+    assert len(truth) == N
+    all_ids = sorted(truth)
+    # batched probes: every key's candidate set must include its owner file
+    abs_by_key = {
+        os.path.abspath(os.path.join(table.root, e.file_path)): e.file_path
+        for e in table.entries()
+        if e.content == DATA
+    }
+    for i in range(0, N, 100):
+        batch = all_ids[i : i + 100]
+        ff = bloom_file_filter(table, "image_id", batch)
+        kept_abs = {os.path.abspath(os.path.join(table.root, p)) for p in ff}
+        for key in batch:
+            assert os.path.abspath(truth[key]) in kept_abs
+    # and the point lookup returns exactly the right rows
+    got = point_lookup(
+        table, "image_id", ["img-000000", "img-000599", "img-000300"]
+    )
+    assert sorted(r["image_id"] for r in got.collect()) == [
+        "img-000000",
+        "img-000300",
+        "img-000599",
+    ]
+
+
+def test_absent_keys_prune_everything(table):
+    build_bloom_index(table, "image_id")
+    ff = bloom_file_filter(
+        table, "image_id", [f"missing-{i:04d}" for i in range(20)]
+    )
+    # 20 absent probes x 6 files at fpp=1%: expected ~1 false-positive file
+    assert len(ff) <= 3
+    assert point_lookup(table, "image_id", ["missing-0001"]).count() == 0
+
+
+def test_post_build_appends_always_kept(table, spark):
+    before = _data_files(table)
+    build_bloom_index(table, "image_id")
+    extra = spark.createDataFrame(
+        [("img-900001", 8, 1, "late")], SCHEMA
+    )
+    table.append(extra)
+    appended = _data_files(table) - before
+    assert len(appended) == 1
+    ff = bloom_file_filter(table, "image_id", ["img-900001"])
+    # the uncovered new file must be in the candidate set even though no
+    # bitmap admits the key
+    assert appended <= ff
+    assert point_lookup(table, "image_id", ["img-900001"]).count() == 1
+    # an old key still resolves too (its file is covered and admitted)
+    assert point_lookup(table, "image_id", ["img-000001"]).count() == 1
+
+
+def test_rebuild_replaces_sidecars(table):
+    first = build_bloom_index(table, "image_id")
+    second = build_bloom_index(table, "image_id", fpp=0.001)
+    bloom_dir = os.path.join(table.root, "metadata", "bloom")
+    on_disk = set(os.listdir(bloom_dir))
+    for rel in first["shards"]:
+        assert os.path.basename(rel) not in on_disk
+    for rel in second["shards"]:
+        assert os.path.basename(rel) in on_disk
+    assert point_lookup(table, "image_id", ["img-000042"]).count() == 1
+
+
+def test_null_probes_and_null_rows(spark, tmp_table_dir):
+    t = Table.create(
+        spark, os.path.join(tmp_table_dir, "n"), SCHEMA,
+        identifier_fields=("image_id",),
+    )
+    t.append(
+        spark.createDataFrame(
+            [("a", 1, 1, None), ("b", None, 2, "x")], SCHEMA
+        )
+    )
+    build_bloom_index(t, "caption")
+    # NULL probe matches nothing; the non-null value still resolves
+    assert bloom_file_filter(t, "caption", [None]) == set()
+    assert point_lookup(t, "caption", [None, "x"]).count() == 1
+
+
+def test_all_null_file_prunes(spark, tmp_table_dir):
+    t = Table.create(
+        spark, os.path.join(tmp_table_dir, "an"), SCHEMA,
+        identifier_fields=("image_id",),
+    )
+    t.append(
+        spark.createDataFrame(
+            [("a", 1, 1, None), ("b", 2, 2, None)], SCHEMA
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([("c", 3, 3, "real")], SCHEMA).coalesce(1)
+    )
+    build_bloom_index(t, "caption")
+    ff = bloom_file_filter(t, "caption", ["real"])
+    assert len(ff) == 1  # the all-NULL file's zero bitmap prunes it
+
+
+def test_unindexed_column_returns_none(table):
+    assert bloom_file_filter(table, "caption", ["caption 3"]) is None
+
+
+def test_survives_deletes(table):
+    build_bloom_index(table, "image_id")
+    table.delete_where(F.col("image_id") == "img-000123")
+    # bloom still admits the file; the scan's delete reconciliation wins
+    assert point_lookup(table, "image_id", ["img-000123"]).count() == 0
+    assert point_lookup(table, "image_id", ["img-000124"]).count() == 1
