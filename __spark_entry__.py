@@ -1416,6 +1416,47 @@ _URL_PARTS = (
 )
 
 
+# deterministic raw-HTML derivation over `documents` — identical text in
+# both dialects (||, replace, CASE only): title/style/script head, nav
+# boilerplate with anchors, sentence-split <p> body, an extra anchor
+# paragraph on doc_id%3=0, a comment, entities (&amp; &quot; &nbsp; and the
+# out-of-scope &copy; that must survive literally)
+_HTML_DERIVATION = (
+    "'<html><head><title>Doc ' || CAST(doc_id AS STRING) || '</title>"
+    "<style>p{margin:0}</style><script>var x=1<2&&3;</script></head><body>"
+    '<nav><a href="/">Home</a> <a href="/d\' || '
+    "CAST(doc_id % 7 AS STRING) || '\">Sec &amp; More</a></nav>"
+    "<h1>Doc &quot;' || CAST(doc_id AS STRING) || '&quot;</h1><p>' || "
+    "replace(text, '. ', '.</p><p>') || '</p>' || "
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "'<p>Read <a href=\"m\">more on topic ' || "
+    "CAST(doc_id % 11 AS STRING) || '</a> now.</p>' ELSE '' END || "
+    "'<!-- id ' || CAST(doc_id AS STRING) || ' --><br/>"
+    "<footer>&copy; 2026 &nbsp;Corp</footer></body></html>' AS html"
+)
+
+
+def _q_html_extract_text(spark, sf):
+    # HTML → text extraction (functions/htmltext.py): the opening stage of
+    # the web-curation chain — script/style/comment removal, block tags →
+    # newlines, one entity-decode round, link-density ppm — all map-only
+    # Catalyst (plan-pinned in tests/test_htmltext.py).
+    from olake_spark.functions.htmltext import extract_html_text
+
+    derived = _tbl(spark, sf, "documents").selectExpr(
+        "doc_id", _HTML_DERIVATION
+    )
+    return extract_html_text(derived)
+
+
+def _html_extract_text_oracle() -> str:
+    from olake_spark.functions.htmltext import extract_html_text_sql
+
+    return extract_html_text_sql(
+        f"SELECT doc_id, {_HTML_DERIVATION} FROM documents"
+    )
+
+
 def _q_dedup_url(spark, sf):
     # Canonical-URL dedup (RefinedWeb §3.1): scheme/www/port/fragment/
     # tracking-param/param-order-insensitive canonical key, min-id owner
@@ -1708,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analytics_region_revenue": _q_analytics_region_revenue,
         "analytics_brand_volume": _q_analytics_brand_volume,
         "bloom_point_lookup": _q_bloom_point_lookup,
+        "html_extract_text": _q_html_extract_text,
         "text_bpe_tokens": _q_text_bpe_tokens,  # rows-only (no SQL twin)
     }
 
@@ -2075,4 +2117,5 @@ LIMIT 20
         "bloom_point_lookup": pipeline.derive_images_sql(
             where="WHERE doc_id % 11 = 3"
         ),
+        "html_extract_text": _html_extract_text_oracle(),
     }
