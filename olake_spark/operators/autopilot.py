@@ -48,6 +48,13 @@ cluster                   opt-in via ``cluster.curve``; fires when rows
                           ``cluster`` commit reach
                           ``cluster.max-unclustered-ppm`` of the table.
 manifests                 live manifest count > ``manifests.max-count``.
+bloom                     opt-in via ``bloom.columns``; fires when live
+                          rows in data files the registered index does
+                          not cover reach ``bloom.max-stale-ppm`` (a
+                          missing index reads as 1e6 ppm), or when this
+                          run already plans a rewrite (which strands the
+                          coverage the moment it commits). Runs after the
+                          rewrites, before expire.
 expire                    snapshot count > ``expire.max-snapshots``.
 ========================  =============================================
 """
@@ -83,9 +90,19 @@ DEFAULT_POLICY: dict[str, object] = {
     "expire.max-snapshots": 20,
     "expire.keep-last": None,  # None → the table's history.expire.* props
     "expire.grace-seconds": 3 * 24 * 3600.0,
+    # per-file Bloom indexes (icelite/bloom.py): opt-in column list; an
+    # index covers exactly the data files of the snapshot it was built on,
+    # so every rewrite (compact/cluster/rewrite-deletes) strands coverage —
+    # rebuild when the ppm of live rows in UNCOVERED files crosses the line
+    # (a missing index on a non-empty table reads as 1e6 ppm)
+    "bloom.columns": (),
+    "bloom.max-stale-ppm": 300_000,
+    "bloom.fpp": 0.01,
 }
 
-_ORDER = ("rewrite-deletes", "compact", "cluster", "manifests", "expire")
+_ORDER = (
+    "rewrite-deletes", "compact", "cluster", "manifests", "bloom", "expire"
+)
 
 
 def resolve_policy(table: Table, policy: dict | None = None) -> dict:
@@ -96,8 +113,10 @@ def resolve_policy(table: Table, policy: dict | None = None) -> dict:
         raw = props.get(f"autopilot.{key}")
         if raw is None:
             continue
-        if key == "cluster.key-cols":
-            out[key] = tuple(s.strip() for s in str(raw).split(","))
+        if key in ("cluster.key-cols", "bloom.columns"):
+            out[key] = tuple(
+                s.strip() for s in str(raw).split(",") if s.strip()
+            )
         elif key == "cluster.curve":
             out[key] = str(raw)
         elif isinstance(dflt, float) or key == "expire.grace-seconds":
@@ -139,7 +158,9 @@ def inspect_health(table: Table, policy: dict | None = None) -> dict:
         unclustered = sum(
             e.record_count for e in data if e.seq > cluster_seq
         )
+    health_bloom = _bloom_health(table, pol, data, data_records)
     return {
+        **({"bloom": health_bloom} if health_bloom else {}),
         "data_files": len(data),
         "data_records": data_records,
         "data_bytes": sum(e.file_size_bytes for e in data),
@@ -159,6 +180,47 @@ def inspect_health(table: Table, policy: dict | None = None) -> dict:
             unclustered * PPM // data_records if data_records else 0
         ),
     }
+
+
+def _bloom_health(
+    table: Table, pol: dict, data: list, data_records: int
+) -> dict:
+    """Per configured bloom column: which snapshot the index covers and the
+    ppm of live rows in files outside that coverage. Driver-held metadata
+    only (index JSON + manifests) — zero Spark jobs, like the rest of
+    inspect_health; the shard payloads are never read here."""
+    cols = tuple(pol.get("bloom.columns") or ())
+    if not cols:
+        return {}
+    from olake_spark.icelite.bloom import _load_index
+
+    out: dict[str, dict] = {}
+    live = {e.file_path: e.record_count for e in data}
+    for c in cols:
+        idx = _load_index(table, c)
+        covered: set[str] = set()
+        snap = None
+        if idx is not None:
+            snap = idx["snapshot_id"]
+            try:
+                covered = {
+                    e.file_path
+                    for e in table.entries(snap)
+                    if e.content == DATA
+                }
+            except Exception:
+                # indexed snapshot expired: coverage unknowable → fully
+                # stale (bloom_file_filter likewise keeps uncovered files)
+                covered = set()
+        unc = sum(rc for p, rc in live.items() if p not in covered)
+        out[c] = {
+            "indexed_snapshot": snap,
+            "uncovered_records": unc,
+            "uncovered_ppm": (
+                unc * PPM // data_records if data_records else 0
+            ),
+        }
+    return out
 
 
 def plan_maintenance(
@@ -235,6 +297,44 @@ def plan_maintenance(
             ),
             "params": {"target_entries": int(pol["manifests.target-entries"])},
         })
+
+    bloom_cols = tuple(pol.get("bloom.columns") or ())
+    if bloom_cols and h["data_records"] > 0:
+        stale = [
+            c
+            for c, s in h.get("bloom", {}).items()
+            if s["uncovered_ppm"] >= int(pol["bloom.max-stale-ppm"])
+        ]
+        rewrites = [
+            a["op"]
+            for a in actions
+            if a["op"] in ("rewrite-deletes", "compact", "cluster")
+        ]
+        # a rewrite planned THIS run strands the current coverage the
+        # moment it commits — rebuild every configured column afterwards
+        if stale or rewrites:
+            why = []
+            if stale:
+                why.append(
+                    "stale coverage: "
+                    + ", ".join(
+                        f"{c}={h['bloom'][c]['uncovered_ppm']} ppm"
+                        for c in stale
+                    )
+                    + f" (max {pol['bloom.max-stale-ppm']})"
+                )
+            if rewrites:
+                why.append(
+                    f"rewrites planned this run: {', '.join(rewrites)}"
+                )
+            actions.append({
+                "op": "bloom",
+                "reason": "; ".join(why),
+                "params": {
+                    "columns": list(bloom_cols if rewrites else stale),
+                    "fpp": float(pol["bloom.fpp"]),
+                },
+            })
 
     if h["snapshots"] > int(pol["expire.max-snapshots"]):
         actions.append({
@@ -313,6 +413,17 @@ def _run_action(
         return rewrite_manifests(
             table, target_entries=params["target_entries"]
         )
+    if op == "bloom":
+        from olake_spark.icelite.bloom import build_bloom_index
+
+        return {
+            c: {
+                "n_files": build_bloom_index(
+                    table, c, fpp=params["fpp"]
+                )["n_files"]
+            }
+            for c in params["columns"]
+        }
     if op == "expire":
         from olake_spark.operators.expire import run_expire
 
