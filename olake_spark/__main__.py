@@ -106,6 +106,12 @@ def main(argv: list[str] | None = None) -> int:
                         "and decide (policy via autopilot.* table props)")
     p.add_argument("--dry-run", action="store_true",
                    help="with --ops auto: print the plan, run nothing")
+    p.add_argument("--fleet", action="store_true",
+                   help="with --ops auto and --uri/--warehouse (no table "
+                        "addressing): run the autopilot over EVERY table "
+                        "the catalog lists — the nightly fleet sweep; "
+                        "per-table policy from each table's autopilot.* "
+                        "properties")
     p.add_argument("--job-id", required=True)
     p.add_argument("--log", default=None)
     p.add_argument("--curve", default="hilbert")
@@ -422,6 +428,31 @@ def main(argv: list[str] | None = None) -> int:
         # operator must get exactly what they asked for
         ap.error("maintain takes EITHER --table (direct root) OR --name "
                  "with --uri/--warehouse (catalog-addressed), not both")
+    if args.fleet:
+        if args.table or args.name:
+            ap.error("maintain --fleet sweeps the whole catalog — it takes "
+                     "--uri or --warehouse, not --table/--name")
+        if args.ops.strip() != "auto":
+            ap.error("maintain --fleet only supports --ops auto (the "
+                     "autopilot decides per table)")
+        if bool(args.uri) == bool(args.warehouse):
+            ap.error("maintain --fleet needs --uri OR --warehouse")
+        if args.uri:
+            from olake_spark.icelite.restcatalog import RestCatalog
+
+            cat = RestCatalog(spark, args.uri)
+        else:
+            from olake_spark.icelite import Catalog
+
+            cat = Catalog(spark, args.warehouse)
+        from olake_spark.operators.autopilot import report_json, run_fleet
+
+        fleet_log = MaintenanceLog(spark, args.log) if args.log else None
+        print(report_json(run_fleet(
+            cat, args.job_id, log=fleet_log, execute=not args.dry_run,
+            verify=args.verify,
+        )))
+        return 0
     if args.name:
         if args.uri and args.warehouse:
             ap.error("maintain --name takes --uri OR --warehouse, not both")

@@ -67,7 +67,7 @@ from olake_spark.checkpoint import MaintenanceLog
 from olake_spark.icelite.table import DATA, EQ_DELETES, POS_DELETES, Table
 
 __all__ = ["DEFAULT_POLICY", "inspect_health", "plan_maintenance",
-           "run_autopilot"]
+           "run_autopilot", "run_fleet"]
 
 PPM = 1_000_000
 
@@ -433,6 +433,50 @@ def _run_action(
             job_id=f"{job_id}-expire", log=log,
         )
     raise ValueError(f"unknown action {op!r}")  # pragma: no cover
+
+
+def run_fleet(
+    catalog,
+    job_id: str,
+    policy: dict | None = None,
+    namespaces: list[str] | None = None,
+    log: MaintenanceLog | None = None,
+    execute: bool = True,
+    verify: bool = False,
+) -> dict:
+    """The nightly job real fleets actually run: autopilot over EVERY table
+    a catalog knows (filesystem or REST — both expose list_namespaces /
+    list_tables / load_table). Per-table policy comes from each table's own
+    ``autopilot.*`` properties (the ``policy`` dict layers on top of all of
+    them), so a heterogeneous fleet needs no per-table wiring here. One
+    misbehaving table never kills the sweep: its error is recorded and the
+    walk continues — the sweep's exit contract is the report, not an
+    exception. Tables are processed sequentially by design: maintenance
+    parallelism belongs INSIDE an op (executor-wide rewrites), not across
+    tables fighting for the same executors.
+
+    Returns ``{tables: {ident: {actions | error, ...}}, n_tables,
+    n_with_actions, n_errors, dry_run}``.
+    """
+    report: dict = {"tables": {}, "dry_run": not execute}
+    for ns in (namespaces or catalog.list_namespaces() or ["default"]):
+        for ident in catalog.list_tables(ns):
+            try:
+                t = catalog.load_table(ident)
+                rep = run_autopilot(
+                    t, f"{job_id}-{ident}", policy=policy, log=log,
+                    execute=execute, verify=verify,
+                )
+                report["tables"][ident] = rep
+            except Exception as ex:  # noqa: BLE001 — sweep must survive
+                report["tables"][ident] = {
+                    "error": f"{type(ex).__name__}: {ex}"
+                }
+    vals = report["tables"].values()
+    report["n_tables"] = len(report["tables"])
+    report["n_with_actions"] = sum(1 for r in vals if r.get("actions"))
+    report["n_errors"] = sum(1 for r in vals if "error" in r)
+    return report
 
 
 def report_json(report: dict) -> str:

@@ -129,3 +129,93 @@ def test_dry_run_plans_but_commits_nothing(spark, tmp_path):
     t.refresh()
     assert t.current_snapshot_id == snap
     assert not os.path.isdir(os.path.join(t.root, "metadata", "bloom"))
+
+
+class TestFleet:
+    def test_fleet_sweep_heterogeneous(self, spark, tmp_path):
+        from olake_spark.icelite import Catalog
+        from olake_spark.operators.autopilot import run_fleet
+
+        cat = Catalog(spark, str(tmp_path / "wh"))
+        # messy: fragmented -> needs compact; its own property opts into bloom
+        messy = cat.create_table(
+            "default.messy", datagen.IMAGES_SCHEMA,
+            identifier_fields=("image_id",),
+            properties={
+                "write.target-file-size-bytes": str(4 * 1024 * 1024),
+                "autopilot.bloom.columns": "image_id",
+            },
+        )
+        messy.append(datagen.gen_images_df(spark, 80), max_records_per_file=10)
+        # healthy: one fat file, no policy opt-ins
+        healthy = cat.create_table(
+            "default.healthy", datagen.IMAGES_SCHEMA,
+            identifier_fields=("image_id",),
+            properties={"write.target-file-size-bytes": "1024"},
+        )
+        healthy.append(datagen.gen_images_df(spark, 20))
+
+        report = run_fleet(cat, "fleet-1")
+        assert report["n_tables"] == 2
+        assert report["n_errors"] == 0
+        ops = [a["op"] for a in report["tables"]["default.messy"]["actions"]]
+        assert "compact" in ops and "bloom" in ops
+        assert report["tables"]["default.healthy"]["actions"] == []
+        assert report["n_with_actions"] == 1
+        # the sweep really ran: the messy table is compacted + indexed
+        messy.refresh()
+        h = inspect_health(messy, {"bloom.columns": ("image_id",)})
+        assert h["bloom"]["image_id"]["uncovered_ppm"] == 0
+        assert point_lookup(
+            messy, "image_id",
+            [messy.scan(columns=["image_id"]).first()["image_id"]],
+        ).count() == 1
+
+    def test_fleet_survives_a_broken_table(self, spark, tmp_path):
+        from olake_spark.icelite import Catalog
+        from olake_spark.operators.autopilot import run_fleet
+
+        cat = Catalog(spark, str(tmp_path / "wh2"))
+        ok = cat.create_table(
+            "default.ok", datagen.IMAGES_SCHEMA,
+            identifier_fields=("image_id",),
+        )
+        ok.append(datagen.gen_images_df(spark, 10))
+        broken = cat.create_table(
+            "default.broken", datagen.IMAGES_SCHEMA,
+            identifier_fields=("image_id",),
+        )
+        broken.append(datagen.gen_images_df(spark, 10))
+        # wreck the metadata while the listing still sees a table dir
+        # (version-hint intact, current metadata JSON corrupted)
+        hint = os.path.join(broken.root, "metadata", "version-hint.text")
+        v = int(open(hint).read().strip())
+        with open(
+            os.path.join(
+                broken.root, "metadata", f"v{v:05d}.metadata.json"
+            ),
+            "w",
+        ) as f:
+            f.write("{corrupt")
+        report = run_fleet(cat, "fleet-2", execute=False)
+        assert report["n_errors"] == 1
+        assert "error" in report["tables"]["default.broken"]
+        assert "error" not in report["tables"]["default.ok"]
+
+    def test_fleet_dry_run_commits_nothing(self, spark, tmp_path):
+        from olake_spark.icelite import Catalog
+        from olake_spark.operators.autopilot import run_fleet
+
+        cat = Catalog(spark, str(tmp_path / "wh3"))
+        t = cat.create_table(
+            "default.t", datagen.IMAGES_SCHEMA,
+            identifier_fields=("image_id",),
+            properties={"write.target-file-size-bytes": str(4 * 1024 * 1024)},
+        )
+        t.append(datagen.gen_images_df(spark, 60), max_records_per_file=10)
+        snap = t.current_snapshot_id
+        report = run_fleet(cat, "fleet-3", execute=False)
+        assert report["dry_run"] is True
+        assert report["tables"]["default.t"]["actions"]
+        t.refresh()
+        assert t.current_snapshot_id == snap
