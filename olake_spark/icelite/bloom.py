@@ -124,10 +124,22 @@ def build_bloom_index(
     snapshot_id: int | None = None,
     fpp: float = _DEFAULT_FPP,
     max_bits: int = _DEFAULT_MAX_BITS,
+    incremental: bool = False,
 ) -> dict:
     """Build + register the per-file Bloom index for `column` at a snapshot
     (current by default). Replaces any prior index for the column. Returns
-    the index descriptor (shard paths, per-file sizing, timings)."""
+    the index descriptor (shard paths, per-file sizing, timings).
+
+    ``incremental=True`` is the O(delta) maintenance path: bitmaps are per
+    FILE and data files are immutable, so files the prior index already
+    covers keep their bitmaps — the prior shards are re-referenced as-is
+    (entries for files no longer live are dead weight the lookup ignores;
+    the next full rebuild sheds them) and only UNCOVERED live files are
+    scanned. After an append of 1% new files the build reads 1% of the
+    table; after a full compaction every file is new and the incremental
+    path naturally degrades to the full one. Requires the same fpp as the
+    prior index (a changed fpp forces a full rebuild — mixed sizing inside
+    one index would make its fpp claim meaningless)."""
     table.refresh()
     if snapshot_id is None:
         snapshot_id = table.current_snapshot_id
@@ -136,7 +148,34 @@ def build_bloom_index(
     if column not in {f.name for f in table.schema.fields}:
         raise ValueError(f"build_bloom_index: no such column {column!r}")
 
-    entries = [e for e in table.entries(snapshot_id) if e.content == DATA]
+    io = table.io
+    prior = _load_index(table, column)
+    keep_shards: list[str] = []
+    covered: set[str] = set()
+    if incremental and prior is not None and prior.get("fpp") == fpp:
+        # files both live now and covered then keep their bitmaps
+        live_now = {
+            e.file_path
+            for e in table.entries(snapshot_id)
+            if e.content == DATA
+        }
+        try:
+            prior_files = {
+                e.file_path
+                for e in table.entries(prior["snapshot_id"])
+                if e.content == DATA
+            }
+        except Exception:  # prior snapshot expired → full rebuild
+            prior_files = set()
+        covered = live_now & prior_files
+        if covered:
+            keep_shards = list(prior.get("shards", []))
+
+    entries = [
+        e
+        for e in table.entries(snapshot_id)
+        if e.content == DATA and e.file_path not in covered
+    ]
     # abs path (what input_file_name yields) → (m, k, manifest key)
     params: dict[str, tuple[int, int, str]] = {}
     for e in entries:
@@ -149,17 +188,20 @@ def build_bloom_index(
         "fpp": fpp,
         "algo": _ALGO,
         "created_ms": int(time.time() * 1000),
-        "n_files": len(params),
-        "shards": [],
+        "n_files": len(params) + len(covered),
+        "n_files_built": len(params),
+        "shards": keep_shards,
     }
-    io = table.io
     io.makedirs(os.path.join(table.root, _BLOOM_DIR))
-    prior = _load_index(table, column)
 
     if params:
         hashed = (
             table.scan(
-                snapshot_id=snapshot_id, columns=[column], with_input_file=True
+                snapshot_id=snapshot_id,
+                columns=[column],
+                with_input_file=True,
+                # incremental: only the uncovered files are read at all
+                file_filter={key for (_, _, key) in params.values()},
             )
             .filter(F.col(column).isNotNull())
             .select(

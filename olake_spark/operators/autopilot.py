@@ -416,14 +416,19 @@ def _run_action(
     if op == "bloom":
         from olake_spark.icelite.bloom import build_bloom_index
 
-        return {
-            c: {
-                "n_files": build_bloom_index(
-                    table, c, fpp=params["fpp"]
-                )["n_files"]
+        # incremental: covered files keep their bitmaps, only the delta is
+        # scanned — O(new files) after an append, O(table) after a full
+        # rewrite, correct either way
+        out = {}
+        for c in params["columns"]:
+            idx = build_bloom_index(
+                table, c, fpp=params["fpp"], incremental=True
+            )
+            out[c] = {
+                "n_files": idx["n_files"],
+                "n_files_built": idx["n_files_built"],
             }
-            for c in params["columns"]
-        }
+        return out
     if op == "expire":
         from olake_spark.operators.expire import run_expire
 

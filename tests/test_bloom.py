@@ -195,3 +195,53 @@ def test_survives_deletes(table):
     # bloom still admits the file; the scan's delete reconciliation wins
     assert point_lookup(table, "image_id", ["img-000123"]).count() == 0
     assert point_lookup(table, "image_id", ["img-000124"]).count() == 1
+
+
+def test_incremental_build_is_o_delta(table, spark):
+    import json as _json
+
+    first = build_bloom_index(table, "image_id")
+    extra = spark.createDataFrame(
+        [(f"img-90{i:04d}", 8, i, f"late {i}") for i in range(5)], SCHEMA
+    )
+    table.append(extra.coalesce(1))
+    second = build_bloom_index(table, "image_id", incremental=True)
+    # only the appended file was scanned/built; prior shards re-referenced
+    assert second["n_files"] == SLICES + 1
+    assert second["n_files_built"] == 1
+    assert set(first["shards"]) <= set(second["shards"])
+    # covered files' bitmaps are byte-identical (reused, not recomputed)
+    def shard_map(idx):
+        out = {}
+        for rel in idx["shards"]:
+            out.update(
+                _json.loads(
+                    open(os.path.join(table.root, rel)).read()
+                )["files"]
+            )
+        return out
+    before, after = shard_map(first), shard_map(second)
+    for key, meta in before.items():
+        assert after[key]["bits"] == meta["bits"]
+    # lookups exact across old and new keys
+    assert point_lookup(table, "image_id", ["img-900003"]).count() == 1
+    assert point_lookup(table, "image_id", ["img-000123"]).count() == 1
+    # and the new file actually prunes: an absent probe keeps ~0 files
+    assert len(bloom_file_filter(table, "image_id", ["nope-1"])) <= 2
+
+
+def test_incremental_with_changed_fpp_rebuilds_fully(table):
+    build_bloom_index(table, "image_id", fpp=0.01)
+    idx = build_bloom_index(table, "image_id", fpp=0.001, incremental=True)
+    assert idx["n_files_built"] == idx["n_files"] == SLICES
+
+
+def test_incremental_after_compaction_degrades_to_full(table):
+    from olake_spark.operators.compact import run_compaction
+
+    build_bloom_index(table, "image_id")
+    run_compaction(table, "blm-compact", fill_ratio=1.0)
+    idx = build_bloom_index(table, "image_id", incremental=True)
+    # every pre-compaction file is gone -> nothing reusable
+    assert idx["n_files_built"] == idx["n_files"]
+    assert point_lookup(table, "image_id", ["img-000123"]).count() == 1
