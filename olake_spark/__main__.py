@@ -130,6 +130,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--limit", type=int, default=1000,
                    help="max rows printed (files can be huge at scale)")
+    p = sub.add_parser(
+        "lookup",
+        help="Bloom-pruned equality/IN read: scans only candidate files "
+             "(metadata-only pruning; exact — the predicate is re-applied)",
+    )
+    p.add_argument("--table", required=True, help="icelite table root")
+    p.add_argument("--column", required=True)
+    p.add_argument("--values", required=True,
+                   help="comma list of probe values (cast to the column "
+                        "type; int/long/string/double supported)")
+    p.add_argument("--columns", default=None,
+                   help="comma list of output columns (default: all)")
+    p.add_argument("--build-index", action="store_true",
+                   help="(re)build the column's Bloom index first "
+                        "(incremental: covered files keep their bitmaps)")
+    p.add_argument("--limit", type=int, default=1000)
     p = sub.add_parser("curate")
     p.add_argument("--input", required=True, help="parquet path to curate")
     p.add_argument("--output", required=True, help="parquet output path")
@@ -309,6 +325,41 @@ def main(argv: list[str] | None = None) -> int:
         df = getattr(table, f"inspect_{args.what}")()
         for line in df.limit(args.limit).toJSON().collect():
             print(line)
+        return 0
+    if args.verb == "lookup":
+        from olake_spark.icelite import Table
+        from olake_spark.icelite.bloom import (bloom_file_filter,
+                                               build_bloom_index,
+                                               point_lookup)
+
+        table = Table.load(spark, args.table)
+        dtype = next(
+            (f.dataType.simpleString() for f in table.schema.fields
+             if f.name == args.column), None,
+        )
+        if dtype is None:
+            print(f"no such column {args.column!r}", file=sys.stderr)
+            return 2
+        cast = {"int": int, "bigint": int, "double": float,
+                "float": float}.get(dtype, str)
+        values = [cast(v) for v in args.values.split(",")]
+        if args.build_index:
+            build_bloom_index(table, args.column, incremental=True)
+        from olake_spark.icelite.table import DATA
+
+        ff = bloom_file_filter(table, args.column, values)
+        n_data = sum(1 for e in table.entries() if e.content == DATA)
+        df = point_lookup(
+            table, args.column, values,
+            columns=args.columns.split(",") if args.columns else None,
+        )
+        for line in df.limit(args.limit).toJSON().collect():
+            print(line)
+        print(json.dumps({
+            "candidate_files": None if ff is None else len(ff),
+            "data_files": n_data,
+            "indexed": ff is not None,
+        }), file=sys.stderr)
         return 0
     if args.verb == "add-files":
         from olake_spark.icelite import Table
