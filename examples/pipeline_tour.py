@@ -183,8 +183,44 @@ def main() -> None:
                           f"{rep['health_after']['pos_delete_files']}",
              rows=mt.scan().count())
 
+        # -- 6c. bloom point lookup: the clustered layout defeats min/max
+        # bounds (every file spans the id space), the per-file Bloom
+        # sidecars restore metadata-only pruning; the autopilot owns their
+        # staleness from here on (bloom.columns policy)
+        from olake_spark.icelite.bloom import (bloom_file_filter,
+                                               build_bloom_index,
+                                               point_lookup)
+
+        bidx = build_bloom_index(t, "image_id")
+        probe = t.scan(columns=["image_id"]).first()["image_id"]
+        cand = bloom_file_filter(t, "image_id", [probe])
+        hit = point_lookup(t, "image_id", [probe])
+        assert hit.count() == 1 and hit.first()["image_id"] == probe
+        step("bloom_lookup", indexed_files=bidx["n_files"],
+             candidate_files=len(cand), rows=1)
+
         # -- 7. training-data layer over documents ------------------------
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+        # 7-pre: the chain now starts at raw HTML — wrap each doc in a
+        # deterministic page (nav boilerplate, script, entities), extract,
+        # and hand the TEXT to everything below
+        from olake_spark.functions.htmltext import extract_html_text
+
+        pages = docs.select(
+            "doc_id",
+            F.expr(
+                "'<html><head><script>var x=1<2;</script></head><body>"
+                "<nav><a href=\"/\">Home</a></nav><p>' || "
+                "replace(text, '. ', '.</p><p>') || "
+                "'</p><!-- c --></body></html>'"
+            ).alias("html"),
+        )
+        extracted = extract_html_text(pages)
+        assert extracted.filter("link_density_ppm > 0").count() == docs.count()
+        step("html_extract",
+             pages=extracted.count(),
+             med_chars=extracted.approxQuantile("n_chars", [0.5], 0.0)[0])
         pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", 500_000, k=3)
         cc = dedup.connected_components(pairs)
         best = dedup.keep_best_per_cluster(
