@@ -122,3 +122,47 @@ class TestPlan:
         plan = plan_of(out)
         assert "Exchange" not in plan, plan
         assert "EvalPython" not in plan, plan
+
+
+class TestFuzzTwin:
+    def test_random_markup_cross_engine(self, spark):
+        # seeded random soup over an HTML-ish alphabet: tags (well-formed,
+        # unclosed, uppercase), entities (in-scope, out-of-scope, double-
+        # encoded), bare < > &, newlines — the twin must agree on EVERY one
+        import random
+
+        rng = random.Random(20260821)
+        frags = [
+            "<p>", "</p>", "<div class='x'>", "</div>", "<br/>", "<b>",
+            "</b>", "<a href=\"u\">", "</a>", "<a>", "</A>", "<ABBR>",
+            "<script>", "</script>", "<style>", "</style>", "<!--", "-->",
+            "&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;", "&copy;",
+            "&amp;lt;", "<", ">", "&", "plain", "words here", " ", "\n",
+            "\t", "x<y", "a&&b", "<unclosed", "<h1>", "</h1>", "<li>",
+            "</li>", "end.",
+        ]
+        rows = [
+            (i, "".join(rng.choice(frags) for _ in range(rng.randint(1, 40))))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, html string")
+        got = (
+            extract_html_text(df)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("soup", pd.DataFrame(rows, columns=["doc_id", "html"]))
+        want = (
+            con.sql(extract_html_text_sql("SELECT * FROM soup"))
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        mism = (got.astype(str) != want.astype(str)).any(axis=1)
+        assert not mism.any(), (
+            rows[mism.idxmax()],
+            got[mism].head(3),
+            want[mism].head(3),
+        )
