@@ -1436,6 +1436,26 @@ _HTML_DERIVATION = (
 )
 
 
+def _q_chunk_windows(spark, sf):
+    # token-window document chunking (operators/pack.py chunk_documents):
+    # the packing op's complement — long docs cut into max_tokens windows
+    # with stride overlap, map-only sequence()+posexplode (plan-pinned in
+    # tests/test_pack.py), every token covered by >=1 window.
+    from olake_spark.operators.pack import chunk_documents
+
+    return chunk_documents(
+        _tbl(spark, sf, "documents"), max_tokens=32, stride=24
+    )
+
+
+def _chunk_windows_oracle() -> str:
+    from olake_spark.operators.pack import chunk_documents_sql
+
+    return chunk_documents_sql(
+        "SELECT * FROM documents", max_tokens=32, stride=24
+    )
+
+
 def _q_html_extract_text(spark, sf):
     # HTML → text extraction (functions/htmltext.py): the opening stage of
     # the web-curation chain — script/style/comment removal, block tags →
@@ -1758,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analytics_brand_volume": _q_analytics_brand_volume,
         "bloom_point_lookup": _q_bloom_point_lookup,
         "html_extract_text": _q_html_extract_text,
+        "curate_chunk_windows": _q_chunk_windows,
         "text_bpe_tokens": _q_text_bpe_tokens,  # rows-only (no SQL twin)
     }
 
@@ -2126,4 +2147,5 @@ LIMIT 20
             where="WHERE doc_id % 11 = 3"
         ),
         "html_extract_text": _html_extract_text_oracle(),
+        "curate_chunk_windows": _chunk_windows_oracle(),
     }

@@ -146,3 +146,94 @@ def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
             "mean_fill_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    stride: int | None = None,
+) -> DataFrame:
+    """The complement of :func:`pack_sequences`: split LONG documents into
+    fixed-size training windows (the RefinedWeb/LLaMA prep stage — packing
+    joins short documents, chunking cuts long ones; a pipeline runs both).
+
+    Whitespace tokens (the module's shared convention); windows start at
+    0, stride, 2·stride, … while start < total, each covering
+    ``[start, min(start + max_tokens, total))`` — every token lands in at
+    least one window, and ``stride < max_tokens`` yields the standard
+    overlap of ``max_tokens − stride``. Documents with no tokens (NULL or
+    empty text) emit zero rows.
+
+    Map-only Catalyst: tokens once per doc, a ``sequence()`` of starts,
+    one ``explode`` — zero shuffles, zero Python; the per-row output is
+    (id, chunk_idx, start_tok, n_tokens, chunk_text). Scale note: output
+    row count is Σ ceil(tokens/stride) — the explode is a generator, never
+    a join, so a 100 TB corpus chunks in one pass with the same plan.
+    """
+    if stride is None:
+        stride = max_tokens
+    if max_tokens <= 0 or stride <= 0:
+        raise ValueError("max_tokens and stride must be positive")
+    toks = f"split({text_col}, ' ')"
+    tot = f"size({toks})"
+    starts = f"sequence(0, {tot} - 1, {stride})"
+    return (
+        docs.selectExpr(
+            id_col,
+            f"{toks} AS _toks",
+            f"CASE WHEN {text_col} IS NULL OR {text_col} = '' THEN "
+            f"array() ELSE {starts} END AS _starts",
+        )
+        .select(
+            F.col(id_col),
+            F.col("_toks"),
+            F.posexplode("_starts").alias("chunk_idx", "_start"),
+        )
+        .selectExpr(
+            id_col,
+            "chunk_idx",
+            "CAST(_start AS BIGINT) AS start_tok",
+            f"CAST(least({max_tokens}, size(_toks) - _start) AS BIGINT) "
+            "AS n_tokens",
+            f"array_join(slice(_toks, _start + 1, "
+            f"least({max_tokens}, size(_toks) - _start)), ' ') AS chunk_text",
+        )
+    )
+
+
+def chunk_documents_sql(
+    docs_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    stride: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` (same starts, same slices)."""
+    if stride is None:
+        stride = max_tokens
+    toks = f"string_split({text_col}, ' ')"
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {toks} AS toks,
+         CASE WHEN {text_col} IS NULL OR {text_col} = '' THEN []
+              ELSE range(0, len({toks}), {stride}) END AS starts
+  FROM ({docs_sql})
+), ex AS (
+  SELECT {id_col}, toks, unnest(starts) AS start_tok
+  FROM base
+)
+SELECT {id_col},
+       CAST(start_tok // {stride} AS BIGINT) AS chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(least({max_tokens}, len(toks) - start_tok) AS BIGINT)
+         AS n_tokens,
+       array_to_string(list_slice(toks, start_tok + 1,
+         start_tok + least({max_tokens}, len(toks) - start_tok)), ' ')
+         AS chunk_text
+FROM ex
+"""

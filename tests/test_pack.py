@@ -88,3 +88,95 @@ def test_gopher_keep_is_conjunction(spark):
     assert (pdf["keep"] == pdf[flag_cols].min(axis=1)).all()
     # thresholds discriminate on the fixture corpus: both classes present
     assert 0 < pdf["keep"].sum() < len(pdf)
+
+
+class TestChunkDocuments:
+    """Token-window chunking (chunk_documents): the packing op's complement."""
+
+    ROWS = [
+        (1, "a b c d e f g h i j"),   # 10 tokens
+        (2, "one two three"),          # shorter than max
+        (3, None),                     # no tokens -> no rows
+        (4, ""),                       # no tokens -> no rows
+        (5, "x x x x x x y"),          # 7 tokens
+    ]
+
+    def _frames(self, spark, max_tokens, stride):
+        import duckdb
+        import pandas as pd
+
+        from olake_spark.operators.pack import (chunk_documents,
+                                                chunk_documents_sql)
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = (
+            chunk_documents(df, max_tokens=max_tokens, stride=stride)
+            .toPandas()
+            .sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("d", pd.DataFrame(self.ROWS, columns=["doc_id", "text"]))
+        want = (
+            con.sql(
+                chunk_documents_sql(
+                    "SELECT * FROM d", max_tokens=max_tokens, stride=stride
+                )
+            )
+            .df()
+            .sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True)
+        )
+        return got, want
+
+    def test_windows_cover_every_token_with_overlap(self, spark):
+        got, want = self._frames(spark, 4, 3)
+        assert got.astype(str).equals(want.astype(str))
+        d1 = got[got.doc_id == 1]
+        assert list(d1.chunk_text) == ["a b c d", "d e f g", "g h i j", "j"]
+        assert list(d1.start_tok) == [0, 3, 6, 9]
+        assert list(d1.n_tokens) == [4, 4, 4, 1]
+        # coverage: every token index in some window
+        covered = set()
+        for _, r in d1.iterrows():
+            covered |= set(range(r.start_tok, r.start_tok + r.n_tokens))
+        assert covered == set(range(10))
+        # NULL/empty docs emit nothing; short doc gets exactly one window
+        assert set(got.doc_id) == {1, 2, 5}
+        assert len(got[got.doc_id == 2]) == 1
+
+    def test_no_overlap_default_stride(self, spark):
+        got, want = self._frames(spark, 4, 4)
+        assert got.astype(str).equals(want.astype(str))
+        d1 = got[got.doc_id == 1]
+        # disjoint cover: n_tokens sums to the doc's token count
+        assert d1.n_tokens.sum() == 10
+        assert list(d1.start_tok) == [0, 4, 8]
+
+    def test_reassembly_roundtrip(self, spark):
+        # stride == max: concatenating chunk_text restores the document
+        got, _ = self._frames(spark, 3, 3)
+        d1 = " ".join(got[got.doc_id == 1].chunk_text)
+        assert d1 == "a b c d e f g h i j"
+
+    def test_map_only_plan(self, spark):
+        from olake_spark.operators.pack import chunk_documents
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        plan = (
+            chunk_documents(df, max_tokens=8, stride=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_bad_params_refused(self, spark):
+        import pytest as _pt
+
+        from olake_spark.operators.pack import chunk_documents
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        with _pt.raises(ValueError):
+            chunk_documents(df, max_tokens=0)
+        with _pt.raises(ValueError):
+            chunk_documents(df, max_tokens=8, stride=-1)
