@@ -101,9 +101,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="filesystem catalog warehouse")
     p.add_argument("--ops", required=True,
                    help="comma list: compact,cluster,manifests,"
-                        "rewrite-deletes,analyze,expire — or the single "
-                        "word 'auto' to let the autopilot inspect health "
-                        "and decide (policy via autopilot.* table props)")
+                        "rewrite-deletes,analyze,bloom,expire — or the "
+                        "single word 'auto' to let the autopilot inspect "
+                        "health and decide (policy via autopilot.* table "
+                        "props)")
+    p.add_argument("--bloom-columns", default=None,
+                   help="comma list of columns for the explicit 'bloom' op "
+                        "(incremental per-file Bloom index build)")
     p.add_argument("--dry-run", action="store_true",
                    help="with --ops auto: print the plan, run nothing")
     p.add_argument("--fleet", action="store_true",
@@ -126,7 +130,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--what", required=True,
         choices=["files", "partitions", "manifests", "snapshots",
-                 "history", "refs"],
+                 "history", "refs", "all_files", "all_manifests"],
     )
     p.add_argument("--limit", type=int, default=1000,
                    help="max rows printed (files can be huge at scale)")
@@ -322,7 +326,12 @@ def main(argv: list[str] | None = None) -> int:
         from olake_spark.icelite import Table
 
         table = Table.load(spark, args.table)
-        df = getattr(table, f"inspect_{args.what}")()
+        if args.what in ("all_files", "all_manifests"):
+            from olake_spark.icelite import meta as _meta
+
+            df = getattr(_meta, f"{args.what}_df")(table)
+        else:
+            df = getattr(table, f"inspect_{args.what}")()
         for line in df.limit(args.limit).toJSON().collect():
             print(line)
         return 0
@@ -561,6 +570,19 @@ def main(argv: list[str] | None = None) -> int:
                 "row_count": entry["row_count"],
                 "columns": len(entry["columns"]),
             }
+        elif op == "bloom":
+            from olake_spark.icelite.bloom import build_bloom_index
+
+            if not args.bloom_columns:
+                print("--ops bloom needs --bloom-columns", file=sys.stderr)
+                return 2
+            results[op] = {}
+            for c in args.bloom_columns.split(","):
+                idx = build_bloom_index(table, c.strip(), incremental=True)
+                results[op][c.strip()] = {
+                    "n_files": idx["n_files"],
+                    "n_files_built": idx["n_files_built"],
+                }
         elif op == "expire":
             results[op] = run_expire(
                 table, keep_last=args.keep_last,
