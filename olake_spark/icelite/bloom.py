@@ -353,34 +353,40 @@ def bloom_file_filter(
     if not vals:
         return set()  # NULL never equals anything; no file can match
     hashes = _probe_hashes(table, column, vals)
+    live = {
+        e.file_path
+        for e in table.entries(snapshot_id)
+        if e.content == DATA
+    }
 
-    covered: dict[str, dict] = {}
+    # stream the shards one at a time — driver memory stays O(shard), not
+    # O(index), no matter how many files the table holds
+    keep: set[str] = set()
+    seen_covered: set[str] = set()
     for rel in idx.get("shards", []):
         try:
             shard = json.loads(table.io.read_text(os.path.join(table.root, rel)))
         except (OSError, ValueError):
             return None  # damaged sidecar: fail open, scan everything
-        covered.update(shard["files"])
-
-    keep: set[str] = set()
-    for e in table.entries(snapshot_id):
-        if e.content != DATA:
-            continue
-        meta = covered.get(e.file_path)
-        if meta is None:
-            keep.add(e.file_path)  # not covered (e.g. post-build append)
-            continue
-        bm = np.frombuffer(base64.b64decode(meta["bits"]), dtype=np.uint8)
-        for h1, h2 in hashes:
-            if _test_bits(
-                bm,
-                _positions(
-                    np.array([h1], np.int64), np.array([h2], np.int64),
-                    meta["m"], meta["k"],
-                ),
-            ):
-                keep.add(e.file_path)
-                break
+        for fp, meta in shard["files"].items():
+            if fp not in live or fp in seen_covered:
+                continue  # dead entry on a reused shard, or duplicate
+            seen_covered.add(fp)
+            bm = np.frombuffer(
+                base64.b64decode(meta["bits"]), dtype=np.uint8
+            )
+            for h1, h2 in hashes:
+                if _test_bits(
+                    bm,
+                    _positions(
+                        np.array([h1], np.int64), np.array([h2], np.int64),
+                        meta["m"], meta["k"],
+                    ),
+                ):
+                    keep.add(fp)
+                    break
+    # files the index does not cover (post-build appends) are always kept
+    keep |= live - seen_covered
     return keep
 
 
