@@ -361,6 +361,7 @@ def main(argv: list[str] | None = None) -> int:
         df = point_lookup(
             table, args.column, values,
             columns=args.columns.split(",") if args.columns else None,
+            file_filter=ff,  # reuse: don't stream the shards twice
         )
         for line in df.limit(args.limit).toJSON().collect():
             print(line)

@@ -137,9 +137,9 @@ def build_bloom_index(
     the next full rebuild sheds them) and only UNCOVERED live files are
     scanned. After an append of 1% new files the build reads 1% of the
     table; after a full compaction every file is new and the incremental
-    path naturally degrades to the full one. Requires the same fpp as the
-    prior index (a changed fpp forces a full rebuild — mixed sizing inside
-    one index would make its fpp claim meaningless)."""
+    path naturally degrades to the full one. Requires the same fpp AND
+    max_bits as the prior index (a change in either forces a full rebuild —
+    mixed sizing inside one index would make its fpp claim meaningless)."""
     table.refresh()
     if snapshot_id is None:
         snapshot_id = table.current_snapshot_id
@@ -152,7 +152,12 @@ def build_bloom_index(
     prior = _load_index(table, column)
     keep_shards: list[str] = []
     covered: set[str] = set()
-    if incremental and prior is not None and prior.get("fpp") == fpp:
+    if (
+        incremental
+        and prior is not None
+        and prior.get("fpp") == fpp
+        and prior.get("max_bits") == max_bits
+    ):
         # files both live now and covered then keep their bitmaps
         live_now = {
             e.file_path
@@ -186,6 +191,7 @@ def build_bloom_index(
         "column": column,
         "snapshot_id": snapshot_id,
         "fpp": fpp,
+        "max_bits": max_bits,
         "algo": _ALGO,
         "created_ms": int(time.time() * 1000),
         "n_files": len(params) + len(covered),
@@ -195,19 +201,24 @@ def build_bloom_index(
     io.makedirs(os.path.join(table.root, _BLOOM_DIR))
 
     if params:
+        # read the RAW files, not the delete-reconciled scan: a bitmap is a
+        # property of the FILE's contents. Hashing the reconciled view
+        # would drop deleted keys from the bitmap, and a later lookup at an
+        # earlier snapshot (time travel, rollback) — where those rows are
+        # NOT deleted — would then false-negative. Raw contents can only
+        # over-include (deleted keys stay set → false positive → the
+        # re-applied predicate discards them), which is the safe direction.
         hashed = (
-            table.scan(
-                snapshot_id=snapshot_id,
-                columns=[column],
-                with_input_file=True,
-                # incremental: only the uncovered files are read at all
-                file_filter={key for (_, _, key) in params.values()},
+            table.spark.read.schema(table.schema)
+            .parquet(*params.keys())
+            .select(
+                F.regexp_replace(
+                    F.input_file_name(), "^file:/+", "/"
+                ).alias("f"),
+                F.col(column),
             )
             .filter(F.col(column).isNotNull())
-            .select(
-                F.regexp_replace("_input_file", "^file:/+", "/").alias("f"),
-                *_hash_cols(column),
-            )
+            .select("f", *_hash_cols(column))
         )
         bparams = table.spark.sparkContext.broadcast(params)
 
@@ -291,17 +302,29 @@ def build_bloom_index(
             out["shards"].append(_write_shard(table, column, shard_files))
 
     io.write_text_atomic(_index_path(table.root, column), json.dumps(out, sort_keys=True))
-    if prior:  # superseded shards: best-effort removal, like set_statistics
+    # sweep every shard for THIS column the new index does not reference:
+    # superseded shards from the replaced index (set_statistics discipline)
+    # AND orphans from builds that died between shard writes and the index
+    # write. Bloom builds follow the engine's one-maintainer-per-table
+    # convention (like compaction), so nothing else is mid-write here.
+    import re as _re
+
+    refd = {os.path.basename(p) for p in out["shards"]}
+    # exact shard-name shape (uuid hex tail) so one column's sweep can
+    # never match another column whose name extends it ("a" vs "a-b")
+    pat = _re.compile(
+        rf"bloom-{_re.escape(column)}-[0-9a-f]{{32}}\.json\Z"
+    )
+    try:
         stale = [
-            os.path.join(table.root, p)
-            for p in prior.get("shards", [])
-            if p not in set(out["shards"])
+            os.path.join(table.root, _BLOOM_DIR, name)
+            for name in io.list_dir(os.path.join(table.root, _BLOOM_DIR))
+            if pat.fullmatch(name) and name not in refd
         ]
         if stale:
-            try:
-                io.remove_many(stale)
-            except OSError:
-                pass
+            io.remove_many(stale)
+    except OSError:
+        pass  # best effort; unreferenced shards are harmless until swept
     return out
 
 
@@ -396,10 +419,18 @@ def point_lookup(
     values: Sequence[Any],
     snapshot_id: int | None = None,
     columns: list[str] | None = None,
+    file_filter: set[str] | None = None,
 ) -> DataFrame:
     """Equality/IN read through the Bloom index: scan only candidate files,
-    re-apply the real predicate (correctness never rests on the index)."""
-    ff = bloom_file_filter(table, column, values, snapshot_id=snapshot_id)
+    re-apply the real predicate (correctness never rests on the index).
+    Pass ``file_filter`` to reuse a candidate set already computed by
+    ``bloom_file_filter`` (callers that also report it) instead of
+    streaming the shards a second time."""
+    ff = (
+        file_filter
+        if file_filter is not None
+        else bloom_file_filter(table, column, values, snapshot_id=snapshot_id)
+    )
     df = table.scan(
         snapshot_id=snapshot_id, columns=columns, file_filter=ff
     )

@@ -97,6 +97,9 @@ def all_manifests_df(table: Table) -> DataFrame:
             "data_file_count long, delete_file_count long, "
             "record_count long, file_size_bytes long",
         )
+    # NB: this aggregate list mirrors Table.inspect_manifests' per-snapshot
+    # view — a change to manifest accounting (e.g. a new content kind) must
+    # land in both, or the two views drift apart
     return (
         _tagged_entries(table, pairs)
         .groupBy("snapshot_id", "manifest_path")

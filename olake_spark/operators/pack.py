@@ -151,6 +151,23 @@ def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
 # ---------------------------------------------------------------- chunking
 
 
+def _check_chunk_params(max_tokens: int, stride: int | None) -> int:
+    """Shared validation for both engines' builders: positive sizes, and
+    stride ≤ max_tokens — a larger stride would skip the tokens between
+    windows, silently dropping training data while the contract promises
+    every token lands in at least one window."""
+    if stride is None:
+        stride = max_tokens
+    if max_tokens <= 0 or stride <= 0:
+        raise ValueError("max_tokens and stride must be positive")
+    if stride > max_tokens:
+        raise ValueError(
+            f"stride ({stride}) > max_tokens ({max_tokens}) would leave "
+            "tokens uncovered between windows"
+        )
+    return stride
+
+
 def chunk_documents(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -175,10 +192,7 @@ def chunk_documents(
     row count is Σ ceil(tokens/stride) — the explode is a generator, never
     a join, so a 100 TB corpus chunks in one pass with the same plan.
     """
-    if stride is None:
-        stride = max_tokens
-    if max_tokens <= 0 or stride <= 0:
-        raise ValueError("max_tokens and stride must be positive")
+    stride = _check_chunk_params(max_tokens, stride)
     toks = f"split({text_col}, ' ')"
     tot = f"size({toks})"
     starts = f"sequence(0, {tot} - 1, {stride})"
@@ -214,8 +228,7 @@ def chunk_documents_sql(
     stride: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`chunk_documents` (same starts, same slices)."""
-    if stride is None:
-        stride = max_tokens
+    stride = _check_chunk_params(max_tokens, stride)
     toks = f"string_split({text_col}, ' ')"
     return f"""
 WITH base AS (

@@ -245,3 +245,50 @@ def test_incremental_after_compaction_degrades_to_full(table):
     # every pre-compaction file is gone -> nothing reusable
     assert idx["n_files_built"] == idx["n_files"]
     assert point_lookup(table, "image_id", ["img-000123"]).count() == 1
+
+
+def test_time_travel_lookup_sees_predeleted_rows(table):
+    # REGRESSION (review finding): bitmaps must hash the RAW file contents,
+    # not the delete-reconciled view — otherwise a lookup pinned to a
+    # snapshot BEFORE the delete false-negatives on the deleted key.
+    pre_delete = table.current_snapshot_id
+    table.delete_where(F.col("image_id") == "img-000123")
+    build_bloom_index(table, "image_id")  # built AFTER the delete
+    # current snapshot: the delete wins (predicate re-applied)
+    assert point_lookup(table, "image_id", ["img-000123"]).count() == 0
+    # time travel to before the delete: the row MUST come back
+    got = point_lookup(
+        table, "image_id", ["img-000123"], snapshot_id=pre_delete
+    )
+    assert got.count() == 1
+
+
+def test_incremental_with_changed_max_bits_rebuilds_fully(table):
+    build_bloom_index(table, "image_id", max_bits=1 << 20)
+    idx = build_bloom_index(table, "image_id", incremental=True)  # default cap
+    assert idx["n_files_built"] == idx["n_files"] == SLICES
+
+
+def test_failed_build_orphan_shards_swept(table):
+    import json as _json
+
+    first = build_bloom_index(table, "image_id")
+    # simulate a build that died after writing a shard but before the index
+    bloom_dir = os.path.join(table.root, "metadata", "bloom")
+    orphan = os.path.join(
+        bloom_dir, "bloom-image_id-" + "ab" * 16 + ".json"
+    )
+    with open(orphan, "w") as f:
+        _json.dump({"files": {}}, f)
+    # a shard of ANOTHER column must survive the sweep
+    other = os.path.join(
+        bloom_dir, "bloom-caption-" + "cd" * 16 + ".json"
+    )
+    with open(other, "w") as f:
+        _json.dump({"files": {}}, f)
+    second = build_bloom_index(table, "image_id", incremental=True)
+    on_disk = set(os.listdir(bloom_dir))
+    assert os.path.basename(orphan) not in on_disk
+    assert os.path.basename(other) in on_disk
+    for rel in second["shards"]:
+        assert os.path.basename(rel) in on_disk

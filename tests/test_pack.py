@@ -180,3 +180,19 @@ class TestChunkDocuments:
             chunk_documents(df, max_tokens=0)
         with _pt.raises(ValueError):
             chunk_documents(df, max_tokens=8, stride=-1)
+
+    def test_stride_beyond_max_refused_both_engines(self, spark):
+        # REGRESSION (review finding): stride > max_tokens would skip the
+        # tokens between windows — both builders refuse it
+        import pytest as _pt
+
+        from olake_spark.operators.pack import (chunk_documents,
+                                                chunk_documents_sql)
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        with _pt.raises(ValueError, match="uncovered"):
+            chunk_documents(df, max_tokens=32, stride=100)
+        with _pt.raises(ValueError, match="uncovered"):
+            chunk_documents_sql("SELECT 1", max_tokens=32, stride=100)
+        with _pt.raises(ValueError):
+            chunk_documents_sql("SELECT 1", max_tokens=0)
