@@ -360,3 +360,37 @@ def test_server_rejects_invisible_register_location(service, tmp_path):
     empty.mkdir()
     assert post("/v1/namespaces/reg/tables",
                 {"name": "hollow", "location": str(empty)}) == 400
+
+
+def test_fleet_sweep_over_rest_catalog(spark, cat):
+    """The catalog-wide autopilot sweep works identically over the REST
+    catalog (the duck-typed listing surface the fleet walks): a fragmented
+    table in one namespace gets compacted through catalog-addressed
+    commits (server-side CAS), a healthy one plans nothing."""
+    from olake_spark.operators.autopilot import run_fleet
+
+    ns = _fresh("fleet")
+    messy = cat.create_table(
+        f"{ns}.messy", datagen.IMAGES_SCHEMA,
+        identifier_fields=("image_id",),
+        properties={"write.target-file-size-bytes": str(4 * 1024 * 1024)},
+    )
+    messy.append(datagen.gen_images_df(spark, 60), max_records_per_file=10)
+    healthy = cat.create_table(
+        f"{ns}.healthy", datagen.IMAGES_SCHEMA,
+        identifier_fields=("image_id",),
+        properties={"write.target-file-size-bytes": "1024"},
+    )
+    healthy.append(datagen.gen_images_df(spark, 10))
+
+    report = run_fleet(cat, "fleet-rest", namespaces=[ns])
+    assert report["n_errors"] == 0
+    assert report["n_tables"] == 2
+    ops = [a["op"] for a in report["tables"][f"{ns}.messy"]["actions"]]
+    assert "compact" in ops
+    assert report["tables"][f"{ns}.healthy"]["actions"] == []
+    # the compaction committed THROUGH the catalog: fresh load sees it
+    after = cat.load_table(f"{ns}.messy")
+    assert after.scan().count() == 60
+    from olake_spark.icelite.table import DATA
+    assert sum(1 for e in after.entries() if e.content == DATA) < 6
