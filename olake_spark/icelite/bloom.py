@@ -343,17 +343,116 @@ def _load_index(table: Table, column: str) -> dict | None:
         return None
 
 
-def _probe_hashes(table: Table, column: str, values: Sequence[Any]) -> np.ndarray:
-    """(len(values), 2) int64 [h1, h2] — the SAME JVM expressions the build
-    used, evaluated over a literal local relation (one tiny job, no files)."""
-    dtype = next(f.dataType for f in table.schema.fields if f.name == column)
-    from pyspark.sql.types import StructField, StructType
+# ---- driver-side XXH64, bit-identical to Spark's xxhash64 expression ----
+# Lookups must be interactive: a Spark job just to hash a handful of probe
+# values costs seconds of scheduling for microseconds of work. XXH64 is a
+# public, fully-specified algorithm; this implementation reproduces
+# Spark's XxHash64 expression exactly (seed 42, per-argument chaining:
+# each argument's hash seeds the next; longs as 8-byte little-endian
+# two's-complement lanes, strings/binary as their raw bytes) and is
+# property-tested bit-for-bit against F.xxhash64 over random inputs,
+# covering every length-class branch (tests/test_bloom.py).
 
-    df = table.spark.createDataFrame(
-        [(v,) for v in values], StructType([StructField(column, dtype)])
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64(data: bytes, seed: int) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            k = int.from_bytes(data[i : i + 8], "little")
+            v1 = (_rotl((v1 + k * _P2) & _M64, 31) * _P1) & _M64
+            k = int.from_bytes(data[i + 8 : i + 16], "little")
+            v2 = (_rotl((v2 + k * _P2) & _M64, 31) * _P1) & _M64
+            k = int.from_bytes(data[i + 16 : i + 24], "little")
+            v3 = (_rotl((v3 + k * _P2) & _M64, 31) * _P1) & _M64
+            k = int.from_bytes(data[i + 24 : i + 32], "little")
+            v4 = (_rotl((v4 + k * _P2) & _M64, 31) * _P1) & _M64
+            i += 32
+        h = (
+            _rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ ((_rotl((v * _P2) & _M64, 31) * _P1) & _M64)) * _P1
+                 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = int.from_bytes(data[i : i + 8], "little")
+        h = (
+            _rotl(h ^ ((_rotl((k * _P2) & _M64, 31) * _P1) & _M64), 27)
+            * _P1
+            + _P4
+        ) & _M64
+        i += 8
+    if i + 4 <= n:
+        k = int.from_bytes(data[i : i + 4], "little")
+        h = (_rotl(h ^ ((k * _P1) & _M64), 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _M64), 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _spark_serialize(v: Any) -> bytes:
+    """The byte lane Spark's XxHash64 hashes for a value: integral types
+    promote to long (8-byte little-endian two's-complement); strings their
+    UTF-8 bytes; binary as-is; bool as a long."""
+    if isinstance(v, bool):
+        return int(v).to_bytes(8, "little", signed=True)
+    if isinstance(v, (int, np.integer)):
+        return int(v).to_bytes(8, "little", signed=True)
+    if isinstance(v, str):
+        return v.encode("utf-8")
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    raise TypeError(
+        f"bloom probe values of type {type(v).__name__} are not supported "
+        "(int/long/string/binary columns only)"
     )
-    rows = df.select(*_hash_cols(column)).collect()
-    return np.array([[r["h1"], r["h2"]] for r in rows], dtype=np.int64)
+
+
+def _xxhash64_chain(args: Sequence[Any], seed: int = 42) -> int:
+    """Spark's xxhash64(a, b, ...): each argument's hash seeds the next;
+    returns the signed int64 Spark reports."""
+    h = seed
+    for a in args:
+        h = _xxh64(_spark_serialize(a), h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _probe_hashes(table: Table, column: str, values: Sequence[Any]) -> np.ndarray:
+    """(len(values), 2) int64 [h1, h2] — driver-side XXH64, bit-identical
+    to the JVM expressions the build used (property-pinned in tests); no
+    Spark job, so lookups stay interactive."""
+    return np.array(
+        [
+            [_xxhash64_chain([v]), _xxhash64_chain([_H2_TAG, v])]
+            for v in values
+        ],
+        dtype=np.int64,
+    )
 
 
 def bloom_file_filter(

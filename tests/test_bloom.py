@@ -292,3 +292,46 @@ def test_failed_build_orphan_shards_swept(table):
     assert os.path.basename(other) in on_disk
     for rel in second["shards"]:
         assert os.path.basename(rel) in on_disk
+
+
+def test_driver_xxh64_bit_identical_to_spark(spark):
+    # the lookup hashes probes DRIVER-SIDE (no Spark job); this pin keeps
+    # that implementation bit-identical to the JVM expressions the build
+    # uses, across every XXH64 length-class branch (empty, <4, <8, <32,
+    # >=32 incl. multi-byte UTF-8) and the two-argument seed chain
+    import random
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from olake_spark.icelite.bloom import _H2_TAG, _xxhash64_chain
+
+    rng = random.Random(7)
+    strs = (
+        ["", "a", "abc", "img-000000000123", "x" * 31, "y" * 32, "z" * 33,
+         "w" * 100, "héllo wörld ünïcode ✓", "é" * 40]
+        + ["".join(rng.choice("abcdefgh0123-_")
+                   for _ in range(rng.randint(0, 64))) for _ in range(40)]
+    )
+    longs = [0, 1, -1, 42, 2 ** 62, -(2 ** 62), 7919] + [
+        rng.randint(-(2 ** 63), 2 ** 63 - 1) for _ in range(20)
+    ]
+    sdf = spark.createDataFrame(
+        [(s,) for s in strs], StructType([StructField("v", StringType())])
+    )
+    for r in sdf.select(
+        F.xxhash64("v").alias("h1"),
+        F.xxhash64(F.lit(_H2_TAG), F.col("v")).alias("h2"),
+        "v",
+    ).collect():
+        assert _xxhash64_chain([r["v"]]) == r["h1"], repr(r["v"])
+        assert _xxhash64_chain([_H2_TAG, r["v"]]) == r["h2"], repr(r["v"])
+    ldf = spark.createDataFrame(
+        [(v,) for v in longs], StructType([StructField("v", LongType())])
+    )
+    for r in ldf.select(
+        F.xxhash64("v").alias("h1"),
+        F.xxhash64(F.lit(_H2_TAG), F.col("v")).alias("h2"),
+        "v",
+    ).collect():
+        assert _xxhash64_chain([r["v"]]) == r["h1"], r["v"]
+        assert _xxhash64_chain([_H2_TAG, r["v"]]) == r["h2"], r["v"]
