@@ -335,3 +335,14 @@ def test_driver_xxh64_bit_identical_to_spark(spark):
     ).collect():
         assert _xxhash64_chain([r["v"]]) == r["h1"], r["v"]
         assert _xxhash64_chain([_H2_TAG, r["v"]]) == r["h2"], r["v"]
+
+
+def test_long_column_index_and_lookup(table):
+    # phash is BIGINT: integral lanes hash as 8-byte LE two's-complement —
+    # same build/probe agreement as strings (negative values included)
+    build_bloom_index(table, "phash")
+    vals = [0, 7919 * 123, 7919 * 599]
+    got = point_lookup(table, "phash", vals, columns=["image_id", "phash"])
+    assert sorted(r["phash"] for r in got.collect()) == sorted(vals)
+    ff = bloom_file_filter(table, "phash", [7919 * 123])
+    assert len(ff) <= 2
