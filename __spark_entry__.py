@@ -1436,6 +1436,41 @@ _HTML_DERIVATION = (
 )
 
 
+# cross-corpus reference derivation over `documents` — identical SQL in
+# both dialects: verbatim copies of doc_id%5=2 (exact hits) and
+# tail-appended variants of doc_id%7=3 (near-dups under k=3 Jaccard)
+_XDEDUP_REF = (
+    "SELECT doc_id + 5000000 AS doc_id, text FROM documents "
+    "WHERE doc_id % 5 = 2 "
+    "UNION ALL "
+    "SELECT doc_id + 6000000 AS doc_id, "
+    "text || ' trailing marker words appended' AS text FROM documents "
+    "WHERE doc_id % 7 = 3"
+)
+
+
+def _q_dedup_against_corpus(spark, sf):
+    # cross-corpus dedup (operators/crossdedup.py): flag new documents
+    # already present in — or near-duplicating — an existing reference
+    # corpus (the incremental-curation direction in-corpus dedup can't
+    # express). Posting-list join pairs only ACROSS corpora.
+    from olake_spark.operators.crossdedup import dedup_against_jaccard
+
+    docs = _tbl(spark, sf, "documents")
+    docs.createOrReplaceTempView("documents")
+    ref = spark.sql(_XDEDUP_REF)
+    return dedup_against_jaccard(docs, ref, threshold_ppm=600_000, k=3)
+
+
+def _dedup_against_corpus_oracle() -> str:
+    from olake_spark.operators.crossdedup import dedup_against_jaccard_sql
+
+    return dedup_against_jaccard_sql(
+        "SELECT * FROM documents", _XDEDUP_REF,
+        threshold_ppm=600_000, k=3,
+    )
+
+
 def _q_chunk_windows(spark, sf):
     # token-window document chunking (operators/pack.py chunk_documents):
     # the packing op's complement — long docs cut into max_tokens windows
@@ -1779,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_point_lookup": _q_bloom_point_lookup,
         "html_extract_text": _q_html_extract_text,
         "curate_chunk_windows": _q_chunk_windows,
+        "dedup_against_corpus": _q_dedup_against_corpus,
         "text_bpe_tokens": _q_text_bpe_tokens,  # rows-only (no SQL twin)
     }
 
@@ -2148,4 +2184,5 @@ LIMIT 20
         ),
         "html_extract_text": _html_extract_text_oracle(),
         "curate_chunk_windows": _chunk_windows_oracle(),
+        "dedup_against_corpus": _dedup_against_corpus_oracle(),
     }
