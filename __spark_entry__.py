@@ -1436,6 +1436,22 @@ _HTML_DERIVATION = (
 )
 
 
+def _q_text_normalize(spark, sf):
+    # CCNet-shape normalization (functions/textnorm.py): lowercase, accent
+    # fold, digits→0, curly punct→ASCII, unicode-space/control cleanup —
+    # the view CCNet dedups and LM-scores on; norm_fingerprint is the
+    # normalization-insensitive dedup key. Map-only (plan-pinned).
+    from olake_spark.functions.textnorm import normalize_documents
+
+    return normalize_documents(_tbl(spark, sf, "documents"))
+
+
+def _text_normalize_oracle() -> str:
+    from olake_spark.functions.textnorm import normalize_documents_sql
+
+    return normalize_documents_sql("SELECT * FROM documents")
+
+
 # cross-corpus reference derivation over `documents` — identical SQL in
 # both dialects: verbatim copies of doc_id%5=2 (exact hits) and
 # tail-appended variants of doc_id%7=3 (near-dups under k=3 Jaccard)
@@ -1815,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_text": _q_html_extract_text,
         "curate_chunk_windows": _q_chunk_windows,
         "dedup_against_corpus": _q_dedup_against_corpus,
+        "text_normalize": _q_text_normalize,
         "text_bpe_tokens": _q_text_bpe_tokens,  # rows-only (no SQL twin)
     }
 
@@ -2185,4 +2202,5 @@ LIMIT 20
         "html_extract_text": _html_extract_text_oracle(),
         "curate_chunk_windows": _chunk_windows_oracle(),
         "dedup_against_corpus": _dedup_against_corpus_oracle(),
+        "text_normalize": _text_normalize_oracle(),
     }
