@@ -245,6 +245,29 @@ def main() -> None:
         step("ann", bruteforce_rows=bf.count(), ivf_rows=ivf.count(),
              sq8_rows=sq8.count(), sq8_top1_agree=sq8_top1_agree)
 
+        # 7a-bis: normalization-insensitive cross-corpus dedup — normalize
+        # (CCNet view), then flag the "new crawl" against a standing
+        # reference built from case/accent variants of the same pages
+        from olake_spark.functions.textnorm import normalize_documents
+        from olake_spark.operators.crossdedup import dedup_against_exact
+
+        ref = docs.filter("doc_id % 4 = 1").select(
+            (F.col("doc_id") + 900000).alias("doc_id"),
+            F.upper("text").alias("text"),  # case variant: raw md5 differs
+        )
+        raw_flags = dedup_against_exact(docs, ref)
+        norm_docs = normalize_documents(docs).select(
+            "doc_id", F.col("normalized_text").alias("text")
+        )
+        norm_ref = normalize_documents(ref).select(
+            "doc_id", F.col("normalized_text").alias("text")
+        )
+        norm_flags = dedup_against_exact(norm_docs, norm_ref)
+        raw_hits = raw_flags.filter("keep = 0").count()
+        norm_hits = norm_flags.filter("keep = 0").count()
+        assert raw_hits == 0 and norm_hits == docs.filter("doc_id % 4 = 1").count()
+        step("crossdedup_normalized", raw_hits=raw_hits, norm_hits=norm_hits)
+
         sampled = curate.hash_sample(docs, "doc_id", 500_000)
         capped = curate.stratified_cap(sampled, ["lang"], "doc_id", 50)
         scrubbed = capped.withColumn(
