@@ -142,8 +142,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True, help="icelite table root")
     p.add_argument("--column", required=True)
     p.add_argument("--values", required=True,
-                   help="comma list of probe values (cast to the column "
-                        "type; int/long/string/double supported)")
+                   help="comma list of probe values, parsed to the "
+                        "column's exact type (string/int/long/float/"
+                        "double/boolean/date)")
     p.add_argument("--columns", default=None,
                    help="comma list of output columns (default: all)")
     p.add_argument("--build-index", action="store_true",
@@ -349,9 +350,28 @@ def main(argv: list[str] | None = None) -> int:
         if dtype is None:
             print(f"no such column {args.column!r}", file=sys.stderr)
             return 2
-        cast = {"int": int, "bigint": int, "double": float,
-                "float": float}.get(dtype, str)
-        values = [cast(v) for v in args.values.split(",")]
+        # parse probes to the column's exact type — an unsupported type is
+        # a loud error, never a silent string fallback (a string-hashed
+        # probe against a typed build prunes every file and prints zero
+        # rows for data that exists)
+        import datetime as _dt
+
+        casts = {
+            "int": int, "smallint": int, "tinyint": int, "bigint": int,
+            "double": float, "float": float, "string": str,
+            "boolean": lambda s: {"true": True, "false": False}[s.lower()],
+            "date": _dt.date.fromisoformat,
+        }
+        if dtype not in casts:
+            print(f"lookup does not support {dtype!r} columns",
+                  file=sys.stderr)
+            return 2
+        try:
+            values = [casts[dtype](v) for v in args.values.split(",")]
+        except (ValueError, KeyError) as ex:
+            print(f"bad probe value for {dtype} column: {ex}",
+                  file=sys.stderr)
+            return 2
         if args.build_index:
             build_bloom_index(table, args.column, incremental=True)
         from olake_spark.icelite.table import DATA
@@ -577,12 +597,22 @@ def main(argv: list[str] | None = None) -> int:
             if not args.bloom_columns:
                 print("--ops bloom needs --bloom-columns", file=sys.stderr)
                 return 2
+            # honor the table's own autopilot.bloom.fpp so a manual run
+            # never fpp-flip-flops against the nightly autopilot (a
+            # mismatched fpp forces a FULL rebuild, defeating the
+            # incremental path both ways)
+            fpp = float(
+                table.meta["properties"].get("autopilot.bloom.fpp", 0.01)
+            )
             results[op] = {}
             for c in args.bloom_columns.split(","):
-                idx = build_bloom_index(table, c.strip(), incremental=True)
+                idx = build_bloom_index(
+                    table, c.strip(), fpp=fpp, incremental=True
+                )
                 results[op][c.strip()] = {
                     "n_files": idx["n_files"],
                     "n_files_built": idx["n_files_built"],
+                    "fpp": fpp,
                 }
         elif op == "expire":
             results[op] = run_expire(

@@ -15,8 +15,11 @@ pure Catalyst string expressions with a DuckDB twin from the same tables:
 3. every digit → ``0`` (CCNet's numeral collapse: "born in 1987" and
    "born in 1412" normalize identically);
 4. curly quotes/dashes/ellipsis → ASCII equivalents;
-5. unicode space family (NBSP, en/em/thin spaces, ideographic space,
-   zero-widths) → plain space, C0/C1 control characters removed;
+5. ALL whitespace — tab/LF/VT/FF/CR and the unicode space family (NBSP,
+   en/em/thin spaces, ideographic space) — → plain space; zero-widths and
+   the remaining C0/C1 control characters removed ("a\\tb", "a\\nb" and
+   "a b" share one fingerprint: the dedup view is line-structure-blind by
+   design, raw text keeps its lines);
 6. whitespace runs collapsed to one space, ends trimmed.
 
 ``norm_fingerprint`` (md5 of the normalized text) is the dedup key CCNet
@@ -54,8 +57,8 @@ _PUNCT_MAP = [
 # math space, ideographic); zero-widths + BOM and C0/C1 controls removed.
 # Two regex dialects for the SAME code points: Java reads \uXXXX, RE2
 # reads \x{XXXX} — generated from one table so they cannot drift.
-_SPACE_POINTS = "00A0 1680 2000-200A 202F 205F 3000"
-_DROP_POINTS = "200B-200D FEFF 0000-0008 000B-001F 007F-009F"
+_SPACE_POINTS = "0009-000D 00A0 1680 2000-200A 202F 205F 3000"
+_DROP_POINTS = "200B-200D FEFF 0000-0008 000E-001F 007F-009F"
 
 
 def _cls(points: str, flavor: str) -> str:

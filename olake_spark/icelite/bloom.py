@@ -415,44 +415,80 @@ def _xxh64(data: bytes, seed: int) -> int:
     return h
 
 
-def _spark_serialize(v: Any) -> bytes:
-    """The byte lane Spark's XxHash64 hashes for a value: integral types
-    promote to long (8-byte little-endian two's-complement); strings their
-    UTF-8 bytes; binary as-is; bool as a long."""
-    if isinstance(v, bool):
-        return int(v).to_bytes(8, "little", signed=True)
-    if isinstance(v, (int, np.integer)):
-        return int(v).to_bytes(8, "little", signed=True)
-    if isinstance(v, str):
+# lane widths per Spark type: XxHash64 hashes int/short/byte/date/boolean
+# through XXH64.hashInt (a 4-BYTE little-endian lane), long/timestamp
+# through hashLong (8 bytes), float as hashInt(floatToIntBits) and double
+# as hashLong(doubleToLongBits) with negative zero normalized; strings and
+# binary hash their raw bytes. Getting the lane width wrong makes probe
+# hashes silently disagree with build hashes — reviewed-and-fixed once,
+# and pinned per type against F.xxhash64 in tests/test_bloom.py.
+_4BYTE_TYPES = {"int", "smallint", "tinyint", "date", "boolean"}
+_8BYTE_TYPES = {"bigint", "long"}
+
+
+def _spark_serialize(v: Any, dtype: str) -> bytes:
+    """The exact byte lane Spark's XxHash64 hashes for a value of the
+    column's Spark type (`dtype` = DataType.simpleString())."""
+    import struct
+
+    if dtype == "string":
+        if not isinstance(v, str):
+            raise TypeError(f"string column probe must be str, got {type(v).__name__}")
         return v.encode("utf-8")
-    if isinstance(v, (bytes, bytearray)):
+    if dtype == "binary":
         return bytes(v)
+    if dtype == "boolean":
+        return (1 if v else 0).to_bytes(4, "little")
+    if dtype == "date":
+        import datetime as _dt
+
+        if not isinstance(v, _dt.date):
+            raise TypeError("date column probe must be a datetime.date")
+        days = (v - _dt.date(1970, 1, 1)).days
+        return (days & 0xFFFFFFFF).to_bytes(4, "little")
+    if dtype in _4BYTE_TYPES:
+        return (int(v) & 0xFFFFFFFF).to_bytes(4, "little")
+    if dtype in _8BYTE_TYPES:
+        return int(v).to_bytes(8, "little", signed=True)
+    if dtype == "float":
+        f = 0.0 if v == 0 else float(v)  # -0.0f normalized like Spark
+        return struct.pack("<f", f)
+    if dtype == "double":
+        d = 0.0 if v == 0 else float(v)
+        return struct.pack("<d", d)
     raise TypeError(
-        f"bloom probe values of type {type(v).__name__} are not supported "
-        "(int/long/string/binary columns only)"
+        f"bloom probes on {dtype!r} columns are not supported "
+        "(string/binary/int/smallint/tinyint/bigint/boolean/date/"
+        "float/double)"
     )
 
 
-def _xxhash64_chain(args: Sequence[Any], seed: int = 42) -> int:
+def _xxhash64_chain(lanes: Sequence[bytes], seed: int = 42) -> int:
     """Spark's xxhash64(a, b, ...): each argument's hash seeds the next;
     returns the signed int64 Spark reports."""
     h = seed
-    for a in args:
-        h = _xxh64(_spark_serialize(a), h)
+    for lane in lanes:
+        h = _xxh64(lane, h)
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
 def _probe_hashes(table: Table, column: str, values: Sequence[Any]) -> np.ndarray:
     """(len(values), 2) int64 [h1, h2] — driver-side XXH64, bit-identical
-    to the JVM expressions the build used (property-pinned in tests); no
-    Spark job, so lookups stay interactive."""
-    return np.array(
-        [
-            [_xxhash64_chain([v]), _xxhash64_chain([_H2_TAG, v])]
-            for v in values
-        ],
-        dtype=np.int64,
+    to the JVM expressions the build used (property-pinned per type in
+    tests); no Spark job, so lookups stay interactive."""
+    dtype = next(
+        f.dataType.simpleString()
+        for f in table.schema.fields
+        if f.name == column
     )
+    tag = _H2_TAG.encode("utf-8")
+    out = []
+    for v in values:
+        lane = _spark_serialize(v, dtype)
+        out.append(
+            [_xxhash64_chain([lane]), _xxhash64_chain([tag, lane])]
+        )
+    return np.array(out, dtype=np.int64)
 
 
 def bloom_file_filter(

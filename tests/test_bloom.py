@@ -297,44 +297,60 @@ def test_failed_build_orphan_shards_swept(table):
 def test_driver_xxh64_bit_identical_to_spark(spark):
     # the lookup hashes probes DRIVER-SIDE (no Spark job); this pin keeps
     # that implementation bit-identical to the JVM expressions the build
-    # uses, across every XXH64 length-class branch (empty, <4, <8, <32,
-    # >=32 incl. multi-byte UTF-8) and the two-argument seed chain
+    # uses — across every XXH64 length-class branch for strings AND across
+    # every supported column type's lane width (Spark hashes int/short/
+    # byte/date/boolean as 4-byte lanes, long as 8, float/double via
+    # their IEEE bit patterns — a wrong lane width silently breaks every
+    # covered-file lookup, which is exactly what this test exists to stop)
+    import datetime as _dt
     import random
 
-    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from pyspark.sql.types import (BooleanType, ByteType, DateType,
+                                   DoubleType, FloatType, IntegerType,
+                                   LongType, ShortType, StringType,
+                                   StructField, StructType)
 
-    from olake_spark.icelite.bloom import _H2_TAG, _xxhash64_chain
+    from olake_spark.icelite.bloom import (_H2_TAG, _spark_serialize,
+                                           _xxhash64_chain)
 
     rng = random.Random(7)
+
+    def pin(dtype, simple, vals):
+        df = spark.createDataFrame(
+            [(v,) for v in vals], StructType([StructField("v", dtype)])
+        )
+        tag = _H2_TAG.encode("utf-8")
+        for r in df.select(
+            F.xxhash64("v").alias("h1"),
+            F.xxhash64(F.lit(_H2_TAG), F.col("v")).alias("h2"),
+            "v",
+        ).collect():
+            lane = _spark_serialize(r["v"], simple)
+            assert _xxhash64_chain([lane]) == r["h1"], (simple, r["v"])
+            assert _xxhash64_chain([tag, lane]) == r["h2"], (simple, r["v"])
+
     strs = (
         ["", "a", "abc", "img-000000000123", "x" * 31, "y" * 32, "z" * 33,
-         "w" * 100, "héllo wörld ünïcode ✓", "é" * 40]
+         "w" * 100, "h\u00e9llo w\u00f6rld \u00fcn\u00efcode \u2713", "\u00e9" * 40]
         + ["".join(rng.choice("abcdefgh0123-_")
-                   for _ in range(rng.randint(0, 64))) for _ in range(40)]
+                   for _ in range(rng.randint(0, 64))) for _ in range(30)]
     )
+    pin(StringType(), "string", strs)
     longs = [0, 1, -1, 42, 2 ** 62, -(2 ** 62), 7919] + [
-        rng.randint(-(2 ** 63), 2 ** 63 - 1) for _ in range(20)
+        rng.randint(-(2 ** 63), 2 ** 63 - 1) for _ in range(15)
     ]
-    sdf = spark.createDataFrame(
-        [(s,) for s in strs], StructType([StructField("v", StringType())])
-    )
-    for r in sdf.select(
-        F.xxhash64("v").alias("h1"),
-        F.xxhash64(F.lit(_H2_TAG), F.col("v")).alias("h2"),
-        "v",
-    ).collect():
-        assert _xxhash64_chain([r["v"]]) == r["h1"], repr(r["v"])
-        assert _xxhash64_chain([_H2_TAG, r["v"]]) == r["h2"], repr(r["v"])
-    ldf = spark.createDataFrame(
-        [(v,) for v in longs], StructType([StructField("v", LongType())])
-    )
-    for r in ldf.select(
-        F.xxhash64("v").alias("h1"),
-        F.xxhash64(F.lit(_H2_TAG), F.col("v")).alias("h2"),
-        "v",
-    ).collect():
-        assert _xxhash64_chain([r["v"]]) == r["h1"], r["v"]
-        assert _xxhash64_chain([_H2_TAG, r["v"]]) == r["h2"], r["v"]
+    pin(LongType(), "bigint", longs)
+    ints = [0, 1, -1, 5, 2 ** 31 - 1, -(2 ** 31)] + [
+        rng.randint(-(2 ** 31), 2 ** 31 - 1) for _ in range(15)
+    ]
+    pin(IntegerType(), "int", ints)
+    pin(ShortType(), "smallint", [0, 1, -1, 32767, -32768])
+    pin(ByteType(), "tinyint", [0, 1, -1, 127, -128])
+    pin(BooleanType(), "boolean", [True, False])
+    pin(DateType(), "date",
+        [_dt.date(1970, 1, 1), _dt.date(2026, 8, 21), _dt.date(1900, 2, 3)])
+    pin(FloatType(), "float", [0.0, -0.0, 1.5, -273.15, 3.0e38])
+    pin(DoubleType(), "double", [0.0, -0.0, 1.5, -2.5e300, 3.14159])
 
 
 def test_long_column_index_and_lookup(table):
@@ -346,3 +362,13 @@ def test_long_column_index_and_lookup(table):
     assert sorted(r["phash"] for r in got.collect()) == sorted(vals)
     ff = bloom_file_filter(table, "phash", [7919 * 123])
     assert len(ff) <= 2
+
+
+def test_int_column_index_and_lookup(table):
+    # REGRESSION (review finding): IntegerType hashes as a 4-BYTE lane in
+    # Spark; an 8-byte probe lane silently pruned every covered file
+    build_bloom_index(table, "w")
+    got = point_lookup(table, "w", [5], columns=["image_id", "w"]).collect()
+    assert got and all(r["w"] == 5 for r in got)
+    # value present in many files: candidates nonzero, lookup non-empty
+    assert len(bloom_file_filter(table, "w", [5])) >= 1

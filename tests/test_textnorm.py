@@ -81,3 +81,21 @@ def test_map_only_plan(spark):
     )
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_all_whitespace_folds_to_one_fingerprint(spark):
+    # REGRESSION (review finding): tab/newline/CR variants previously kept
+    # their characters and fingerprinted apart from the space variant
+    import duckdb as _dd
+    import pandas as _pd
+
+    rows = [(1, "a b c"), (2, "a\tb c"), (3, "a\nb c"),
+            (4, "a\r\nb  c"), (5, "a\x0bb\x0cc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in normalize_documents(df).collect()}
+    assert len({r["norm_fingerprint"] for r in got.values()}) == 1
+    assert got[3]["normalized_text"] == "a b c"
+    con = _dd.connect()
+    con.register("d", _pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = con.sql(normalize_documents_sql("SELECT * FROM d")).df()
+    assert set(want["norm_fingerprint"]) == {got[1]["norm_fingerprint"]}
